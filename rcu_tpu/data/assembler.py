@@ -1,0 +1,102 @@
+"""Slice -> volume reassembly (the pymia SubjectAssembler replacement).
+
+Parity target: pymia ``SubjectAssembler``/``Subject2dAssembler`` as consumed
+by the reference loops (``common/trainloop/loops.py:83-99``): per-batch slice
+outputs are scattered back into per-subject volumes; a subject becomes
+"ready" when all of its slices have arrived (loaders iterate subjects in
+order, so readiness is detected by counting filled slices).
+
+Host-side numpy: outputs cross device->host once per batch (one transfer,
+already async under jax), then a cheap strided scatter. Padded batch entries
+(valid == 0) are ignored.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+class SubjectAssembler:
+    """Assembles per-slice model outputs into (Z, Y, X, ...) subject volumes."""
+
+    def __init__(self, dataset, entries=("probabilities",)):
+        self.dataset = dataset
+        self.entries = tuple(entries)
+        self._buffers = {}   # subject_idx -> {entry: volume}
+        self._filled = {}    # subject_idx -> set of slice ids
+        self._ready = []
+
+    def _ensure_buffers(self, subject_idx: int, outputs: dict, item_shape_fn):
+        if subject_idx in self._buffers:
+            return
+        subject = self.dataset.subjects[subject_idx]
+        nb_slices = self.dataset.shape(subject)[0]
+        bufs = {}
+        for entry in self.entries:
+            slice_shape = item_shape_fn(entry)
+            bufs[entry] = np.zeros((nb_slices,) + tuple(slice_shape),
+                                   np.asarray(outputs[entry]).dtype)
+        self._buffers[subject_idx] = bufs
+        self._filled[subject_idx] = set()
+
+    def add_batch(self, outputs: dict, subject_indices, slice_indices, valid=None):
+        """outputs[entry] has shape (B, ...) with slice payload after axis 0."""
+        outputs = {e: np.asarray(outputs[e]) for e in self.entries}
+        subject_indices = np.asarray(subject_indices)
+        slice_indices = np.asarray(slice_indices)
+        nb = subject_indices.shape[0]
+        for b in range(nb):
+            if valid is not None and not valid[b]:
+                continue
+            si = int(subject_indices[b])
+            z = int(slice_indices[b])
+            self._ensure_buffers(si, outputs, lambda e: outputs[e].shape[1:])
+            if z in self._filled[si]:
+                continue
+            for entry in self.entries:
+                self._buffers[si][entry][z] = outputs[entry][b]
+            self._filled[si].add(z)
+            subject = self.dataset.subjects[si]
+            if len(self._filled[si]) == self.dataset.shape(subject)[0]:
+                self._ready.append(si)
+
+    def subjects_ready(self):
+        ready, self._ready = self._ready, []
+        return ready
+
+    def get_assembled_subject(self, subject_idx: int) -> dict:
+        bufs = self._buffers.pop(subject_idx)
+        self._filled.pop(subject_idx, None)
+        return bufs
+
+    def flush(self):
+        """Remaining partially-filled subjects (end-of-loop safety)."""
+        remaining = list(self._buffers.keys())
+        self._ready = []
+        return remaining
+
+
+class Subject2dAssembler:
+    """Trivial passthrough for native-2D datasets (one index == one subject)."""
+
+    def __init__(self, dataset, entries=("probabilities",)):
+        self.dataset = dataset
+        self.entries = tuple(entries)
+        self._ready = []
+        self._store = {}
+
+    def add_batch(self, outputs: dict, subject_indices, slice_indices=None, valid=None):
+        outputs = {e: np.asarray(outputs[e]) for e in self.entries}
+        subject_indices = np.asarray(subject_indices)
+        for b in range(subject_indices.shape[0]):
+            if valid is not None and not valid[b]:
+                continue
+            si = int(subject_indices[b])
+            self._store[si] = {e: outputs[e][b] for e in self.entries}
+            self._ready.append(si)
+
+    def subjects_ready(self):
+        ready, self._ready = self._ready, []
+        return ready
+
+    def get_assembled_subject(self, subject_idx: int) -> dict:
+        return self._store.pop(subject_idx)

@@ -1,0 +1,123 @@
+"""Host batch loader with static shapes and double-buffered device prefetch.
+
+Replaces the reference's ``pymia DataLoader(num_workers)`` + ``CollateDict``
+(``common/trainloop/data.py:58-66``) with a TPU-idiomatic feed:
+
+- batches are dicts of numpy arrays with **static shapes**: the ragged last
+  batch is padded to ``batch_size`` and carries a float ``valid`` mask so the
+  jitted step can ignore padding (XLA recompiles on shape change — padding
+  avoids that);
+- ``prefetch_to_device`` overlays host H5 reads with device compute by keeping
+  ``size`` batches in flight (``jax.device_put`` is async), the structural
+  equivalent of the reference's worker subprocesses (P4 in SURVEY §2.7).
+"""
+from __future__ import annotations
+
+import collections
+import itertools
+import queue
+import threading
+import typing
+
+import numpy as np
+
+import jax
+
+from rcu_tpu.data.h5 import SubjectDataset
+
+
+class SliceBatchLoader:
+    """Yields `{'images','labels',...,'subject_index','slice_index','valid'}`."""
+
+    def __init__(self, dataset: SubjectDataset, indices: list, batch_size: int,
+                 categories=("images", "labels"), shuffle: bool = False,
+                 seed: int = 0, drop_remainder: bool = False,
+                 transform=None):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.batch_size = batch_size
+        self.categories = tuple(categories)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+        self.transform = transform
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.indices)
+        if self.drop_remainder:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        """Reseed shuffling per epoch (reference reseeds seed+epoch, loops.py:149-151)."""
+        self._epoch = epoch
+
+    def _read(self, subject_idx: int, slice_idx: int) -> dict:
+        subject = self.dataset.subjects[subject_idx]
+        out = {}
+        for c in self.categories:
+            if slice_idx < 0:
+                out[c] = self.dataset.read_volume(subject, c)
+            else:
+                out[c] = self.dataset.read_slice(subject, slice_idx, c)
+        if self.transform is not None:
+            out = self.transform(out)
+        return out
+
+    def __iter__(self):
+        order = np.arange(len(self.indices))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        bs = self.batch_size
+        for start in range(0, len(order), bs):
+            chunk = order[start:start + bs]
+            if len(chunk) < bs and self.drop_remainder:
+                return
+            items = [self._read(*self.indices[i]) for i in chunk]
+            batch = {c: np.stack([it[c] for it in items]) for c in self.categories}
+            nb_valid = len(chunk)
+            if nb_valid < bs:  # pad ragged tail to static shape
+                pad = bs - nb_valid
+                for c in batch:
+                    batch[c] = np.concatenate(
+                        [batch[c], np.repeat(batch[c][-1:], pad, axis=0)])
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad)])
+            batch["subject_index"] = np.asarray(
+                [self.indices[i][0] for i in chunk], np.int32)
+            batch["slice_index"] = np.asarray(
+                [self.indices[i][1] for i in chunk], np.int32)
+            batch["valid"] = (np.arange(bs) < nb_valid).astype(np.float32)
+            yield batch
+
+
+def prefetch(iterator, size: int = 2, device_put: bool = True, sharding=None):
+    """Background-thread prefetch; optionally places batches on device.
+
+    With a NamedSharding, batches land pre-sharded across the mesh (the
+    multi-chip feed path). Exceptions in the worker propagate to the consumer.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                if device_put:
+                    item = jax.device_put(item, sharding) if sharding is not None \
+                        else jax.device_put(item)
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -1,0 +1,215 @@
+"""TPU-native 2D U-Net + PostNet in flax (NHWC layout).
+
+Structural parity target: reference ``common/model/unet.py:8-186`` and
+``common/model/postnet.py:6-17``. Differences are layout/idiom only:
+
+- NHWC instead of NCHW (TPU conv layout; channels ride the 128-lane dim);
+- channel dropout (torch ``Dropout2d``) is ``nn.Dropout(broadcast_dims=(1,2))``
+  so the mask is shared over H/W exactly like the reference's per-channel drop;
+- the MC-dropout switch (reference ``common/utils/torchhelper.py:44-50`` flips
+  only dropout submodules to train mode) is the explicit ``mc_dropout`` flag:
+  dropout samples while batch-norm keeps running averages;
+- ``provide_features``/``sigma_out`` become a structured ``UNetOutput`` return
+  value instead of module state (pure functions — no ``self.features``).
+
+Dropout placement rules (``_get_dropout_mode``/``_get_dropout``, reference
+``common/model/unet.py:63-82``) are replicated verbatim in semantics:
+``dropout_center=c`` puts dropout only on the *last* conv of the ``c``
+innermost down blocks and the *first* conv of the ``c`` innermost up blocks;
+the bottom block gets none; without ``dropout_center`` every conv has dropout.
+The classification/sigma heads always carry dropout (reference ``unet.py:160-163``).
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == variance_scaling
+# with scale 1/3, fan_in, uniform. Keeps init-scale parity with the reference.
+conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class UNetOutput(typing.NamedTuple):
+    logits: jnp.ndarray
+    sigma: jnp.ndarray | None = None
+    features: jnp.ndarray | None = None
+
+
+class ConvBnRelu(nn.Module):
+    """conv -> [channel dropout] -> [batch norm] -> [relu] (reference unet.py:8-23)."""
+    out_ch: int
+    dropout: float | None = None
+    bn: bool = True
+    activation: bool = True
+    kernel: int = 3
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, mc_dropout: bool = False):
+        x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                    padding=self.padding, kernel_init=conv_init)(x)
+        if self.dropout is not None:
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                           deterministic=not (train or mc_dropout))(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5)(x)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+def _conv_dropout(dropout, dropout_mode, i, repetitions):
+    """Which convs of a block carry dropout (reference unet.py:63-72)."""
+    if dropout_mode == "all":
+        return dropout
+    if dropout_mode == "first" and i == 0:
+        return dropout
+    if dropout_mode == "last" and i == repetitions - 1:
+        return dropout
+    return None
+
+
+def _block_dropout_mode(dropout_center, curr_depth, depth, is_down):
+    """Dropout mode of a block at a given depth (reference unet.py:75-82)."""
+    if dropout_center is None:
+        return "all"
+    if curr_depth == depth:
+        return "no"
+    if curr_depth + dropout_center >= depth:
+        return "last" if is_down else "first"
+    return "no"
+
+
+class ConvBlock(nn.Module):
+    """``repetitions`` stacked ConvBnRelu (reference unet.py:26-39)."""
+    out_ch: int
+    dropout: float | None = None
+    dropout_mode: str = "all"
+    bn: bool = True
+    repetitions: int = 2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, mc_dropout: bool = False):
+        for i in range(self.repetitions):
+            do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
+            x = ConvBnRelu(self.out_ch, do, self.bn)(x, train=train, mc_dropout=mc_dropout)
+        return x
+
+
+class ConvResidualBlock(nn.Module):
+    """Stacked convs (last without relu) + 1x1 residual (reference unet.py:42-60)."""
+    out_ch: int
+    dropout: float | None = None
+    dropout_mode: str = "all"
+    bn: bool = True
+    repetitions: int = 2
+
+    @nn.compact
+    def __call__(self, x, *, train: bool, mc_dropout: bool = False):
+        residual = nn.Conv(self.out_ch, (1, 1), kernel_init=conv_init)(x)
+        for i in range(self.repetitions - 1):
+            do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
+            x = ConvBnRelu(self.out_ch, do, self.bn)(x, train=train, mc_dropout=mc_dropout)
+        do = _conv_dropout(self.dropout, self.dropout_mode, self.repetitions - 1,
+                           self.repetitions)
+        x = ConvBnRelu(self.out_ch, do, self.bn, activation=False)(
+            x, train=train, mc_dropout=mc_dropout)
+        return x + residual
+
+
+def _upsample_nearest_2x(x):
+    """Nearest-neighbor 2x upsample in NHWC (reference helpers.py:5-16)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _pad_to(up, target_hw):
+    """Pad spatially to the skip's shape: diff//2 before, rest after
+    (reference unet.py:107-117 odd-size padding)."""
+    h_diff = target_hw[0] - up.shape[1]
+    w_diff = target_hw[1] - up.shape[2]
+    if h_diff == 0 and w_diff == 0:
+        return up
+    return jnp.pad(up, ((0, 0),
+                        (h_diff // 2, h_diff // 2 + h_diff % 2),
+                        (w_diff // 2, w_diff // 2 + w_diff % 2),
+                        (0, 0)))
+
+
+class UNet(nn.Module):
+    """Configurable 2D encoder-decoder (reference unet.py:123-186).
+
+    Call with NHWC input; returns :class:`UNetOutput`.
+    """
+    nb_classes: int
+    in_channels: int  # kept for config/registry parity; inferred by flax convs
+    depth: int = 4
+    start_filters: int = 16
+    dropout: float | None = 0.2
+    dropout_center: int | None = None
+    residual: bool = False
+    sigma_out: bool = False
+    provide_features: bool = False
+    bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
+        block_cls = ConvResidualBlock if self.residual else ConvBlock
+        kw = dict(train=train, mc_dropout=mc_dropout)
+
+        skips = []
+        out_ch = self.start_filters
+        for i in range(self.depth):
+            mode = _block_dropout_mode(self.dropout_center, i, self.depth, True)
+            skip = block_cls(out_ch, self.dropout, mode, self.bn)(x, **kw)
+            skips.append(skip)
+            x = nn.max_pool(skip, (2, 2), strides=(2, 2))
+            out_ch *= 2
+
+        mode = _block_dropout_mode(self.dropout_center, self.depth, self.depth, True)
+        x = block_cls(out_ch, self.dropout, mode, self.bn)(x, **kw)
+
+        for i in range(self.depth - 1, -1, -1):
+            out_ch //= 2
+            skip = skips[i]
+            up = _upsample_nearest_2x(x)
+            up = nn.Conv(out_ch, (3, 3), padding=1, kernel_init=conv_init)(up)
+            up = _pad_to(up, (skip.shape[1], skip.shape[2]))
+            x = jnp.concatenate([up, skip], axis=-1)
+            mode = _block_dropout_mode(self.dropout_center, i, self.depth, False)
+            x = block_cls(out_ch, self.dropout, mode, self.bn)(x, **kw)
+
+        features = x if self.provide_features else None
+
+        head = ConvBnRelu(out_ch, self.dropout, self.bn)(x, **kw)
+        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(head)
+
+        sigma = None
+        if self.sigma_out:
+            sig_head = ConvBnRelu(out_ch, self.dropout, self.bn)(x, **kw)
+            sigma = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(sig_head)
+
+        return UNetOutput(logits=logits, sigma=sigma, features=features)
+
+
+class PostNet(nn.Module):
+    """Tiny auxiliary confidence net on U-Net features (reference postnet.py:6-17)."""
+    nb_classes: int
+    in_channels: int = 0  # config parity; flax infers
+    nb_convs: int = 3
+    dropout: float | None = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
+        ch = x.shape[-1]
+        for _ in range(self.nb_convs):
+            x = ConvBnRelu(ch, self.dropout, kernel=1, padding=0)(
+                x, train=train, mc_dropout=mc_dropout)
+        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(x)
+        return UNetOutput(logits=logits)

@@ -1,0 +1,49 @@
+"""Pure preparation transforms for the offline uncertainty evaluation.
+
+Semantics parity targets: rechun/eval/helper.py:7-28 and
+rechun/eval/analysis.py:151-215 in the reference. All are pure jittable
+functions over whole subject volumes; the eval engine composes them on device.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def rescale_linear(x: jnp.ndarray, min_, max_, epsilon: float = 1e-5):
+    """Min/max rescale into [eps, 1-eps] (reference helper.py:19-22)."""
+    rescaled = (x - min_) / (max_ - min_)
+    return rescaled * (1.0 - 2.0 * epsilon) + epsilon
+
+
+def rescale_subject_min_max(x: jnp.ndarray, epsilon: float = 1e-5):
+    """Per-subject min/max rescale (reference analysis.py:168-177)."""
+    return rescale_linear(x, jnp.min(x), jnp.max(x), epsilon)
+
+
+def uncertainty_to_foreground_probabilities(uncertainty: jnp.ndarray, prediction: jnp.ndarray):
+    """Fold a [0,1] uncertainty map into a foreground probability map.
+
+    u/2 on predicted-background voxels, 1 - u/2 on predicted-foreground voxels
+    (reference helper.py:7-16).
+    """
+    half = uncertainty * 0.5
+    return jnp.where(prediction == 1, 1.0 - half, half)
+
+
+def add_background_probability(probability: jnp.ndarray):
+    """Stack [1-p, p] on a new trailing class axis (reference helper.py:25-28)."""
+    return jnp.stack([1.0 - probability, probability], axis=-1)
+
+
+def normalized_entropy(probabilities: jnp.ndarray, nb_classes: int = 2):
+    """Entropy of a class-last probability array, normalized to [0,1] by log(C).
+
+    Reference analysis.py:188-205 (ToEntropy).
+    """
+    if probabilities.shape[-1] != nb_classes:
+        raise ValueError(
+            f"last dimension of probability array ({probabilities.shape}) must "
+            f"be equal to nb_classes ({nb_classes})")
+    p = probabilities
+    plogp = jnp.where(p > 0, p * jnp.log(jnp.where(p > 0, p, 1.0)), 0.0)
+    return -jnp.sum(plogp, axis=-1) / jnp.log(float(nb_classes))

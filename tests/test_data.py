@@ -1,0 +1,234 @@
+"""Data engine tests: NIfTI round-trip, H5 store, split contract, indexing,
+loader static shapes, slice->volume assembly."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rcu_tpu.data import assembler, h5, indexing, loader, nifti, split
+from rcu_tpu.data.nifti import ImageProperties
+
+
+class TestNifti:
+    @pytest.mark.parametrize("dtype", [np.uint8, np.int16, np.float32])
+    def test_roundtrip_3d(self, tmp_path, dtype):
+        arr = (np.random.RandomState(0).rand(5, 7, 9) * 100).astype(dtype)
+        props = ImageProperties(size=(9, 7, 5), spacing=(1.5, 2.0, 3.0),
+                                origin=(-10.0, 4.0, 2.5))
+        path = str(tmp_path / "x.nii.gz")
+        nifti.write(arr, path, props)
+        back, props2 = nifti.read(path)
+        np.testing.assert_array_equal(back, arr)
+        assert props2.size == (9, 7, 5)
+        np.testing.assert_allclose(props2.spacing, (1.5, 2.0, 3.0), rtol=1e-6)
+        np.testing.assert_allclose(props2.origin, (-10.0, 4.0, 2.5), atol=1e-5)
+        np.testing.assert_allclose(props2.direction_matrix(), np.eye(3), atol=1e-6)
+
+    def test_roundtrip_uncompressed(self, tmp_path):
+        arr = np.random.RandomState(1).rand(4, 6, 8).astype(np.float32)
+        path = str(tmp_path / "x.nii")
+        nifti.write(arr, path)
+        back, _ = nifti.read(path)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_2d_roundtrip(self, tmp_path):
+        arr = (np.random.RandomState(2).rand(192, 256) > 0.5).astype(np.uint8)
+        path = str(tmp_path / "seg.nii.gz")
+        nifti.write(arr, path)
+        back, props = nifti.read(path)
+        np.testing.assert_array_equal(back, arr)
+        assert props.size == (256, 192)
+
+    def test_bool_written_as_uint8(self, tmp_path):
+        arr = np.random.RandomState(3).rand(3, 4, 5) > 0.5
+        path = str(tmp_path / "b.nii.gz")
+        nifti.write(arr, path)
+        back, _ = nifti.read(path)
+        assert back.dtype == np.uint8
+        np.testing.assert_array_equal(back, arr.astype(np.uint8))
+
+
+def _make_store(path, nb_subjects=3, nb_slices=4, shape=(6, 8), channels=2):
+    rng = np.random.RandomState(5)
+    with h5.DatasetWriter(path) as w:
+        for i in range(nb_subjects):
+            name = f"subj_{i}"
+            images = rng.rand(nb_slices, *shape, channels).astype(np.float32)
+            if i == 0:  # subject with black slices for selection tests
+                images[0] = 0.0
+                images[2] = 0.0
+            labels = (rng.rand(nb_slices, *shape) > 0.7).astype(np.uint8)
+            w.add_subject(name, {"images": images, "labels": labels},
+                          props=ImageProperties(size=(shape[1], shape[0], nb_slices)),
+                          meta={"grade": "HGG" if i % 2 == 0 else "LGG"},
+                          files={"images": {"t2": f"/tmp/{name}_t2.nii.gz"}})
+    return path
+
+
+class TestH5Store:
+    def test_roundtrip(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        assert ds.subjects == ["subj_0", "subj_1", "subj_2"]
+        assert ds.categories() == ["images", "labels"]
+        assert ds.shape("subj_0") == (4, 6, 8, 2)
+        sl = ds.read_slice("subj_1", 2, "images")
+        vol = ds.read_volume("subj_1", "images")
+        np.testing.assert_array_equal(sl, vol[2])
+        assert ds.meta("subj_0")["grade"] == "HGG"
+        assert ds.files("subj_0")["images"]["t2"].endswith("_t2.nii.gz")
+        assert ds.properties("subj_0").size == (8, 6, 4)
+
+    def test_subject_subset(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path, subject_subset=["subj_2", "subj_0"])
+        assert ds.subjects == ["subj_0", "subj_2"]  # dataset order preserved
+        with pytest.raises(ValueError):
+            h5.SubjectDataset(path, subject_subset=["nope"])
+
+
+class TestSplit:
+    def test_json_contract(self, tmp_path):
+        f = str(tmp_path / "split.json")
+        split.save_split(f, ["a", "b"], ["c"], ["d", "e"])
+        with open(f) as fh:
+            raw = json.load(fh)
+        assert set(raw.keys()) == {"train", "valid", "test"}
+        tr, va, te = split.load_split(f)
+        assert (tr, va, te) == (["a", "b"], ["c"], ["d", "e"])
+
+    def test_k_fold_load(self, tmp_path):
+        f = str(tmp_path / "split.json")
+        folds = split.split_subjects_k_fold(list("abcdef"), 3)
+        split.save_split(f, [t for t, _ in folds], [v for _, v in folds], None)
+        tr, va, te = split.load_split(f, k=1)
+        assert va == ["c", "d"] and te == []
+        assert tr == ["a", "b", "e", "f"]
+
+    def test_split_sizes(self):
+        tr, va, te = split.split_subjects(list(range(10)), (6, 2, 2))
+        assert (len(tr), len(va), len(te)) == (6, 2, 2)
+        with pytest.raises(ValueError):
+            split.split_subjects(list(range(10)), (5, 2, 2))
+
+    def test_stratified_shuffled(self):
+        subjects = [f"s{i}" for i in range(20)]
+        strat = ["x"] * 10 + ["y"] * 10
+        tr, va, te = split.create_stratified_shuffled_split(subjects, strat, (12, 4, 4))
+        assert len(tr) == 12 and len(va) == 4 and len(te) == 4
+        assert not (set(tr) & set(va)) and not (set(tr) & set(te))
+
+
+class TestIndexing:
+    def test_slice_indexing_and_selection(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        idx = indexing.all_indices(ds, indexing.SliceIndexing())
+        assert len(idx) == 12 and idx[0] == (0, 0)
+        sel = indexing.select_indices(ds, indexing.SliceIndexing(),
+                                      indexing.NoneBlackSelection())
+        # subject 0 has 2 black slices
+        assert len(sel) == 10
+        assert (0, 0) not in sel and (0, 2) not in sel
+
+    def test_index_cache(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        sel1 = indexing.calculate_or_load_indices(
+            ds, indexing.SliceIndexing(), indexing.NoneBlackSelection())
+        cache_dir = os.path.join(str(tmp_path), "indices")
+        assert len(os.listdir(cache_dir)) == 1
+        sel2 = indexing.calculate_or_load_indices(
+            ds, indexing.SliceIndexing(), indexing.NoneBlackSelection())
+        assert sel1 == sel2
+        # different subset -> different cache key
+        ds2 = h5.SubjectDataset(path, subject_subset=["subj_1"])
+        indexing.calculate_or_load_indices(
+            ds2, indexing.SliceIndexing(), indexing.NoneBlackSelection())
+        assert len(os.listdir(cache_dir)) == 2
+
+    def test_empty_indexing(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        idx = indexing.all_indices(ds, indexing.EmptyIndexing())
+        assert idx == [(0, -1), (1, -1), (2, -1)]
+
+
+class TestLoader:
+    def test_static_shapes_with_ragged_tail(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        idx = indexing.all_indices(ds, indexing.SliceIndexing())  # 12 items
+        ld = loader.SliceBatchLoader(ds, idx, batch_size=5)
+        batches = list(iter(ld))
+        assert len(batches) == len(ld) == 3
+        for b in batches:
+            assert b["images"].shape == (5, 6, 8, 2)
+            assert b["labels"].shape == (5, 6, 8)
+            assert b["valid"].shape == (5,)
+        assert batches[-1]["valid"].sum() == 2  # 12 = 5+5+2
+
+    def test_shuffle_determinism_per_epoch(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        idx = indexing.all_indices(ds, indexing.SliceIndexing())
+        ld = loader.SliceBatchLoader(ds, idx, batch_size=4, shuffle=True, seed=3)
+        ld.set_epoch(1)
+        order1 = [tuple(b["subject_index"]) for b in ld]
+        order1b = [tuple(b["subject_index"]) for b in ld]
+        assert order1 == order1b
+        ld.set_epoch(2)
+        order2 = [tuple(b["subject_index"]) for b in ld]
+        assert order1 != order2
+
+    def test_prefetch_preserves_order(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        idx = indexing.all_indices(ds, indexing.SliceIndexing())
+        ld = loader.SliceBatchLoader(ds, idx, batch_size=4)
+        direct = [b["slice_index"] for b in ld]
+        fetched = [np.asarray(b["slice_index"])
+                   for b in loader.prefetch(iter(ld), device_put=True)]
+        for a, b in zip(direct, fetched):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestAssembler:
+    def test_volume_assembly_and_readiness(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        asm = assembler.SubjectAssembler(ds, entries=("probabilities",))
+        # feed slices of subjects 0 and 1 interleaved, batch of 4
+        probs = np.arange(8 * 6 * 8).reshape(8, 6, 8).astype(np.float32)
+        asm.add_batch({"probabilities": probs[:4]},
+                      subject_indices=[0, 0, 1, 1], slice_indices=[0, 1, 0, 1])
+        assert asm.subjects_ready() == []
+        asm.add_batch({"probabilities": probs[4:]},
+                      subject_indices=[0, 0, 1, 1], slice_indices=[2, 3, 2, 3])
+        ready = asm.subjects_ready()
+        assert set(ready) == {0, 1}
+        vol = asm.get_assembled_subject(0)["probabilities"]
+        assert vol.shape == (4, 6, 8)
+        np.testing.assert_array_equal(vol[2], probs[4])
+
+    def test_padding_ignored(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        asm = assembler.SubjectAssembler(ds, entries=("probabilities",))
+        probs = np.ones((4, 6, 8), np.float32)
+        asm.add_batch({"probabilities": probs}, subject_indices=[0, 0, 0, 0],
+                      slice_indices=[0, 1, 2, 2], valid=np.array([1, 1, 1, 0.]))
+        assert asm.subjects_ready() == []
+        asm.add_batch({"probabilities": probs}, subject_indices=[0, 2, 2, 2],
+                      slice_indices=[3, 0, 1, 2], valid=np.array([1, 1, 1, 1.]))
+        assert asm.subjects_ready() == [0]
+
+    def test_2d_assembler(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        asm = assembler.Subject2dAssembler(ds, entries=("probabilities",))
+        asm.add_batch({"probabilities": np.zeros((2, 6, 8))},
+                      subject_indices=[0, 1])
+        assert asm.subjects_ready() == [0, 1]
+        assert asm.get_assembled_subject(1)["probabilities"].shape == (6, 8)
