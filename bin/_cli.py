@@ -1,0 +1,54 @@
+"""Shared CLI plumbing for the bin/ entry scripts.
+
+Mirrors the reference's per-script skeleton (``main(config_file, config_id)``
+with ``-config_file``/``-config_id`` argparse, default yaml resolution by id,
+try/except logging wrapper — e.g. bin-dl/brats_train_default.py:17-84).
+"""
+import argparse
+import logging
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from rcu_tpu import directories as dirs  # noqa: E402
+from rcu_tpu.engine import config as cfg_lib  # noqa: E402
+
+
+def resolve_config(config_file, config_id, default_map: dict, default_id: str):
+    """config_file wins; else config_id -> yaml in CONFIG_DIR (reference
+    brats_train_default.py:20-37)."""
+    if config_file:
+        return config_file
+    cid = config_id or default_id
+    if cid not in default_map:
+        raise ValueError(f'unknown config id "{cid}"; known: {sorted(default_map)}')
+    return os.path.join(dirs.CONFIG_DIR, default_map[cid])
+
+
+def run_main(main_fn, description: str, with_config_id: bool = True):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("-config_file", type=str, nargs="?",
+                        help="yaml file containing the configuration")
+    if with_config_id:
+        parser.add_argument("-config_id", type=str, nargs="?",
+                            help="config id resolving to a default yaml")
+    args = parser.parse_args()
+    try:
+        if with_config_id:
+            main_fn(args.config_file, args.config_id)
+        else:
+            main_fn(args.config_file)
+    except Exception:
+        logging.exception("")
+        raise
+
+
+def load_train_config(path) -> "cfg_lib.TrainConfiguration":
+    return cfg_lib.load(path, expected_type="train-config")
+
+
+def load_test_config(path) -> "cfg_lib.TestConfiguration":
+    return cfg_lib.load(path, expected_type="test-config")

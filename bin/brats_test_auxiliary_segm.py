@@ -1,0 +1,22 @@
+"""BRATS test script (auxiliary_segm) entry point (brats, auxiliary_segm strategy).
+
+TPU-native counterpart of the reference script ``bin-dl/brats_test_auxiliary_segm.py``:
+resolves a config id to its default yaml, then delegates to
+``rcu_tpu.strategies.test_auxiliary_segm``.
+"""
+import _cli
+
+
+DEFAULT_CONFIGS = {'auxiliary_segm': 'test_brats_auxiliary_segm.yaml'}
+
+
+def main(config_file, config_id=None):
+    config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
+                                      'auxiliary_segm')
+    from rcu_tpu import strategies
+    config = _cli.load_test_config(config_file)
+    return strategies.test_auxiliary_segm(config)
+
+
+if __name__ == "__main__":
+    _cli.run_main(main, 'BRATS test script (auxiliary_segm)')

@@ -1,0 +1,22 @@
+"""BRATS test script (ensemble) entry point (brats, ensemble strategy).
+
+TPU-native counterpart of the reference script ``bin-dl/brats_test_ensemble.py``:
+resolves a config id to its default yaml, then delegates to
+``rcu_tpu.strategies.test_ensemble``.
+"""
+import _cli
+
+
+DEFAULT_CONFIGS = {'ensemble': 'test_brats_ensemble.yaml'}
+
+
+def main(config_file, config_id=None):
+    config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
+                                      'ensemble')
+    from rcu_tpu import strategies
+    config = _cli.load_test_config(config_file)
+    return strategies.test_ensemble(config)
+
+
+if __name__ == "__main__":
+    _cli.run_main(main, 'BRATS test script (ensemble)')

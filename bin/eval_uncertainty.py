@@ -1,0 +1,81 @@
+"""Offline uncertainty evaluation CLI (reference bin-eval/eval_uncertainty.py).
+
+Same flags and defaults: ``--ds {brats,isic} --ids <strategy ids> --act
+{minmax,ece_dice,calib,bnf_ue}``; per run x subject the NIfTIs are loaded once
+(shared cached Loader) and every action's metric pass runs as fused device
+kernels.
+"""
+import argparse
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from rcu_tpu import directories as dirs  # noqa: E402
+from rcu_tpu.eval import actions as act_lib  # noqa: E402
+from rcu_tpu.eval import analysis, evaldata as evdata  # noqa: E402
+
+DEFAULT_IDS = ["baseline", "baseline_mc", "center", "center_mc", "ensemble",
+               "auxiliary_feat", "auxiliary_segm", "aleatoric"]
+DEFAULT_ACTIONS = ["minmax", "ece_dice", "calib", "bnf_ue"]
+
+
+def main(dataset, to_eval, action_names):
+    if dataset not in ("brats", "isic"):
+        raise ValueError('chose "brats" or "isic" as dataset')
+
+    if dataset == "brats":
+        eval_data_list = evdata.get_brats_eval_data(to_eval)
+        ece_details = "foreground"
+        base_dir = dirs.BRATS_EVAL_DIR
+    else:
+        eval_data_list = evdata.get_isic_eval_data(to_eval)
+        ece_details = ""
+        base_dir = dirs.ISIC_EVAL_DIR
+
+    min_max_dir = os.path.join(base_dir, dirs.MINMAX_NAME)
+    actions = act_lib.get_actions(action_names, min_max_dir, base_dir, ece_details)
+
+    for entry in eval_data_list:
+        for action in actions:
+            action.setup_eval(entry)
+        for action in actions:
+            action.start_eval()
+
+        for i, sf in enumerate(entry.subject_files):
+            print(f"[{i + 1}/{len(entry.subject_files)}] {sf.subject}",
+                  end=" ", flush=True)
+            loader = analysis.Loader()
+            start = time.time()
+            for action in actions:
+                action.eval_subject(sf, loader)
+            print(f"({time.time() - start}s)")
+
+        for action in actions:
+            action.finish_eval()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ds", type=str, nargs="?",
+                        help="the dataset to evaluate the runs on")
+    parser.add_argument("--ids", type=str, nargs="*",
+                        help="the ids of the runs to be evaluated")
+    parser.add_argument("--act", type=str, nargs="*",
+                        help="the names of the evaluation configuration")
+    args = parser.parse_args()
+
+    ds = args.ds or "brats"
+    to_evaluate = args.ids if args.ids else DEFAULT_IDS
+    action_ids = args.act if args.act else DEFAULT_ACTIONS
+
+    print("\n**************************************")
+    print(f"dataset: {ds}")
+    print(f"to_evaluate: {to_evaluate}")
+    print(f"eval_actions: {action_ids}")
+    print("**************************************\n")
+
+    main(ds, to_evaluate, action_ids)

@@ -1,0 +1,22 @@
+"""ISIC test script (aleatoric) entry point (isic, aleatoric strategy).
+
+TPU-native counterpart of the reference script ``bin-dl/isic_test_aleatoric.py``:
+resolves a config id to its default yaml, then delegates to
+``rcu_tpu.strategies.test_aleatoric``.
+"""
+import _cli
+
+
+DEFAULT_CONFIGS = {'aleatoric': 'test_isic_aleatoric.yaml'}
+
+
+def main(config_file, config_id=None):
+    config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
+                                      'aleatoric')
+    from rcu_tpu import strategies
+    config = _cli.load_test_config(config_file)
+    return strategies.test_aleatoric(config, symlink_inputs=True)
+
+
+if __name__ == "__main__":
+    _cli.run_main(main, 'ISIC test script (aleatoric)')

@@ -1,0 +1,22 @@
+"""ISIC test script (auxiliary_feat) entry point (isic, auxiliary_feat strategy).
+
+TPU-native counterpart of the reference script ``bin-dl/isic_test_auxiliary_feat.py``:
+resolves a config id to its default yaml, then delegates to
+``rcu_tpu.strategies.test_auxiliary_feat``.
+"""
+import _cli
+
+
+DEFAULT_CONFIGS = {'auxiliary_feat': 'test_isic_auxiliary_feat.yaml'}
+
+
+def main(config_file, config_id=None):
+    config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
+                                      'auxiliary_feat')
+    from rcu_tpu import strategies
+    config = _cli.load_test_config(config_file)
+    return strategies.test_auxiliary_feat(config, symlink_inputs=True)
+
+
+if __name__ == "__main__":
+    _cli.run_main(main, 'ISIC test script (auxiliary_feat)')

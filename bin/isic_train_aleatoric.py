@@ -1,0 +1,22 @@
+"""ISIC train script (aleatoric) entry point (isic, aleatoric strategy).
+
+TPU-native counterpart of the reference script ``bin-dl/isic_train_aleatoric.py``:
+resolves a config id to its default yaml, then delegates to
+``rcu_tpu.strategies.train_aleatoric``.
+"""
+import _cli
+
+
+DEFAULT_CONFIGS = {'aleatoric': 'train_isic_aleatoric.yaml'}
+
+
+def main(config_file, config_id=None):
+    config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
+                                      'aleatoric')
+    from rcu_tpu import strategies
+    config = _cli.load_train_config(config_file)
+    return strategies.train_aleatoric(config)
+
+
+if __name__ == "__main__":
+    _cli.run_main(main, 'ISIC train script (aleatoric)')

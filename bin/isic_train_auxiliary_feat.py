@@ -1,0 +1,22 @@
+"""ISIC train script (auxiliary_feat) entry point (isic, auxiliary_feat strategy).
+
+TPU-native counterpart of the reference script ``bin-dl/isic_train_auxiliary_feat.py``:
+resolves a config id to its default yaml, then delegates to
+``rcu_tpu.strategies.train_auxiliary_feat``.
+"""
+import _cli
+
+
+DEFAULT_CONFIGS = {'auxiliary_feat': 'train_isic_auxiliary_feat.yaml'}
+
+
+def main(config_file, config_id=None):
+    config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
+                                      'auxiliary_feat')
+    from rcu_tpu import strategies
+    config = _cli.load_train_config(config_file)
+    return strategies.train_auxiliary_feat(config)
+
+
+if __name__ == "__main__":
+    _cli.run_main(main, 'ISIC train script (auxiliary_feat)')

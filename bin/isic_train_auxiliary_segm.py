@@ -1,0 +1,22 @@
+"""ISIC train script (auxiliary_segm) entry point (isic, auxiliary_segm strategy).
+
+TPU-native counterpart of the reference script ``bin-dl/isic_train_auxiliary_segm.py``:
+resolves a config id to its default yaml, then delegates to
+``rcu_tpu.strategies.train_auxiliary_segm``.
+"""
+import _cli
+
+
+DEFAULT_CONFIGS = {'auxiliary_segm': 'train_isic_auxiliary_segm.yaml'}
+
+
+def main(config_file, config_id=None):
+    config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
+                                      'auxiliary_segm')
+    from rcu_tpu import strategies
+    config = _cli.load_train_config(config_file)
+    return strategies.train_auxiliary_segm(config)
+
+
+if __name__ == "__main__":
+    _cli.run_main(main, 'ISIC train script (auxiliary_segm)')

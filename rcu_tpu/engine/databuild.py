@@ -1,0 +1,127 @@
+"""DataConfiguration -> dataset/loader construction (reference BuildData stack,
+common/trainloop/data.py:12-154 + factory.py registries).
+
+Differences by design (TPU-first, channels-last):
+- torch layout transforms in existing configs (``permute [2,0,1]``,
+  ``squeeze``, ``unsqueeze``) are recognized and skipped — data flows NHWC;
+- pymia sampler/loader machinery collapses into :class:`SliceBatchLoader`
+  (static shapes, ragged tail padded + masked);
+- the selection sampler's crc32 index cache is kept 1:1
+  (data/indexing.calculate_or_load_indices).
+"""
+from __future__ import annotations
+
+import dataclasses
+import typing
+
+from rcu_tpu.data import indexing as idx_lib
+from rcu_tpu.data import transforms as tfm_lib
+from rcu_tpu.data.h5 import SubjectDataset
+from rcu_tpu.data.isic import IsicFolderDataset
+from rcu_tpu.data.loader import SliceBatchLoader
+from rcu_tpu.engine.config import DataConfiguration, ParametricNode
+
+_LAYOUT_NOOPS = {"permute", "squeeze", "unsqueeze"}
+
+
+def build_transform(nodes: typing.Optional[list]):
+    if not nodes:
+        return None
+    transforms = []
+    for node in nodes:
+        node = ParametricNode.parse(node)
+        if node.type in _LAYOUT_NOOPS:
+            continue  # torch-layout artifact; NHWC end-to-end here
+        if node.type == "rescale":
+            p = dict(node.params)
+            entries = p.pop("entries", None)
+            transforms.append(tfm_lib.Rescale(lower=p.get("lower", 0.0),
+                                              upper=p.get("upper", 1.0),
+                                              entries=entries))
+        elif node.type == "size":
+            transforms.append(tfm_lib.Size(node.params["size"],
+                                           entries=node.params.get("entries")))
+        elif node.type == "relabel":
+            transforms.append(tfm_lib.Relabel(node.params["label_changes"],
+                                              entries=node.params.get("entries",
+                                                                      ("labels",))))
+        else:
+            raise ValueError(f'unknown transform "{node.type}"')
+    return tfm_lib.Compose(transforms) if transforms else None
+
+
+def build_indexing(node: typing.Optional[ParametricNode]):
+    if node is None:
+        return idx_lib.EmptyIndexing()
+    if node.type == "slice":
+        return idx_lib.SliceIndexing()
+    if node.type == "empty":
+        return idx_lib.EmptyIndexing()
+    if node.type == "patch":
+        return idx_lib.PatchWiseIndexing(node.params.get("patch_shape", (128, 128)))
+    raise ValueError(f'unknown indexing "{node.type}"')
+
+
+def build_selection(node: typing.Optional[ParametricNode],
+                    selection_extractor: typing.Optional[ParametricNode]):
+    if node is None:
+        return None, ("images",)
+    categories = ("images",)
+    if selection_extractor is not None and selection_extractor.params:
+        categories = tuple(selection_extractor.params.get("categories", categories))
+    if node.type == "none-black":
+        return idx_lib.NoneBlackSelection(category=categories[0]), categories
+    if node.type == "with-foreground":
+        return idx_lib.WithForegroundSelection(), ("labels",)
+    raise ValueError(f'unknown selection strategy "{node.type}"')
+
+
+def build_dataset(data_config: DataConfiguration, subjects=None,
+                  prediction_dir: str = None):
+    path = data_config.dataset
+    if str(path).endswith(".h5"):
+        return SubjectDataset(path, subject_subset=subjects)
+    return IsicFolderDataset(path, subject_subset=subjects,
+                             prediction_dir=prediction_dir)
+
+
+@dataclasses.dataclass
+class Data:
+    """Dataset + loader + nb_batches (reference data.py:12-17)."""
+    dataset: object
+    loader: SliceBatchLoader
+    nb_batches: int
+
+
+def build_data(data_config: DataConfiguration, subjects=None, seed: int = 0,
+               batch_size: int = None, prediction_dir: str = None) -> Data:
+    dataset = build_dataset(data_config, subjects, prediction_dir)
+    indexing = build_indexing(data_config.indexing)
+    transform = build_transform(data_config.transform)
+
+    selection, categories = build_selection(data_config.selection_strategy,
+                                            data_config.selection_extractor)
+    if selection is not None:
+        indices = idx_lib.calculate_or_load_indices(dataset, indexing, selection,
+                                                    categories)
+    else:
+        indices = idx_lib.all_indices(dataset, indexing)
+
+    loader = SliceBatchLoader(
+        dataset, indices,
+        batch_size=batch_size or data_config.batch_size,
+        categories=tuple(dataset.categories()),
+        shuffle=data_config.shuffle, seed=seed, transform=transform)
+    return Data(dataset=dataset, loader=loader, nb_batches=len(loader))
+
+
+def direct_subject_info(dataset, subject_index: int) -> dict:
+    """Full labels volume + properties + files for one subject — replaces the
+    reference's direct-extractor validation path (steps.py:98-114)."""
+    subject = dataset.subjects[subject_index]
+    return {
+        "subject": subject,
+        "labels": dataset.read_volume(subject, "labels"),
+        "properties": dataset.properties(subject),
+        "files": dataset.files(subject),
+    }

@@ -1,0 +1,29 @@
+"""Train state pytree + constructors (replaces the torch context's mutable
+model/optimizer state, reference common/trainloop/context.py:165-233)."""
+from __future__ import annotations
+
+import typing
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    params: typing.Any
+    batch_stats: typing.Any
+    opt_state: typing.Any
+    epoch: jnp.ndarray        # int32 scalar
+    best_score: jnp.ndarray   # float32 scalar; -inf when unset
+
+
+def create_train_state(model, optimizer, input_shape, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init({"params": rng}, jnp.zeros(input_shape, jnp.float32),
+                           train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state,
+                      epoch=jnp.asarray(0, jnp.int32),
+                      best_score=jnp.asarray(-jnp.inf, jnp.float32))

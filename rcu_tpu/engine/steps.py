@@ -1,0 +1,284 @@
+"""Functional step factories — the TPU-native replacement of the reference's
+step/hook OO machinery (common/trainloop/steps.py, rechun/dl/customsteps.py).
+
+Each factory closes over a flax model (+ optimizer) and returns a jitted pure
+function. Batches are dicts with static shapes and a ``valid`` mask (padded
+ragged tails); losses and scores are valid-weighted so padding contributes
+nothing.
+
+MC-dropout (reference McPredictStep's T sequential forwards,
+customsteps.py:27-39) is a single ``vmap`` over T PRNG keys — one XLA program,
+T-way batched convolutions on the MXU. Ensembles (reference sequential member
+loop, bin-dl/brats_test_ensemble.py:84-94) vmap over stacked member params.
+"""
+from __future__ import annotations
+
+import functools
+import typing
+
+import jax
+import jax.numpy as jnp
+
+from rcu_tpu.engine.state import TrainState
+from rcu_tpu.ops import losses as losses_lib
+from rcu_tpu.ops import metrics as metrics_lib
+
+
+def _masked_mean(per_px: jnp.ndarray, valid: jnp.ndarray):
+    """Mean over pixels of valid batch items; per_px (B, H, W), valid (B,)."""
+    w = valid[:, None, None]
+    return jnp.sum(per_px * w) / (jnp.sum(valid) * per_px.shape[1] * per_px.shape[2])
+
+
+def _masked_ce(logits, labels, valid):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                                 axis=-1)[..., 0]
+    return -_masked_mean(picked, valid)
+
+
+def _batch_smooth_dice(logits, labels, valid):
+    """Valid-masked smooth dice of softmax probabilities vs one-hot labels —
+    the reference EvalStep train score (steps.py:45-66)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    nb_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, nb_classes, dtype=probs.dtype)
+    w = valid[:, None, None, None]
+    iflat = (probs * w).reshape(-1)
+    tflat = (onehot * w).reshape(-1)
+    intersection = jnp.sum(iflat * tflat)
+    return (2.0 * intersection + 1.0) / (jnp.sum(iflat) + jnp.sum(tflat) + 1.0)
+
+
+def make_train_step(model, optimizer, loss_kind: str = "ce",
+                    is_log_sigma: bool = False, nb_samples: int = 10,
+                    donate: bool = True):
+    """CE (reference TrainStep, steps.py:20-42) or aleatoric
+    (bin-dl/brats_train_aleatoric.py:52-74) training step."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["images"], train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        labels = batch["labels"].astype(jnp.int32)
+        valid = batch["valid"]
+        if loss_kind == "aleatoric":
+            noise_rng = jax.random.fold_in(rng, 1)
+            std = jnp.exp(out.sigma) if is_log_sigma else out.sigma
+            noise = jax.random.normal(noise_rng,
+                                      (nb_samples,) + out.logits.shape,
+                                      out.logits.dtype)
+            x_hat = out.logits[None] + std[None] * noise
+            mc_expectation = jnp.mean(jax.nn.softmax(x_hat, axis=-1), axis=0)
+            logp = jnp.log(mc_expectation)
+            picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+            loss = -_masked_mean(picked, valid)
+        else:
+            loss = _masked_ce(out.logits, labels, valid)
+        score = _batch_smooth_dice(out.logits, labels, valid)
+        return loss, (mutated["batch_stats"], score)
+
+    def train_step(state: TrainState, batch: dict, rng) -> tuple:
+        (loss, (new_stats, score)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, batch, rng)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        return new_state, {"loss": loss, "dice": score}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_predict_fn(model):
+    """Deterministic softmax forward (reference SegmentationPredictStep)."""
+
+    @jax.jit
+    def predict(params, batch_stats, batch):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch["images"], train=False)
+        return {"probabilities": jax.nn.softmax(out.logits, axis=-1)}
+
+    return predict
+
+
+def multi_prediction_summary(multi_probabilities: jnp.ndarray,
+                             do_mi: bool = False, do_var: bool = False) -> dict:
+    """Mean probs / predictive entropy (/ MI / mean class variance) over the
+    leading sample axis (reference MultiPredictionSummary, customsteps.py:42-71)."""
+    probabilities = jnp.mean(multi_probabilities, axis=0)
+    out = {"probabilities": probabilities,
+           "entropy": metrics_lib.entropy(probabilities, axis=-1)}
+    if do_mi:
+        expected_entropy = jnp.mean(
+            metrics_lib.entropy(multi_probabilities, axis=-1), axis=0)
+        out["mutual_info"] = out["entropy"] - expected_entropy
+    if do_var:
+        out["variance"] = jnp.mean(jnp.var(multi_probabilities, axis=0), axis=-1)
+    return out
+
+
+def make_mc_predict_fn(model, mc_steps: int, do_mi: bool = False,
+                       do_var: bool = False):
+    """T stochastic forwards as one vmapped program + weight-scaling forward
+    (reference McPredictStep, customsteps.py:10-39)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def predict(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        images = batch["images"]
+        ws_out = model.apply(variables, images, train=False)
+        ws_probabilities = jax.nn.softmax(ws_out.logits, axis=-1)
+
+        def one(key):
+            out = model.apply(variables, images, train=False, mc_dropout=True,
+                              rngs={"dropout": key})
+            return jax.nn.softmax(out.logits, axis=-1)
+
+        mc_probs = jax.vmap(one)(jax.random.split(rng, mc_steps))
+        out = multi_prediction_summary(mc_probs, do_mi, do_var)
+        out["ws_probabilities"] = ws_probabilities
+        return out
+
+    return predict
+
+
+def make_aleatoric_predict_fn(model, is_log_sigma: bool):
+    """Softmax probs + per-class sigma + predicted-class sigma
+    (reference bin-dl/brats_test_aleatoric.py:66-97: exp() when log-sigma,
+    abs() otherwise; the artifact stores the predicted class's sigma)."""
+
+    @jax.jit
+    def predict(params, batch_stats, batch):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch["images"], train=False)
+        probabilities = jax.nn.softmax(out.logits, axis=-1)
+        sigma = jnp.exp(out.sigma) if is_log_sigma else jnp.abs(out.sigma)
+        prediction = jnp.argmax(probabilities, axis=-1)
+        predicted_sigma = jnp.take_along_axis(
+            sigma, prediction[..., None], axis=-1)[..., 0]
+        return {"probabilities": probabilities, "sigma_all": sigma,
+                "sigma": predicted_sigma}
+
+    return predict
+
+
+def make_ensemble_predict_fn(model, do_mi: bool = False, do_var: bool = False):
+    """Stacked-parameter ensemble inference: members vmapped in one program
+    (replaces the reference's sequential member loop,
+    bin-dl/brats_test_ensemble.py:72-94)."""
+
+    @jax.jit
+    def predict(stacked_params, stacked_batch_stats, batch):
+        images = batch["images"]
+
+        def one(params, batch_stats):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              images, train=False)
+            return jax.nn.softmax(out.logits, axis=-1)
+
+        member_probs = jax.vmap(one)(stacked_params, stacked_batch_stats)
+        return multi_prediction_summary(member_probs, do_mi, do_var)
+
+    return predict
+
+
+def make_auxiliary_feat_predict_fn(segm_model, post_model):
+    """Frozen segmenter (provide_features) + PostNet error/confidence net
+    (reference bin-dl/brats_{train,test}_auxiliary_feat.py).
+
+    Output entries mirror the reference scripts:
+    - 'probabilities':      PostNet softmax (2-ch) — the confidence output
+    - 'net_predictions':    frozen segmenter argmax
+    - 'segm_probabilities': frozen segmenter softmax (2-ch)
+    - 'confidence':         PostNet foreground column (artifact payload)
+    """
+
+    @jax.jit
+    def predict(segm_params, segm_stats, post_params, post_stats, batch):
+        segm_out = segm_model.apply(
+            {"params": segm_params, "batch_stats": segm_stats}, batch["images"],
+            train=False)
+        segm_probabilities = jax.nn.softmax(segm_out.logits, axis=-1)
+        post_out = post_model.apply(
+            {"params": post_params, "batch_stats": post_stats},
+            segm_out.features, train=False)
+        confidence = jax.nn.softmax(post_out.logits, axis=-1)
+        return {"probabilities": confidence,
+                "net_predictions": jnp.argmax(segm_probabilities, axis=-1),
+                "segm_probabilities": segm_probabilities,
+                "confidence": confidence[..., 1]}
+
+    return predict
+
+
+def make_auxiliary_segm_predict_fn(model):
+    """Auxiliary-segm forward: input = images concat baseline-prediction channel
+    (labels carry [gt, prediction]; reference brats_test_auxiliary_segm.py)."""
+
+    @jax.jit
+    def predict(params, batch_stats, batch):
+        images, labels = batch["images"], batch["labels"]
+        pred_channel = labels[..., 1].astype(jnp.float32)
+        inputs = jnp.concatenate([images, pred_channel[..., None]], axis=-1)
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          inputs, train=False)
+        confidence = jax.nn.softmax(out.logits, axis=-1)
+        return {"probabilities": confidence,
+                "confidence": confidence[..., 1],
+                "baseline_prediction": labels[..., 1]}
+
+    return predict
+
+
+def make_auxiliary_train_step(post_model, optimizer, segm_model=None,
+                              donate: bool = True):
+    """Train a confidence net to predict the segmenter's error mask
+    (reference bin-dl/brats_train_auxiliary_feat.py:67-95 /
+    brats_train_auxiliary_segm.py:65-72).
+
+    With ``segm_model`` the input runs through the frozen segmenter and the
+    PostNet sees its features; the target is ``(net_prediction != gt)``.
+    Without it (auxiliary-segm), the batch's images already carry the baseline
+    prediction as an extra channel and labels carry [gt, prediction]."""
+
+    def loss_fn(params, batch_stats, frozen, batch, rng):
+        valid = batch["valid"]
+        if segm_model is not None:
+            segm_params, segm_stats = frozen
+            segm_out = segm_model.apply(
+                {"params": segm_params, "batch_stats": segm_stats},
+                batch["images"], train=False)
+            net_prediction = jnp.argmax(segm_out.logits, axis=-1)
+            target = (net_prediction != batch["labels"].astype(jnp.int32)
+                      ).astype(jnp.int32)
+            inputs = segm_out.features
+        else:
+            # auxiliary-segm: labels carry [gt, baseline-prediction]; the model
+            # input is images with the prediction appended as a channel
+            # (reference brats_train_auxiliary_segm.py:65-72)
+            gt = batch["labels"][..., 0].astype(jnp.int32)
+            baseline_pred = batch["labels"][..., 1].astype(jnp.int32)
+            target = (baseline_pred != gt).astype(jnp.int32)
+            inputs = jnp.concatenate(
+                [batch["images"], baseline_pred[..., None].astype(jnp.float32)],
+                axis=-1)
+        out, mutated = post_model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            inputs, train=True, mutable=["batch_stats"], rngs={"dropout": rng})
+        loss = _masked_ce(out.logits, target, valid)
+        score = _batch_smooth_dice(out.logits, target, valid)
+        return loss, (mutated["batch_stats"], score)
+
+    def train_step(state: TrainState, frozen, batch: dict, rng):
+        (loss, (new_stats, score)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, frozen,
+                                   batch, rng)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(params=new_params, batch_stats=new_stats,
+                                  opt_state=new_opt_state)
+        return new_state, {"loss": loss, "dice": score}
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,219 @@
+"""Test/inference orchestration (reference Test loop, loops.py:165-236, and the
+``bin-dl/*_test_*`` WriteHook artifact contracts).
+
+Artifacts per subject (written by a bounded background writer pool with a
+deterministic flush — upgrade over the reference's fire-and-forget threads):
+- ``<subject>_probabilities.nii.gz`` — foreground probabilities only
+  (reference bin-dl/brats_test_default.py:99);
+- ``<subject>_prediction.nii.gz`` — argmax labels (uint8);
+- strategy extras: ``_sigma`` (predicted-class sigma,
+  brats_test_aleatoric.py:95-97), ``_confidence`` (auxiliary nets);
+- ``metrics.csv`` with per-subject rows;
+- for folder datasets (ISIC): symlinks of the original image + gt into the
+  test dir (isic_test_default.py:118-124).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import typing
+
+import jax
+import numpy as np
+
+from rcu_tpu.data import nifti
+from rcu_tpu.data.assembler import Subject2dAssembler, SubjectAssembler
+from rcu_tpu.data.indexing import SliceIndexing
+from rcu_tpu.data.loader import prefetch
+from rcu_tpu.engine import checkpoint as ckpt_lib
+from rcu_tpu.engine import config as cfg_lib
+from rcu_tpu.engine import databuild, hooks as hooks_lib, steps as steps_lib
+from rcu_tpu.engine.state import create_train_state
+from rcu_tpu.models import get_model, get_optimizer
+from rcu_tpu.ops import metrics as metrics_lib
+from rcu_tpu.parallel import mesh as mesh_lib
+from rcu_tpu.utils import ids as ids_lib
+from rcu_tpu.utils import logs as logs_lib
+from rcu_tpu.utils.writerpool import WriterPool
+
+
+def default_test_eval_fn(subject_data: dict, info: dict) -> dict:
+    prediction = np.argmax(subject_data["probabilities"], axis=-1)
+    target = np.squeeze(np.asarray(info["labels"]))
+    if target.ndim > prediction.ndim:
+        target = target[..., 0]
+    target = (target > 0.5).astype(np.uint8)
+    return {"dice": float(np.asarray(metrics_lib.dice(prediction, target)))}
+
+
+def default_artifact_fn(loop: "TestLoop", subject: str, subject_data: dict,
+                        info: dict):
+    props = info["properties"]
+    probabilities = subject_data["probabilities"]
+    fg = np.squeeze(probabilities[..., 1]).astype(np.float32)
+    prediction = np.argmax(probabilities, axis=-1).astype(np.uint8)
+    prediction = np.squeeze(prediction)
+    loop.pool.submit(nifti.write, fg,
+                     os.path.join(loop.run_dir, f"{subject}_probabilities.nii.gz"),
+                     props)
+    loop.pool.submit(nifti.write, prediction,
+                     os.path.join(loop.run_dir, f"{subject}_prediction.nii.gz"),
+                     props)
+    for entry, postfix in (("sigma", "sigma"), ("confidence", "confidence")):
+        if entry in subject_data:
+            arr = np.squeeze(np.asarray(subject_data[entry])).astype(np.float32)
+            loop.pool.submit(
+                nifti.write, arr,
+                os.path.join(loop.run_dir, f"{subject}_{postfix}.nii.gz"), props)
+
+
+def symlink_subject_inputs(loop: "TestLoop", subject: str, info: dict):
+    """ISIC test-dir symlinks of the raw inputs (isic_test_default.py:118-124)."""
+    for cat, entries in info.get("files", {}).items():
+        for entry, path in entries.items():
+            if not path or not os.path.exists(path):
+                continue
+            link = os.path.join(loop.run_dir, os.path.basename(path))
+            if not os.path.lexists(link):
+                os.symlink(os.path.abspath(path), link)
+
+
+class TestLoop:
+    __test__ = False  # not a pytest class
+
+    def __init__(self, config: cfg_lib.TestConfiguration,
+                 predict_fn=None, model=None, entries: tuple = ("probabilities",),
+                 eval_subject_fn=None, artifact_fn=None, hooks: list = None,
+                 mesh=None, needs_rng: bool = False, symlink_inputs: bool = False,
+                 state_override=None):
+        self.config = config
+        self.mesh = mesh
+        self.needs_rng = needs_rng
+        self.symlink_inputs = symlink_inputs
+        self.entries = tuple(entries)
+        self.eval_subject_fn = eval_subject_fn or default_test_eval_fn
+        self.artifact_fn = artifact_fn or default_artifact_fn
+        self._state_override = state_override
+
+        self.model_files = ckpt_lib.ModelFiles.from_model_dir(config.model_dir) \
+            if config.model_dir else None
+        if model is None:
+            if self.model_files is None:
+                raise ValueError("config.model_dir or an explicit model is required")
+            model_node, _ = ckpt_lib.load_model_parameters(self.model_files)
+            model = get_model(model_node.type, model_node.params)
+        self.model = model
+        self.predict_fn = predict_fn  # resolved in run() when None
+
+        self.test_id = ids_lib.unique_identifier()
+        test_dir = config.test_dir
+        if not test_dir and config.model_dir:
+            # default: 'test' dir under the model's train run dir (context.py:276-284)
+            test_dir = os.path.join(os.path.dirname(config.model_dir), "test")
+        self.run_dir = os.path.join(test_dir, f"{self.test_id}_{config.test_name}")
+
+        self.hook = hooks_lib.ComposeTestHook(
+            hooks if hooks is not None else [
+                hooks_lib.ConsoleTestLogHook(),
+                hooks_lib.WriteTestMetricsCsvHook(
+                    os.path.join(self.run_dir, "metrics.csv")),
+            ])
+        self.pool = WriterPool()
+        self.test_dir = test_dir
+        self.state = None
+        self.test_data = None
+
+    def load_state(self):
+        if self._state_override is not None:
+            self.state = self._state_override
+            return
+        sample = next(iter(self.test_data.loader))
+        h, w = sample["images"].shape[1:3]
+        in_ch = getattr(self.model, "in_channels", 0) or sample["images"].shape[-1]
+        input_shape = (1, h, w, in_ch)
+        optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
+        self.state = create_train_state(self.model, optimizer, input_shape)
+        at = self.config.test_at or "best"
+        path = ckpt_lib.find_checkpoint_file(self.model_files, at)
+        if path is None:
+            raise FileNotFoundError(
+                f"no checkpoint '{at}' in {self.model_files.weight_checkpoint_dir}")
+        raw = ckpt_lib.load_checkpoint(path)
+        template = {"params": self.state.params,
+                    "batch_stats": self.state.batch_stats}
+        from flax import serialization
+        restored = serialization.from_state_dict(
+            template, {"params": raw["params"], "batch_stats": raw["batch_stats"]})
+        self.state = self.state.replace(params=restored["params"],
+                                        batch_stats=restored["batch_stats"])
+        logging.info("loaded checkpoint %s", path)
+
+    def _make_assembler(self):
+        if isinstance(databuild.build_indexing(self.config.test_data.indexing),
+                      SliceIndexing):
+            return SubjectAssembler(self.test_data.dataset, self.entries)
+        return Subject2dAssembler(self.test_data.dataset, self.entries)
+
+    def run(self):
+        os.makedirs(self.run_dir, exist_ok=True)
+        logs_lib.setup_logging(self.run_dir)
+        cfg_lib.save(self.config, os.path.join(self.run_dir, "config.yaml"))
+
+        cfg = self.config
+        subjects = None
+        if cfg.split:
+            from rcu_tpu.data.split import load_split
+            _, _, subjects = load_split(cfg.split, cfg.others.get("split_k"))
+        bs = cfg.test_data.batch_size
+        if self.mesh is not None:
+            bs = mesh_lib.pad_batch_size_to_mesh(bs, self.mesh)
+        self.test_data = databuild.build_data(
+            cfg.test_data, subjects=subjects, seed=cfg.seed, batch_size=bs,
+            prediction_dir=cfg.others.get("prediction_dir"))
+
+        self.load_state()
+        if self.predict_fn is None:
+            self.predict_fn = steps_lib.make_predict_fn(self.model)
+        self.hook.on_startup(self)
+
+        sharding = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
+        asm = self._make_assembler()
+        dataset = self.test_data.dataset
+        rng = jax.random.PRNGKey(cfg.seed)
+        subject_results = []
+
+        nb_batches = self.test_data.nb_batches
+        for i, batch in enumerate(prefetch(iter(self.test_data.loader),
+                                           sharding=sharding)):
+            if self.needs_rng:
+                step_rng = jax.random.fold_in(rng, i)
+                outputs = self.predict_fn(self.state.params, self.state.batch_stats,
+                                          batch, step_rng)
+            else:
+                outputs = self.predict_fn(self.state.params, self.state.batch_stats,
+                                          batch)
+            to_assemble = {e: np.asarray(outputs[e]) for e in self.entries
+                           if e in outputs}
+            asm.add_batch(to_assemble, np.asarray(batch["subject_index"]),
+                          np.asarray(batch["slice_index"]),
+                          np.asarray(batch["valid"]))
+            self.hook.on_test_batch_end(self, i, nb_batches)
+            self._drain_ready(asm, dataset, subject_results)
+
+        self._drain_ready(asm, dataset, subject_results)
+        self.pool.flush()
+        self.hook.on_test_end(self, subject_results)
+        self.hook.on_termination(self)
+        return self
+
+    def _drain_ready(self, asm, dataset, subject_results):
+        for subject_index in asm.subjects_ready():
+            subject_data = asm.get_assembled_subject(subject_index)
+            info = databuild.direct_subject_info(dataset, subject_index)
+            results = self.eval_subject_fn(subject_data, info)
+            subject_results.append(results)
+            self.artifact_fn(self, info["subject"], subject_data, info)
+            if self.symlink_inputs:
+                symlink_subject_inputs(self, info["subject"], info)
+            self.hook.on_test_subject_end(self, info["subject"], subject_data,
+                                          results)

@@ -1,0 +1,258 @@
+"""Subject loader + preparation pipelines for the offline eval
+(reference rechun/eval/analysis.py:15-294).
+
+The Loader does cached host-side NIfTI reads per subject. PrepareData pieces
+are thin wrappers over the pure jittable functions in
+:mod:`rcu_tpu.ops.prepare`; the preparation factories reproduce the
+reference's result-id suffix convention (``_rescale``/``_globalrescale``,
+analysis.py:277-285) that the analysis layer keys on.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from rcu_tpu import directories as dirs
+from rcu_tpu.data import nifti
+from rcu_tpu.ops import prepare as prep_ops
+from rcu_tpu.utils import labels as label_lib
+
+
+def read_min_max(min_max_file: str):
+    import csv
+    with open(min_max_file, "r") as f:
+        reader = csv.reader(f)
+        next(reader)
+        confidence_entry, min_, max_ = next(reader)
+    return float(min_), float(max_)
+
+
+class Loader:
+    """Per-subject cached NIfTI loads (reference analysis.py:15-125)."""
+
+    class Params:
+        def __init__(self, misc_entry: str = "probabilities",
+                     need_target: bool = True, need_prediction: bool = True,
+                     need_t2_mask: bool = False,
+                     need_prediction_dist_and_boarder: bool = False,
+                     need_gt_dist_and_boarder: bool = False,
+                     images_needed: list = None, need_img_props: bool = False):
+            self.misc_entry = misc_entry
+            self.need_target = need_target
+            self.need_prediction = need_prediction
+            self.need_t2_mask = need_t2_mask
+            self.need_gt_dist_and_boarder = need_gt_dist_and_boarder
+            self.need_prediction_dist_and_boarder = need_prediction_dist_and_boarder
+            self.images_needed = images_needed
+            self.need_img_props = need_img_props
+
+    def __init__(self):
+        self.cached_entries = {}
+        self.cached_subject_id = None
+
+    def get_data(self, subject_file, params: "Loader.Params") -> dict:
+        if subject_file.subject != self.cached_subject_id:
+            self.cached_entries.clear()
+            self.cached_subject_id = subject_file.subject
+
+        to_eval = {}
+        misc_np, props = self._get_misc(subject_file, params.misc_entry)
+        to_eval[params.misc_entry] = misc_np
+        if params.need_img_props:
+            to_eval["img_properties"] = props
+        if params.need_target:
+            to_eval["target"] = self._get_target(subject_file)
+        if params.need_prediction:
+            to_eval["prediction"] = self._get_prediction(subject_file)
+        if params.need_gt_dist_and_boarder:
+            mask, distance = self._get_dist_and_border(subject_file, "target")
+            to_eval["target_boarder"] = mask
+            to_eval["target_distance"] = distance
+        if params.need_prediction_dist_and_boarder:
+            mask, distance = self._get_dist_and_border(subject_file, "prediction")
+            to_eval["prediction_boarder"] = mask
+            to_eval["prediction_distance"] = distance
+        if params.need_t2_mask:
+            to_eval["mask"] = self._get_t2_mask(subject_file)
+        if params.images_needed:
+            for image_type in params.images_needed:
+                to_eval[image_type] = self._get_image(subject_file, image_type)
+        return to_eval
+
+    def _cached(self, key, fn):
+        if key not in self.cached_entries:
+            self.cached_entries[key] = fn()
+        value = self.cached_entries[key]
+        return value.copy() if isinstance(value, np.ndarray) else value
+
+    def _get_misc(self, sf, entry):
+        def load():
+            path = sf.categories["misc"].entries[entry]
+            return nifti.read(path)
+        arr_props = self._cached(f"misc:{entry}", load)
+        return arr_props[0].copy(), arr_props[1]
+
+    def _get_target(self, sf):
+        def load():
+            path = sf.categories["labels"].entries["gt"]
+            arr, _ = nifti.read(path)
+            arr = arr.astype(np.uint8)
+            arr[arr > 0] = 1  # labels 0..4 -> binary (reference analysis.py:89)
+            return arr
+        return self._cached("target", load)
+
+    def _get_prediction(self, sf):
+        def load():
+            path = sf.categories["labels"].entries["prediction"]
+            arr, _ = nifti.read(path)
+            return arr.astype(np.uint8)
+        return self._cached("prediction", load)
+
+    def _get_image(self, sf, entry):
+        def load():
+            arr, _ = nifti.read(sf.categories["images"].entries[entry])
+            return arr
+        return self._cached(f"image:{entry}", load)
+
+    def _get_t2_mask(self, sf):
+        def load():
+            arr, _ = nifti.read(sf.categories["images"].entries["t2"])
+            return arr > 0
+        return self._cached("t2mask", load)
+
+    def _get_dist_and_border(self, sf, which):
+        key_b, key_d = f"{which}_boarder", f"{which}_distance"
+        if key_b not in self.cached_entries:
+            base = self._get_target(sf) if which == "target" \
+                else self._get_prediction(sf)
+            distance, mask = label_lib.border_mask(base.astype(bool),
+                                                   distance_in=1, distance_out=1)
+            self.cached_entries[key_b] = mask
+            self.cached_entries[key_d] = distance
+        return self.cached_entries[key_b].copy(), self.cached_entries[key_d].copy()
+
+
+# ---------------------------------------------------------------------------
+# prepare pipeline (pure functions over the to_eval dict)
+# ---------------------------------------------------------------------------
+
+class ComposePreparation:
+    def __init__(self, prepare_data_list: list):
+        self.prepare_data_list = list(prepare_data_list)
+
+    def __call__(self, to_eval: dict) -> dict:
+        for p in self.prepare_data_list:
+            to_eval = p(to_eval)
+        return to_eval
+
+
+class AddBackgroundProbabilities:
+    def __call__(self, to_eval):
+        to_eval["probabilities"] = np.asarray(
+            prep_ops.add_background_probability(to_eval["probabilities"]))
+        return to_eval
+
+
+class RescaleLinear:
+    def __init__(self, entry, min_, max_, epsilon=1e-5):
+        self.entry, self.min, self.max, self.epsilon = entry, min_, max_, epsilon
+
+    def __call__(self, to_eval):
+        to_eval[self.entry] = np.asarray(prep_ops.rescale_linear(
+            to_eval[self.entry], self.min, self.max, self.epsilon))
+        return to_eval
+
+
+class RescaleSubjectMinMax:
+    def __init__(self, entry, epsilon=1e-5):
+        self.entry, self.epsilon = entry, epsilon
+
+    def __call__(self, to_eval):
+        to_eval[self.entry] = np.asarray(prep_ops.rescale_subject_min_max(
+            to_eval[self.entry], self.epsilon))
+        return to_eval
+
+
+class ToForegroundProbabilities:
+    def __call__(self, to_eval):
+        to_eval["probabilities"] = np.asarray(
+            prep_ops.uncertainty_to_foreground_probabilities(
+                to_eval["probabilities"], to_eval["prediction"]))
+        return to_eval
+
+
+class ToEntropy:
+    def __init__(self, entropy_entry="uncertainty"):
+        self.entropy_entry = entropy_entry
+
+    def __call__(self, to_eval):
+        to_eval[self.entropy_entry] = np.asarray(
+            prep_ops.normalized_entropy(to_eval["probabilities"], 2))
+        return to_eval
+
+
+class MoveEntry:
+    def __init__(self, from_entry, to_entry):
+        self.from_entry, self.to_entry = from_entry, to_entry
+
+    def __call__(self, to_eval):
+        to_eval[self.to_entry] = to_eval[self.from_entry]
+        return to_eval
+
+
+def _get_rescale_prep_and_idstr(eval_data, rescale_type: str,
+                                min_max_dir: str = None):
+    """'' | 'subject' (-> '_rescale') | 'global' (-> '_globalrescale'),
+    reference analysis.py:277-285."""
+    if rescale_type == "global":
+        min_max_path = os.path.join(
+            min_max_dir, dirs.MINMAX_PLACEHOLDER.format(eval_data.id_))
+        min_, max_ = read_min_max(min_max_path)
+        return RescaleLinear(eval_data.confidence_entry, min_, max_), "_globalrescale"
+    if rescale_type == "subject":
+        return RescaleSubjectMinMax(eval_data.confidence_entry), "_rescale"
+    return None, ""
+
+
+def get_probability_preparation(eval_data, rescale_confidence="subject",
+                                rescale_sigma="subject", min_max_dir=None):
+    """Confidence entry -> two-class probabilities (reference analysis.py:218-248)."""
+    prepare = []
+    if eval_data.confidence_entry == "probabilities":
+        prepare.append(AddBackgroundProbabilities())
+        return ComposePreparation(prepare), eval_data.id_
+    rescale_type = rescale_confidence if eval_data.confidence_entry == "confidence" \
+        else rescale_sigma
+    id_ = eval_data.id_
+    prep, prep_id = _get_rescale_prep_and_idstr(eval_data, rescale_type, min_max_dir)
+    if prep is not None:
+        prepare.append(prep)
+        id_ += prep_id
+    prepare.extend([MoveEntry(eval_data.confidence_entry, "probabilities"),
+                    ToForegroundProbabilities(),
+                    AddBackgroundProbabilities()])
+    return ComposePreparation(prepare), id_
+
+
+def get_uncertainty_preparation(eval_data, rescale_confidence="",
+                                rescale_sigma="global", min_max_dir=None):
+    """Confidence entry -> [0,1] uncertainty map (reference analysis.py:251-274)."""
+    prepare = []
+    if eval_data.confidence_entry == "probabilities":
+        prepare.append(AddBackgroundProbabilities())
+        prepare.append(ToEntropy())
+        return ComposePreparation(prepare), eval_data.id_
+    rescale_type = rescale_confidence if eval_data.confidence_entry == "confidence" \
+        else rescale_sigma
+    id_ = eval_data.id_
+    prep, prep_id = _get_rescale_prep_and_idstr(eval_data, rescale_type, min_max_dir)
+    if prep is not None:
+        prepare.append(prep)
+        id_ += prep_id
+    prepare.append(MoveEntry(eval_data.confidence_entry, "uncertainty"))
+    return ComposePreparation(prepare), id_
+
+
+def get_confidence_entry_preparation(eval_data, to_entry):
+    return MoveEntry(eval_data.confidence_entry, to_entry), eval_data.id_

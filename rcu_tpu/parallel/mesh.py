@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers — the framework's distribution module.
+
+The reference's only device parallelism is single-host ``nn.DataParallel``
+(common/trainloop/context.py:223-233). The TPU-native equivalent (SURVEY §2.7
+P1/P5) is a 1-D data mesh over ICI: batches are sharded on their leading axis,
+parameters/optimizer state are replicated, and XLA inserts the gradient
+all-reduce automatically when the jitted train step consumes sharded batches
+with replicated-out params. BatchNorm statistics become *globally* synced
+(an upgrade over DataParallel's per-replica BN — documented deviation).
+
+Usage::
+
+    mesh = make_mesh()                       # all local devices, axis 'data'
+    sharding = batch_sharding(mesh)          # leading-axis sharded
+    step = shard_train_step(step, mesh)      # jit with shardings
+    for batch in prefetch(it, sharding=sharding): ...
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None, n_devices: int = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis sharding for batch dicts (rank-polymorphic: jax broadcasts
+    the spec's first axis; scalars/1-D 'valid' arrays shard on axis 0 too)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch onto the mesh, sharded over the data axis."""
+    sharding = batch_sharding(mesh)
+    return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+def shard_train_step(train_step_fn, mesh: Mesh, donate: bool = True):
+    """jit a (state, batch, rng) -> (state, metrics) step over the mesh:
+    state replicated, batch data-sharded. XLA emits psum over ICI for grads."""
+    rep = replicated(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step_fn,
+        in_shardings=(rep, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def pad_batch_size_to_mesh(batch_size: int, mesh: Mesh) -> int:
+    n = mesh.devices.size
+    return -(-batch_size // n) * n
