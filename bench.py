@@ -1,0 +1,153 @@
+"""Headline benchmark: T=20 MC-dropout inference + full calibration eval on a
+BraTS-sized volume (155 x 240 x 240, 4 modalities), per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "voxel/s", "vs_baseline": N}
+
+- "value": voxels/sec through the full pipeline on this chip — 21 U-Net
+  forwards per slice batch (20 MC + 1 weight-scaling, the reference protocol,
+  rechun/dl/customsteps.py:23-35) PLUS the fused on-device calibration +
+  11-threshold uncertainty-correction eval per volume.
+- "vs_baseline": ratio vs the REFERENCE implementation (its actual torch
+  U-Net imported read-only from /root/reference) doing the same 21 forwards
+  on this host's CPU (inference only — no eval pass, which is conservative
+  in the baseline's favor). The reference's GPU is not available here; the
+  torch-CPU denominator is measured fresh each run.
+"""
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# Remote (axon) compiles are slow and high-variance (20-300s per program);
+# the persistent compilation cache makes repeat bench runs start in seconds.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+VOL_SLICES, H, W, C = 155, 240, 240, 4
+BATCH = 32
+MC_T = 20
+PAD_SLICES = ((VOL_SLICES + BATCH - 1) // BATCH) * BATCH  # 160
+THRESHOLDS = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
+
+
+def bench_tpu(n_timed_volumes: int = None):
+    if n_timed_volumes is None:
+        # tunnel throughput to the chip varies a lot; keep the default small
+        # so the bench completes even under congestion (override via env)
+        n_timed_volumes = int(os.environ.get("BENCH_VOLUMES", "1"))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rcu_tpu.engine import steps as steps_lib
+    from rcu_tpu.eval import kernels
+    from rcu_tpu.models import get_model, get_optimizer
+    from rcu_tpu.ops.uncertainty import correction_eval
+
+    model = get_model("unet", dict(nb_classes=2, in_channels=4, depth=4,
+                                   start_filters=32, dropout=0.05))
+    # init on the host CPU backend (remote-TPU init compiles are slow and
+    # contribute nothing to the measurement), then ship params over
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda k: model.init({"params": k}, jnp.zeros((1, H, W, C)),
+                                 train=False))(jax.random.PRNGKey(0))
+    tpu = jax.devices()[0]
+    params = jax.device_put(variables["params"], tpu)
+    batch_stats = jax.device_put(variables.get("batch_stats", {}), tpu)
+    predict = steps_lib.make_mc_predict_fn(model, MC_T)
+
+    rng = np.random.RandomState(0)
+    volume = rng.rand(PAD_SLICES, H, W, C).astype(np.float32)
+    target = (rng.rand(VOL_SLICES, H, W) < 0.3).astype(np.uint8)
+    mask = rng.rand(VOL_SLICES, H, W) < 0.8
+    thresholds = jnp.asarray(THRESHOLDS, jnp.float32)
+
+    n_batches = PAD_SLICES // BATCH
+    batches = [jax.device_put(volume[i * BATCH:(i + 1) * BATCH])
+               for i in range(n_batches)]
+    target_d = jax.device_put(target)
+    mask_d = jax.device_put(mask)
+
+    def one_volume(key):
+        fg_parts, ent_parts = [], []
+        for i, images in enumerate(batches):
+            out = predict(params, batch_stats, {"images": images},
+                          jax.random.fold_in(key, i))
+            fg_parts.append(out["probabilities"][..., 1])
+            ent_parts.append(out["entropy"])
+        fg = jnp.concatenate(fg_parts)[:VOL_SLICES]
+        ent = jnp.concatenate(ent_parts)[:VOL_SLICES] / jnp.log(2.0)
+        prediction = fg > 0.5
+        ece_out = kernels.calibration_bins(fg, target_d, prediction, mask_d)
+        corr = correction_eval(prediction, target_d, ent, thresholds)
+        return ece_out["ece"], corr["corrected_dice"]
+
+    # warmup/compile; value fetch is the only reliable sync on the remote
+    # (axon) backend — block_until_ready returns before remote execution ends
+    ece, cd = one_volume(jax.random.PRNGKey(99))
+    float(jnp.sum(cd))
+
+    t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
+    for v in range(n_timed_volumes):
+        ece, cd = one_volume(jax.random.PRNGKey(v))
+        acc = acc + jnp.sum(cd) + ece
+    float(acc)  # forces the whole chain
+    elapsed = time.perf_counter() - t0
+
+    voxels = VOL_SLICES * H * W * n_timed_volumes
+    return voxels / elapsed, float(ece)
+
+
+def bench_reference_cpu(n_slices: int = 2):
+    """The reference's own torch U-Net (imported read-only), 21 forwards per
+    slice on CPU; returns voxels/sec."""
+    sys.path.insert(0, "/root/reference")
+    import torch
+    from common.model.unet import UNet  # reference code, executed in place
+
+    model = UNet(nb_classes=2, in_channels=4, depth=4, start_filters=32,
+                 dropout=0.05)
+    model.eval()
+    # the reference's MC switch: dropout layers to train mode
+    for module in model.modules():
+        if isinstance(module, torch.nn.Dropout2d):
+            module.train()
+
+    x = torch.rand(n_slices, C, H, W)
+    with torch.no_grad():
+        model(x)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(MC_T + 1):
+            model(x)
+        elapsed = time.perf_counter() - t0
+    return n_slices * H * W / elapsed
+
+
+def main():
+    tpu_voxels_per_sec, ece = bench_tpu()
+    try:
+        ref_voxels_per_sec = bench_reference_cpu()
+        ratio = tpu_voxels_per_sec / ref_voxels_per_sec
+    except Exception:
+        ref_voxels_per_sec, ratio = None, None
+    print(json.dumps({
+        "metric": "brats_mc20_infer_plus_calibration_eval_voxels_per_sec_per_chip",
+        "value": round(tpu_voxels_per_sec, 1),
+        "unit": "voxel/s",
+        "vs_baseline": round(ratio, 2) if ratio else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
