@@ -18,11 +18,30 @@ class TrainState(struct.PyTreeNode):
 
 
 def create_train_state(model, optimizer, input_shape, rng=None) -> TrainState:
+    """Initialize on the host CPU backend, then transfer.
+
+    On this image's remote (axon) TPU backend a model-init compile costs
+    60-100s of tunnel time; initializing on CPU and shipping the pytree takes
+    ~1s and is numerically identical.
+    """
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init({"params": rng}, jnp.zeros(input_shape, jnp.float32),
-                           train=False)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    init = lambda: model.init(  # noqa: E731
+        {"params": rng}, jnp.zeros(input_shape, jnp.float32), train=False)
+    if cpu is not None:
+        with jax.default_device(cpu):
+            variables = jax.jit(init)()
+    else:
+        variables = init()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    default = jax.devices()[0]
+    if cpu is not None and default != cpu:
+        params = jax.device_put(params, default)
+        batch_stats = jax.device_put(batch_stats, default)
     opt_state = optimizer.init(params)
     return TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state,
                       epoch=jnp.asarray(0, jnp.int32),

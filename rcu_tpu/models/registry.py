@@ -12,6 +12,11 @@ from rcu_tpu.models.unet import PostNet, UNet
 
 
 def get_model(model_type: str, params: dict):
+    params = dict(params)
+    # 'dtype' may arrive as a string from yaml configs ('bfloat16'/'float32')
+    if isinstance(params.get("dtype"), str):
+        import jax.numpy as jnp
+        params["dtype"] = getattr(jnp, params["dtype"])
     if model_type == "unet":
         return UNet(**params)
     if model_type == "postnet":

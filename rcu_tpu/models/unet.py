@@ -40,24 +40,29 @@ class UNetOutput(typing.NamedTuple):
 
 
 class ConvBnRelu(nn.Module):
-    """conv -> [channel dropout] -> [batch norm] -> [relu] (reference unet.py:8-23)."""
+    """conv -> [channel dropout] -> [batch norm] -> [relu] (reference unet.py:8-23).
+
+    ``dtype`` is the compute dtype (bf16 rides the MXU at full rate); params
+    and BatchNorm statistics stay float32 (flax param_dtype default)."""
     out_ch: int
     dropout: float | None = None
     bn: bool = True
     activation: bool = True
     kernel: int = 3
     padding: int = 1
+    dtype: typing.Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
-                    padding=self.padding, kernel_init=conv_init)(x)
+                    padding=self.padding, kernel_init=conv_init,
+                    dtype=self.dtype)(x)
         if self.dropout is not None:
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                            deterministic=not (train or mc_dropout))(x)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train,
-                             momentum=0.9, epsilon=1e-5)(x)
+                             momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         if self.activation:
             x = nn.relu(x)
         return x
@@ -92,12 +97,14 @@ class ConvBlock(nn.Module):
     dropout_mode: str = "all"
     bn: bool = True
     repetitions: int = 2
+    dtype: typing.Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
         for i in range(self.repetitions):
             do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
-            x = ConvBnRelu(self.out_ch, do, self.bn)(x, train=train, mc_dropout=mc_dropout)
+            x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype)(
+                x, train=train, mc_dropout=mc_dropout)
         return x
 
 
@@ -108,17 +115,20 @@ class ConvResidualBlock(nn.Module):
     dropout_mode: str = "all"
     bn: bool = True
     repetitions: int = 2
+    dtype: typing.Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
-        residual = nn.Conv(self.out_ch, (1, 1), kernel_init=conv_init)(x)
+        residual = nn.Conv(self.out_ch, (1, 1), kernel_init=conv_init,
+                           dtype=self.dtype)(x)
         for i in range(self.repetitions - 1):
             do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
-            x = ConvBnRelu(self.out_ch, do, self.bn)(x, train=train, mc_dropout=mc_dropout)
+            x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype)(
+                x, train=train, mc_dropout=mc_dropout)
         do = _conv_dropout(self.dropout, self.dropout_mode, self.repetitions - 1,
                            self.repetitions)
-        x = ConvBnRelu(self.out_ch, do, self.bn, activation=False)(
-            x, train=train, mc_dropout=mc_dropout)
+        x = ConvBnRelu(self.out_ch, do, self.bn, activation=False,
+                       dtype=self.dtype)(x, train=train, mc_dropout=mc_dropout)
         return x + residual
 
 
@@ -157,43 +167,53 @@ class UNet(nn.Module):
     sigma_out: bool = False
     provide_features: bool = False
     bn: bool = True
+    dtype: typing.Any = None  # compute dtype, e.g. jnp.bfloat16 (params stay f32)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
         block_cls = ConvResidualBlock if self.residual else ConvBlock
         kw = dict(train=train, mc_dropout=mc_dropout)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
         skips = []
         out_ch = self.start_filters
         for i in range(self.depth):
             mode = _block_dropout_mode(self.dropout_center, i, self.depth, True)
-            skip = block_cls(out_ch, self.dropout, mode, self.bn)(x, **kw)
+            skip = block_cls(out_ch, self.dropout, mode, self.bn,
+                             dtype=self.dtype)(x, **kw)
             skips.append(skip)
             x = nn.max_pool(skip, (2, 2), strides=(2, 2))
             out_ch *= 2
 
         mode = _block_dropout_mode(self.dropout_center, self.depth, self.depth, True)
-        x = block_cls(out_ch, self.dropout, mode, self.bn)(x, **kw)
+        x = block_cls(out_ch, self.dropout, mode, self.bn, dtype=self.dtype)(x, **kw)
 
         for i in range(self.depth - 1, -1, -1):
             out_ch //= 2
             skip = skips[i]
             up = _upsample_nearest_2x(x)
-            up = nn.Conv(out_ch, (3, 3), padding=1, kernel_init=conv_init)(up)
+            up = nn.Conv(out_ch, (3, 3), padding=1, kernel_init=conv_init,
+                         dtype=self.dtype)(up)
             up = _pad_to(up, (skip.shape[1], skip.shape[2]))
             x = jnp.concatenate([up, skip], axis=-1)
             mode = _block_dropout_mode(self.dropout_center, i, self.depth, False)
-            x = block_cls(out_ch, self.dropout, mode, self.bn)(x, **kw)
+            x = block_cls(out_ch, self.dropout, mode, self.bn,
+                          dtype=self.dtype)(x, **kw)
 
         features = x if self.provide_features else None
 
-        head = ConvBnRelu(out_ch, self.dropout, self.bn)(x, **kw)
-        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(head)
+        head = ConvBnRelu(out_ch, self.dropout, self.bn, dtype=self.dtype)(x, **kw)
+        # heads emit float32 logits regardless of compute dtype
+        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
+            head.astype(jnp.float32))
 
         sigma = None
         if self.sigma_out:
-            sig_head = ConvBnRelu(out_ch, self.dropout, self.bn)(x, **kw)
-            sigma = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(sig_head)
+            sig_head = ConvBnRelu(out_ch, self.dropout, self.bn,
+                                  dtype=self.dtype)(x, **kw)
+            sigma = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
+                sig_head.astype(jnp.float32))
 
         return UNetOutput(logits=logits, sigma=sigma, features=features)
 
