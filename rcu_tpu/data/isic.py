@@ -42,10 +42,13 @@ class IsicFolderDataset:
         self.subjects = subjects
         self.subject_subset = list(subjects)
         self.prediction_dir = prediction_dir
-        self._cache_shape = None
+        self.with_superpixels = with_superpixels
 
     def categories(self, subject: str = None):
-        return ["images", "labels"]
+        cats = ["images", "labels"]
+        if self.with_superpixels:
+            cats.append("superpixels")
+        return cats
 
     def _image_path(self, subject):
         return self._subject_files[subject].categories["images"].entries["image"]
@@ -64,6 +67,10 @@ class IsicFolderDataset:
     def read_volume(self, subject: str, category: str):
         if category == "images":
             return np.asarray(Image.open(self._image_path(subject)).convert("RGB"))
+        if category == "superpixels":
+            path = self._subject_files[subject].categories["images"] \
+                .entries["superpixels"]
+            return np.asarray(Image.open(path))
         gt = np.asarray(Image.open(self._label_path(subject)).convert("L"))
         if not self.prediction_dir:
             return gt

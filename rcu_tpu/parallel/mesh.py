@@ -24,6 +24,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def initialize_distributed(coordinator_address: str = None, num_processes: int = None,
+                           process_id: int = None):
+    """Multi-host bring-up (jax.distributed). Single-host/single-process setups
+    (this image) skip it; on a multi-host pod slice call this once per process
+    before building the mesh — jax.devices() then spans all hosts and the same
+    NamedSharding code paths ride ICI across them."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
 def make_mesh(devices=None, n_devices: int = None) -> Mesh:
     if devices is None:
         devices = jax.devices()
