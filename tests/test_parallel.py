@@ -71,6 +71,23 @@ class TestMeshEquivalence:
         assert mesh_lib.pad_batch_size_to_mesh(16, mesh) == 16
 
 
+class TestMeshInference:
+    def test_test_loop_with_mesh(self, tmp_path):
+        """TestLoop with a mesh: batches land pre-sharded; outputs assemble."""
+        store = make_store(str(tmp_path / "ds.h5"))
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        baseline = strategies.train_default(
+            base_train_cfg(tmp_path, store, split_file, name="mesh_base"))
+        mesh = mesh_lib.make_mesh()
+        tcfg = base_test_cfg(tmp_path, store, split_file,
+                             baseline.model_files.model_dir,
+                             others={"mc": 3}, name="mesh_test")
+        loop = strategies.test_default(tcfg, mesh=mesh)
+        probs = glob.glob(os.path.join(loop.run_dir, "*_probabilities.nii.gz"))
+        assert len(probs) == 1
+
+
 class TestFusedEnsemble:
     def test_fused_matches_sequential_member(self):
         """Member 0 of a vmapped 2-member step == training it alone."""
