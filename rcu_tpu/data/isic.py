@@ -57,6 +57,8 @@ class IsicFolderDataset:
         return self._subject_files[subject].categories["labels"].entries["gt"]
 
     def shape(self, subject: str, category: str = "images"):
+        if category == "superpixels":
+            return self.read_volume(subject, "superpixels").shape
         img = Image.open(self._image_path(subject))
         w, h = img.size
         if category == "images":

@@ -81,8 +81,12 @@ def build_dataset(data_config: DataConfiguration, subjects=None,
     path = data_config.dataset
     if str(path).endswith(".h5"):
         return SubjectDataset(path, subject_subset=subjects)
+    # opt-in: superpixels cost host IO + transfer on every batch, so they are
+    # only loaded when the data config asks for them
+    with_superpixels = bool(data_config.others.get("with_superpixels", False))
     return IsicFolderDataset(path, subject_subset=subjects,
-                             prediction_dir=prediction_dir)
+                             prediction_dir=prediction_dir,
+                             with_superpixels=with_superpixels)
 
 
 @dataclasses.dataclass

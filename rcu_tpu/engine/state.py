@@ -38,7 +38,7 @@ def create_train_state(model, optimizer, input_shape, rng=None) -> TrainState:
         variables = init()
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    default = jax.devices()[0]
+    default = jax.local_devices()[0]  # local: multi-host safe
     if cpu is not None and default != cpu:
         params = jax.device_put(params, default)
         batch_stats = jax.device_put(batch_stats, default)

@@ -11,12 +11,19 @@ import optax
 from rcu_tpu.models.unet import PostNet, UNet
 
 
+_DTYPES = {"float32": None, "bfloat16": "bfloat16", "float16": "float16"}
+
+
 def get_model(model_type: str, params: dict):
     params = dict(params)
     # 'dtype' may arrive as a string from yaml configs ('bfloat16'/'float32')
     if isinstance(params.get("dtype"), str):
+        name = params["dtype"]
+        if name not in _DTYPES:
+            raise ValueError(f'unknown model dtype "{name}" '
+                             f"(expected one of {sorted(_DTYPES)})")
         import jax.numpy as jnp
-        params["dtype"] = getattr(jnp, params["dtype"])
+        params["dtype"] = getattr(jnp, name) if _DTYPES[name] else None
     if model_type == "unet":
         return UNet(**params)
     if model_type == "postnet":

@@ -224,12 +224,16 @@ class PostNet(nn.Module):
     in_channels: int = 0  # config parity; flax infers
     nb_convs: int = 3
     dropout: float | None = None
+    dtype: typing.Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
         ch = x.shape[-1]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         for _ in range(self.nb_convs):
-            x = ConvBnRelu(ch, self.dropout, kernel=1, padding=0)(
-                x, train=train, mc_dropout=mc_dropout)
-        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(x)
+            x = ConvBnRelu(ch, self.dropout, kernel=1, padding=0,
+                           dtype=self.dtype)(x, train=train, mc_dropout=mc_dropout)
+        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
+            x.astype(jnp.float32))
         return UNetOutput(logits=logits)

@@ -43,28 +43,18 @@ N_BINS = 10
 LANES = 128
 BLOCK_ROWS = 256  # 256x128 = 32k voxels per grid step
 
-# packed output layout (one 128-lane row per grid step)
-_OFF_BIN_COUNT = 0                      # [0, 10)
-_OFF_BIN_CONF = N_BINS                  # [10, 20)
-_OFF_BIN_TRUE = 2 * N_BINS              # [20, 30)
-_OFF_CONFUSION = 3 * N_BINS             # [30, 34): tp, tn, fp, fn
-_OFF_THRESH = 3 * N_BINS + 4            # [34, 34 + 4*T)
-
-
-def _edge_comparisons(fg):
-    """Bit-exact f64-digitize bin ids in f32 (see ops/calibration.bin_ids)."""
-    edges = np.linspace(0.0, 1.0 + 1e-8, N_BINS + 1)[1:]
-    ids = jnp.zeros(fg.shape, jnp.int32)
-    for edge in edges:
-        hi = np.float32(edge)
-        lo = edge - float(hi)
-        ge = (fg >= hi) if lo <= 0 else (fg > hi)
-        ids = ids + ge.astype(jnp.int32)
-    return jnp.minimum(ids, N_BINS - 1)
+# packed output layout (one 128-lane row per grid step):
+#   [0, 30):  interleaved (count, conf_sum, true_sum) triplets per bin
+#   [30, 34): tp, tn, fp, fn
+#   [34, 34 + 4*T): (tpu, tnu, fpu, fnu) per threshold
+_OFF_CONFUSION = 3 * N_BINS
+_OFF_THRESH = 3 * N_BINS + 4
+MAX_THRESHOLDS = (LANES - _OFF_THRESH) // 4  # 23 with 128 lanes
 
 
 def _make_kernel(thresholds: tuple):
-    n_th = len(thresholds)
+    from rcu_tpu.ops.calibration import bin_ids  # plain elementwise jnp —
+    # the single source of the bit-exact digitize semantics (CLAUDE.md invariant)
 
     def kernel(fg_ref, tgt_ref, pred_ref, unc_ref, w_ref, out_ref):
         fg = fg_ref[...]
@@ -74,7 +64,7 @@ def _make_kernel(thresholds: tuple):
         w = w_ref[...]
 
         sums = []
-        ids = _edge_comparisons(fg)
+        ids = bin_ids(fg, N_BINS)
         for k in range(N_BINS):
             sel = jnp.where(ids == k, w, 0.0)
             sums.append(jnp.sum(sel))
@@ -100,8 +90,7 @@ def _make_kernel(thresholds: tuple):
         out_ref[0, :, :] = jnp.zeros((8, LANES), jnp.float32)
         out_ref[0, 0, :] = vec
 
-    # bins are ordered (count, conf, true) interleaved; reorder on unpack
-    return kernel, 3 * N_BINS + 4 + 4 * n_th
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("thresholds", "interpret"))
@@ -119,6 +108,9 @@ def fused_eval_stats(fg, target, prediction, uncertainty, weight,
       tp/tn/fp/fn: scalars
       thresh_counts: (T, 4) — tpu/tnu/fpu/fnu per threshold
     """
+    if len(thresholds) > MAX_THRESHOLDS:
+        raise ValueError(f"at most {MAX_THRESHOLDS} thresholds fit the packed "
+                         f"128-lane output row; got {len(thresholds)}")
     n = int(np.prod(fg.shape))
     rows = -(-n // LANES)
     rows = -(-rows // BLOCK_ROWS) * BLOCK_ROWS
@@ -137,7 +129,7 @@ def fused_eval_stats(fg, target, prediction, uncertainty, weight,
     unc_p = prep(uncertainty)
     w_p = prep(weight)
 
-    kernel, n_out = _make_kernel(tuple(thresholds))
+    kernel = _make_kernel(tuple(thresholds))
     grid = rows // BLOCK_ROWS
     partials = pl.pallas_call(
         kernel,

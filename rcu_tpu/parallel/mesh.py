@@ -26,15 +26,16 @@ DATA_AXIS = "data"
 
 def initialize_distributed(coordinator_address: str = None, num_processes: int = None,
                            process_id: int = None):
-    """Multi-host bring-up (jax.distributed). Single-host/single-process setups
-    (this image) skip it; on a multi-host pod slice call this once per process
-    before building the mesh — jax.devices() then spans all hosts and the same
-    NamedSharding code paths ride ICI across them."""
-    if num_processes is None or num_processes <= 1:
-        return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id)
+    """Multi-host bring-up (jax.distributed). On a multi-host pod slice call
+    this once per process before building the mesh — with no args the TPU
+    coordinator/num_processes auto-detection applies; jax.devices() then spans
+    all hosts and the same NamedSharding code paths ride ICI across them.
+    Single-host setups (this image) simply do not call it."""
+    kwargs = {k: v for k, v in dict(coordinator_address=coordinator_address,
+                                    num_processes=num_processes,
+                                    process_id=process_id).items()
+              if v is not None}
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(devices=None, n_devices: int = None) -> Mesh:
