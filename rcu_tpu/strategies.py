@@ -140,14 +140,18 @@ def test_ensemble(config: cfg_lib.TestConfiguration, mesh=None,
                          'configuration (others)')
     if isinstance(model_dirs, str):
         model_dirs = [model_dirs]
-    all_dirs = ([config.model_dir] if config.model_dir else []) + list(model_dirs)
-    test_at = config.others["test_at"]
+    # the primary model loads at config.test_at; additional members at
+    # others.test_at (reference loops.py:188 vs brats_test_ensemble.py:44-50)
+    primary_at = config.test_at or "best"
+    member_at = config.others["test_at"]
+    all_dirs = ([(config.model_dir, primary_at)] if config.model_dir else []) \
+        + [(d, member_at) for d in model_dirs]
 
     members, model = [], None
-    for i, model_dir in enumerate(all_dirs):
+    for i, (model_dir, at) in enumerate(all_dirs):
         logging.info("load ensemble model [%d/%d] %s", i + 1, len(all_dirs),
                      os.path.basename(model_dir))
-        model, params, batch_stats = _load_frozen_model(model_dir, test_at)
+        model, params, batch_stats = _load_frozen_model(model_dir, at)
         members.append((params, batch_stats))
     stack = lambda *xs: np.stack([np.asarray(x) for x in xs])  # noqa: E731
     stacked_params = jax.tree_util.tree_map(stack, *[m[0] for m in members])
@@ -161,7 +165,7 @@ def test_ensemble(config: cfg_lib.TestConfiguration, mesh=None,
     dummy_state = TrainState(params={}, batch_stats={}, opt_state=None,
                              epoch=np.int32(0), best_score=np.float32(0))
     if not config.model_dir:
-        config.model_dir = all_dirs[0]
+        config.model_dir = all_dirs[0][0]
     return TestLoop(config, predict_fn=predict, model=model,
                     entries=("probabilities", "entropy"),
                     state_override=dummy_state, mesh=mesh,
