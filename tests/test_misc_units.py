@@ -1,0 +1,95 @@
+"""Unit tests for smaller subsystems: profiling, eval CSV bins expansion,
+checkpoint postfix addressing, writer pool error propagation."""
+import csv
+import os
+import time
+
+import numpy as np
+import pytest
+
+from rcu_tpu.engine import checkpoint as ckpt_lib
+from rcu_tpu.eval import hooks as ev_hooks
+from rcu_tpu.utils.profiling import Timer
+from rcu_tpu.utils.writerpool import WriterPool
+
+
+class TestTimer:
+    def test_sections_accumulate(self):
+        t = Timer()
+        with t.section("a"):
+            time.sleep(0.01)
+        with t.section("a"):
+            time.sleep(0.01)
+        with t.section("b"):
+            pass
+        assert t.sections["a"] >= 0.02
+        assert "a=" in t.report() and "b=" in t.report()
+
+
+class TestWriterPool:
+    def test_flush_propagates_errors(self):
+        pool = WriterPool()
+
+        def boom():
+            raise RuntimeError("disk full")
+
+        pool.submit(boom)
+        with pytest.raises(RuntimeError, match="disk full"):
+            pool.flush()
+
+    def test_flush_waits_for_writes(self, tmp_path):
+        pool = WriterPool()
+        path = tmp_path / "x.txt"
+
+        def slow_write():
+            time.sleep(0.05)
+            path.write_text("done")
+
+        pool.submit(slow_write)
+        pool.flush()
+        assert path.read_text() == "done"
+
+
+class TestBinsCsvExpansion:
+    def test_compressed_bins_expand_to_fixed_columns(self, tmp_path):
+        """Reference hook.py:75-93: masked/compressed bins arrays re-expand to
+        the fixed 10 columns with zeros."""
+        out = str(tmp_path / "bins.csv")
+        hook = ev_hooks.WriteBinsCsvHook(out)
+        nonzero = np.array([True, False, True] + [False] * 7)
+        results = {
+            "bins_count": np.array([5, 7]),              # compressed (2 bins)
+            "bins_avg_confidence": np.array([0.1, 0.25]),
+            "bins_positive_fraction": np.array([0.2, 0.3]),
+            "bins_non_zero": nonzero,
+            "ece": 0.05, "dice": 0.9,
+        }
+        hook.on_subject(results, "subj", "run1")
+        hook.on_run_end({}, "run1")
+        with open(out) as f:
+            rows = list(csv.reader(f))
+        header, row = rows[0], rows[1]
+        assert header.count("bins_count_00") == 1 and "bins_count_09" in header
+        count_cols = [row[header.index(f"bins_count_{i:02d}")] for i in range(10)]
+        assert [int(c) for c in count_cols] == [5, 0, 7, 0, 0, 0, 0, 0, 0, 0]
+        conf2 = row[header.index("bins_avg_confidence_02")]
+        assert float(conf2) == 0.25
+
+
+class TestCheckpointPostfix:
+    def test_postfix_addressing(self, tmp_path):
+        mf = ckpt_lib.ModelFiles(str(tmp_path / "model_x"))
+        state = {"params": {"w": np.ones(3)}}
+        ckpt_lib.save_checkpoint(mf, state, 1, postfix="aux")
+        ckpt_lib.save_checkpoint(mf, state, 3, postfix="aux")
+        ckpt_lib.save_checkpoint(mf, state, 2, best=True, postfix="aux")
+        ckpt_lib.save_checkpoint(mf, state, 7)  # un-postfixed must not mix
+        assert ckpt_lib.find_last_checkpoint_epoch(mf, postfix="aux") == 3
+        assert ckpt_lib.find_best_checkpoint_epoch(mf, postfix="aux") == 2
+        assert ckpt_lib.find_last_checkpoint_epoch(mf) == 7
+        path = ckpt_lib.find_checkpoint_file(mf, "best", postfix="aux")
+        assert path.endswith("checkpoint-aux_ep002-best.ckpt")
+        restored = ckpt_lib.load_checkpoint(path)
+        np.testing.assert_array_equal(restored["params"]["w"], np.ones(3))
+        ckpt_lib.delete_checkpoint(mf, 1, postfix="aux")
+        assert ckpt_lib.find_checkpoint_file(mf, 1, postfix="aux") is None
