@@ -79,6 +79,10 @@ def _affine_ras_to_props(affine, size3, ndim):
 
 def _open(path: str, mode: str):
     if str(path).endswith(".gz"):
+        if "w" in mode:
+            # level 1: ~5x faster than the default 9 on float volumes for a
+            # few % size — artifact writing is on the test-loop critical path
+            return gzip.open(path, mode, compresslevel=1)
         return gzip.open(path, mode)
     return open(path, mode)
 
