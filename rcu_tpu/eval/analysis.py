@@ -19,6 +19,18 @@ from rcu_tpu.ops import prepare as prep_ops
 from rcu_tpu.utils import labels as label_lib
 
 
+def read_image(path: str):
+    """Format-dispatching read: NIfTI for volumes, PIL for 2D png/jpg (the
+    reference's sitk.ReadImage handles both; ISIC ground truth is PNG)."""
+    lower = str(path).lower()
+    if lower.endswith((".png", ".jpg", ".jpeg", ".bmp")):
+        from PIL import Image
+        arr = np.asarray(Image.open(path))
+        from rcu_tpu.data.nifti import ImageProperties
+        return arr, ImageProperties(size=(arr.shape[1], arr.shape[0]))
+    return nifti.read(path)
+
+
 def read_min_max(min_max_file: str):
     import csv
     with open(min_max_file, "r") as f:
@@ -89,35 +101,35 @@ class Loader:
     def _get_misc(self, sf, entry):
         def load():
             path = sf.categories["misc"].entries[entry]
-            return nifti.read(path)
+            return read_image(path)
         arr_props = self._cached(f"misc:{entry}", load)
         return arr_props[0].copy(), arr_props[1]
 
     def _get_target(self, sf):
         def load():
             path = sf.categories["labels"].entries["gt"]
-            arr, _ = nifti.read(path)
+            arr, _ = read_image(path)
             arr = arr.astype(np.uint8)
-            arr[arr > 0] = 1  # labels 0..4 -> binary (reference analysis.py:89)
+            arr[arr > 0] = 1  # labels 0..4 / {0,255} -> binary (analysis.py:89)
             return arr
         return self._cached("target", load)
 
     def _get_prediction(self, sf):
         def load():
             path = sf.categories["labels"].entries["prediction"]
-            arr, _ = nifti.read(path)
+            arr, _ = read_image(path)
             return arr.astype(np.uint8)
         return self._cached("prediction", load)
 
     def _get_image(self, sf, entry):
         def load():
-            arr, _ = nifti.read(sf.categories["images"].entries[entry])
+            arr, _ = read_image(sf.categories["images"].entries[entry])
             return arr
         return self._cached(f"image:{entry}", load)
 
     def _get_t2_mask(self, sf):
         def load():
-            arr, _ = nifti.read(sf.categories["images"].entries["t2"])
+            arr, _ = read_image(sf.categories["images"].entries["t2"])
             return arr > 0
         return self._cached("t2mask", load)
 
