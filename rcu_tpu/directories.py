@@ -1,45 +1,40 @@
-"""Project path/constant registry (reference rechun/directories.py:7-71).
+"""Project path/constant registry.
 
-User-set prediction run dirs stay empty ('todo' slots in the reference) and
-are filled per deployment; derived dirs and the eval CSV filename contracts
-are fixed — the analysis layer depends on these exact names.
+Public names form the compatibility surface the eval/analysis layers key on
+(CSV filename contracts, per-strategy prediction-dir slots). Deployment-
+specific locations are configured by editing the ``_RUNS`` slots below or by
+assigning the module attributes before use (tests do the latter).
 """
 import os
 
 PROJECT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-####################################
-# dirs and paths required to be set #
-####################################
-BRATS_ORIG_DATA_DIR = ""  # e.g. '<some_path>/Brats18/Training'
-ISIC_ORIG_DATA_DIR = ""   # e.g. '<some_path>/isic2017-melanoma'
 
-ISIC_BASELINE_PREDICT = ""
-ISIC_BASELINE_MC_PREDICT = ""
-ISIC_CENTER_PREDICT = ""
-ISIC_CENTER_MC_PREDICT = ""
-ISIC_ENSEMBLE_PREDICT = ""
-ISIC_AUX_FEAT_PREDICT = ""
-ISIC_AUX_SEGM_PREDICT = ""
-ISIC_ALEATORIC_PREDICT = ""
+def _p(*parts):
+    return os.path.join(PROJECT_DIR, *parts)
 
-BRATS_BASELINE_PREDICT = ""
-BRATS_BASELINE_MC_PREDICT = ""
-BRATS_CENTER_PREDICT = ""
-BRATS_CENTER_MC_PREDICT = ""
-BRATS_ENSEMBLE_PREDICT = ""
-BRATS_AUX_FEAT_PREDICT = ""
-BRATS_AUX_SEGM_PREDICT = ""
-BRATS_ALEATORIC_PREDICT = ""
-# directory containing all cross-validated predictions of the training set
-BRATS_CV_PREDICT = ""
 
-##################################################################
-# Important directories. Should not but might require adaptation #
-##################################################################
-CONFIG_DIR = os.path.join(PROJECT_DIR, "config")
-SPLITS_DIR = os.path.join(CONFIG_DIR, "splits")
-DATASET_DIR = os.path.join(PROJECT_DIR, "in", "datasets")
+# -- deployment slots: filled per environment ------------------------------
+# raw dataset downloads
+BRATS_ORIG_DATA_DIR = ""   # e.g. <path>/Brats18/Training
+ISIC_ORIG_DATA_DIR = ""    # e.g. <path>/isic2017-melanoma
+
+# per-strategy prediction run dirs (basename of the test run dir under the
+# dataset's prediction dir), one slot per strategy id
+_RUNS = {
+    "BRATS": dict(BASELINE="", BASELINE_MC="", CENTER="", CENTER_MC="",
+                  ENSEMBLE="", AUX_FEAT="", AUX_SEGM="", ALEATORIC="", CV=""),
+    "ISIC": dict(BASELINE="", BASELINE_MC="", CENTER="", CENTER_MC="",
+                 ENSEMBLE="", AUX_FEAT="", AUX_SEGM="", ALEATORIC=""),
+}
+for _ds, _slots in _RUNS.items():
+    for _key, _value in _slots.items():
+        globals()[f"{_ds}_{_key}_PREDICT"] = _value
+
+# -- derived locations ------------------------------------------------------
+CONFIG_DIR = _p("config")
+SPLITS_DIR = _p("config", "splits")
+DATASET_DIR = _p("in", "datasets")
 
 ISIC_PREPROCESSED_DIR = os.path.join(DATASET_DIR, "isic_small")
 ISIC_PREPROCESSED_TRAIN_DATA_DIR = os.path.join(ISIC_PREPROCESSED_DIR,
@@ -51,21 +46,19 @@ ISIC_ORIG_TRAIN_DATA_DIR = os.path.join(ISIC_ORIG_DATA_DIR, "ISIC-2017_Training"
 ISIC_ORIG_VALID_DATA_DIR = os.path.join(ISIC_ORIG_DATA_DIR, "ISIC-2017_Validation")
 ISIC_ORIG_TEST_DATA_DIR = os.path.join(ISIC_ORIG_DATA_DIR, "ISIC-2017_Test_v2")
 
-PREDICT_DIR = os.path.join(PROJECT_DIR, "out", "predictions")
+PREDICT_DIR = _p("out", "predictions")
 ISIC_PREDICT_DIR = os.path.join(PREDICT_DIR, "isic")
 BRATS_PREDICT_DIR = os.path.join(PREDICT_DIR, "brats")
 
-EVAL_DIR = os.path.join(PROJECT_DIR, "out", "eval")
+EVAL_DIR = _p("out", "eval")
 ISIC_EVAL_DIR = os.path.join(EVAL_DIR, "isic")
 BRATS_EVAL_DIR = os.path.join(EVAL_DIR, "brats")
 
-PLOT_DIR = os.path.join(PROJECT_DIR, "out", "plots")
+PLOT_DIR = _p("out", "plots")
 ISIC_PLOT_DIR = os.path.join(PLOT_DIR, "isic")
 BRATS_PLOT_DIR = os.path.join(PLOT_DIR, "brats")
 
-####################################################################
-# Definitions used in evaluation & analysis. No modification needed #
-####################################################################
+# -- evaluation/analysis contracts (never change: analysis keys on these) ----
 ECE_FOREGROUND_NAME = "ece_foreground"
 ECE_NAME = "ece"
 CALIB_NAME = "calibration"
