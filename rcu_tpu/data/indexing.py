@@ -31,6 +31,9 @@ class SliceIndexing:
         nb_slices = dataset.shape(subject)[0]
         return [(subject_idx, z) for z in range(nb_slices)]
 
+    def extract(self, dataset, subject: str, index: int, category: str):
+        return dataset.read_slice(subject, index, category)
+
     def __repr__(self):
         return "SliceIndexing()"
 
@@ -41,28 +44,45 @@ class EmptyIndexing:
     def indices_for(self, dataset: SubjectDataset, subject_idx: int):
         return [(subject_idx, -1)]
 
+    def extract(self, dataset, subject: str, index: int, category: str):
+        return dataset.read_volume(subject, category)
+
     def __repr__(self):
         return "EmptyIndexing()"
 
 
 class PatchWiseIndexing:
-    """One index per (subject, slice, patch) over a 2D patch grid."""
+    """One index per (subject, slice, grid-patch) over a 2D patch grid.
+
+    The flat per-subject index encodes (z, gy, gx) row-major over the grid;
+    :meth:`extract` decodes it and crops (padding edge cells to the full
+    patch shape so batches stay static)."""
 
     def __init__(self, patch_shape):
         self.patch_shape = tuple(patch_shape)
 
+    def _grid(self, dataset, subject):
+        z, y, x = dataset.shape(subject)[:3]
+        py, px = self.patch_shape
+        return z, -(-y // py), -(-x // px)
+
     def indices_for(self, dataset: SubjectDataset, subject_idx: int):
         subject = dataset.subjects[subject_idx]
-        shape = dataset.shape(subject)
-        z, y, x = shape[0], shape[1], shape[2]
+        z, gy, gx = self._grid(dataset, subject)
+        return [(subject_idx, i) for i in range(z * gy * gx)]
+
+    def extract(self, dataset, subject: str, index: int, category: str):
+        _, grid_y, grid_x = self._grid(dataset, subject)
         py, px = self.patch_shape
-        out = []
-        grid_y, grid_x = -(-y // py), -(-x // px)
-        for zi in range(z):
-            for gy in range(grid_y):
-                for gx in range(grid_x):
-                    out.append((subject_idx, zi * grid_y * grid_x + gy * grid_x + gx))
-        return out
+        zi, rest = divmod(index, grid_y * grid_x)
+        gy, gx = divmod(rest, grid_x)
+        plane = dataset.read_slice(subject, zi, category)
+        patch = plane[gy * py:(gy + 1) * py, gx * px:(gx + 1) * px]
+        if patch.shape[0] != py or patch.shape[1] != px:
+            pad = [(0, py - patch.shape[0]), (0, px - patch.shape[1])]
+            pad += [(0, 0)] * (patch.ndim - 2)
+            patch = np.pad(patch, pad)
+        return patch
 
     def __repr__(self):
         return f"PatchWiseIndexing(patch_shape={self.patch_shape})"
@@ -116,17 +136,23 @@ def all_indices(dataset: SubjectDataset, indexing) -> list:
 
 def select_indices(dataset: SubjectDataset, indexing, selection,
                    categories=("images",)) -> list:
-    """Filter slice indices by a selection strategy (host-side, one pass)."""
+    """Filter indices by a selection strategy (host-side, one pass).
+
+    Slice indexing takes the fast path (one volume read per subject); other
+    strategies go through their own ``extract``."""
     out = []
+    fast_slices = isinstance(indexing, SliceIndexing)
     for si, subject in enumerate(dataset.subjects):
-        vols = {c: dataset.read_volume(subject, c) for c in categories}
-        for _, z in indexing.indices_for(dataset, si):
-            if z < 0:
-                arrays = vols
+        vols = {c: dataset.read_volume(subject, c) for c in categories} \
+            if fast_slices else None
+        for _, code in indexing.indices_for(dataset, si):
+            if fast_slices:
+                arrays = {c: v[code] for c, v in vols.items()}
             else:
-                arrays = {c: v[z] for c, v in vols.items()}
+                arrays = {c: indexing.extract(dataset, subject, code, c)
+                          for c in categories}
             if selection.keep(arrays):
-                out.append((si, z))
+                out.append((si, code))
     return out
 
 

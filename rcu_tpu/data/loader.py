@@ -32,8 +32,9 @@ class SliceBatchLoader:
     def __init__(self, dataset: SubjectDataset, indices: list, batch_size: int,
                  categories=("images", "labels"), shuffle: bool = False,
                  seed: int = 0, drop_remainder: bool = False,
-                 transform=None):
+                 transform=None, indexing=None):
         self.dataset = dataset
+        self.indexing = indexing  # owns index->array extraction when given
         self.indices = list(indices)
         self.batch_size = batch_size
         self.categories = tuple(categories)
@@ -57,7 +58,10 @@ class SliceBatchLoader:
         subject = self.dataset.subjects[subject_idx]
         out = {}
         for c in self.categories:
-            if slice_idx < 0:
+            if self.indexing is not None:
+                out[c] = self.indexing.extract(self.dataset, subject,
+                                               slice_idx, c)
+            elif slice_idx < 0:
                 out[c] = self.dataset.read_volume(subject, c)
             else:
                 out[c] = self.dataset.read_slice(subject, slice_idx, c)

@@ -115,7 +115,8 @@ def build_data(data_config: DataConfiguration, subjects=None, seed: int = 0,
         dataset, indices,
         batch_size=batch_size or data_config.batch_size,
         categories=tuple(dataset.categories()),
-        shuffle=data_config.shuffle, seed=seed, transform=transform)
+        shuffle=data_config.shuffle, seed=seed, transform=transform,
+        indexing=indexing)
     return Data(dataset=dataset, loader=loader, nb_batches=len(loader))
 
 

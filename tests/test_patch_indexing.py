@@ -1,0 +1,60 @@
+"""Patch-wise indexing: grid extraction, edge padding, loader integration."""
+import numpy as np
+
+from rcu_tpu.data import h5, indexing, loader
+from rcu_tpu.data.nifti import ImageProperties
+
+
+def make_store(path):
+    rng = np.random.RandomState(2)
+    with h5.DatasetWriter(path) as w:
+        images = np.arange(2 * 10 * 13 * 1, dtype=np.float32).reshape(2, 10, 13, 1)
+        labels = (rng.rand(2, 10, 13) > 0.5).astype(np.uint8)
+        w.add_subject("s0", {"images": images, "labels": labels},
+                      props=ImageProperties(size=(13, 10, 2)))
+    return path
+
+
+class TestPatchIndexing:
+    def test_grid_enumeration(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8))
+        items = idx.indices_for(ds, 0)
+        # 10/4 -> 3 rows, 13/8 -> 2 cols, 2 slices
+        assert len(items) == 2 * 3 * 2
+
+    def test_extract_decodes_and_pads(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8))
+        vol = ds.read_volume("s0", "images")
+        # index 0: z=0, gy=0, gx=0 -> top-left 4x8
+        p0 = idx.extract(ds, "s0", 0, "images")
+        np.testing.assert_array_equal(p0, vol[0, 0:4, 0:8])
+        # index 1: z=0, gy=0, gx=1 -> right edge, 13-8=5 cols + 3 pad
+        p1 = idx.extract(ds, "s0", 1, "images")
+        assert p1.shape == (4, 8, 1)
+        np.testing.assert_array_equal(p1[:, :5], vol[0, 0:4, 8:13])
+        np.testing.assert_array_equal(p1[:, 5:], 0)
+        # last index: z=1, gy=2 (rows 8:10 + 2 pad), gx=1
+        plast = idx.extract(ds, "s0", 11, "images")
+        assert plast.shape == (4, 8, 1)
+        np.testing.assert_array_equal(plast[:2, :5], vol[1, 8:10, 8:13])
+
+    def test_loader_produces_static_patch_batches(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8))
+        items = indexing.all_indices(ds, idx)
+        ld = loader.SliceBatchLoader(ds, items, batch_size=5, indexing=idx)
+        batches = list(ld)
+        for b in batches:
+            assert b["images"].shape == (5, 4, 8, 1)
+            assert b["labels"].shape == (5, 4, 8)
+
+    def test_selection_with_patch_indexing(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8))
+        sel = indexing.NoneBlackSelection()
+        kept = indexing.select_indices(ds, idx, sel)
+        # images are an arange: only the very first patch contains the 0 voxel,
+        # and even it has nonzero entries -> everything kept
+        assert len(kept) == 12
