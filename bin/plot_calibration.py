@@ -28,6 +28,10 @@ def load_calibration_df(task: str):
         data = resdata.IsicResultData()
         ids_names = collections.OrderedDict(resdata.isic_selection_id_name_dict)
     files, file_ids, _, _ = data.get_files(list(ids_names), [dirs.CALIB_NAME])
+    if not files:
+        raise SystemExit(
+            f"no calibration CSVs found for {task} — run bin/eval_uncertainty.py "
+            "with the 'calib' action first")
     df = pd.concat([pd.read_csv(f) for f in files], keys=file_ids,
                    names=["run_id"])
     return df, ids_names

@@ -23,6 +23,10 @@ def load_df(task: str):
         ids_names = collections.OrderedDict(resdata.isic_selection_id_name_dict)
     files, file_ids, _, file_thresholds = data.get_files(
         list(ids_names), [dirs.UNCERTAINTY_NAME])
+    if not files:
+        raise SystemExit(
+            f"no uncertainty CSVs found for {task} — run bin/eval_uncertainty.py "
+            "with the 'bnf_ue' action first")
     df = frames.concat_threshold_frames(zip(file_ids, files, file_thresholds))
     return df, ids_names
 

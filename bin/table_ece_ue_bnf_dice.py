@@ -47,6 +47,10 @@ def gather_information(task: str) -> pd.DataFrame:
         frames_.append(frame)
         run_ids.append(f"{id_}_th{threshold}")
 
+    if not frames_:
+        raise SystemExit(
+            f"no eval CSVs found for {task} under the configured eval dir — "
+            "run bin/eval_uncertainty.py first (see rcu_tpu/directories.py)")
     df = pd.concat(frames_, keys=run_ids, names=["run_id"])
     df["threshold"] = pd.Series(
         [float(s[-3:]) / 100 for s in df.index.get_level_values(0)],
