@@ -35,6 +35,22 @@ def add_background_probability(probability: jnp.ndarray):
     return jnp.stack([1.0 - probability, probability], axis=-1)
 
 
+def check_min_max(arr, min_=0.0, max_=1.0, only_warn: bool = False):
+    """Host-side range check with warn/raise modes (reference helper.py:31-47)."""
+    import warnings
+
+    import numpy as np
+    arr = np.asarray(arr)
+    arr_max, arr_min = float(arr.max()), float(arr.min())
+    for bad, msg in ((arr_max > max_, f'Found value larger than {max_}: "{arr_max}"'),
+                     (arr_min < min_, f'Found value smaller than {min_}: "{arr_min}"')):
+        if bad:
+            if only_warn:
+                warnings.warn(msg)
+            else:
+                raise ValueError(msg)
+
+
 def normalized_entropy(probabilities: jnp.ndarray, nb_classes: int = 2):
     """Entropy of a class-last probability array, normalized to [0,1] by log(C).
 

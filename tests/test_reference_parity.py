@@ -115,3 +115,54 @@ class TestUncertaintyParity:
         p /= p.sum(-1, keepdims=True)
         np.testing.assert_allclose(np.asarray(metrics.entropy(p)),
                                    ref_np.entropy(p), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_helper():
+    """reference rechun/eval/helper.py (csv+numpy only, no stubbing needed)."""
+    path = "/root/reference/rechun/eval/helper.py"
+    spec = importlib.util.spec_from_file_location("ref_helper", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestPrepareParity:
+    def test_fg_prob_folding(self, ref_helper):
+        from rcu_tpu.ops import prepare
+        u = RNG.rand(300).astype(np.float64)
+        pred = (RNG.rand(300) < 0.5).astype(np.uint8)
+        expected = ref_helper.uncertainty_to_foreground_probabilities(
+            u.copy(), pred)
+        got = np.asarray(prepare.uncertainty_to_foreground_probabilities(
+            u.astype(np.float32), pred))
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    def test_rescale_eps(self, ref_helper):
+        from rcu_tpu.ops import prepare
+        x = RNG.randn(200) * 4
+        expected = ref_helper.rescale_uncertainties(x, x.min(), x.max())
+        got = np.asarray(prepare.rescale_linear(
+            x.astype(np.float32), float(x.min()), float(x.max())))
+        np.testing.assert_allclose(got, expected, atol=1e-5)
+
+    def test_add_background(self, ref_helper):
+        from rcu_tpu.ops import prepare
+        p = RNG.rand(40, 40)
+        expected = ref_helper.add_background_probability(p)
+        got = np.asarray(prepare.add_background_probability(
+            p.astype(np.float32)))
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    def test_check_min_max(self, ref_helper):
+        from rcu_tpu.ops import prepare
+        ok = np.asarray([0.1, 0.9])
+        bad = np.asarray([0.1, 1.5])
+        prepare.check_min_max(ok)
+        ref_helper.check_min_max(ok)
+        with pytest.raises(ValueError):
+            prepare.check_min_max(bad)
+        with pytest.raises(ValueError):
+            ref_helper.check_min_max(bad)
+        with pytest.warns(UserWarning):
+            prepare.check_min_max(bad, only_warn=True)
