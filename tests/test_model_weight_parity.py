@@ -157,3 +157,47 @@ def test_odd_shape_same_logits():
     out = fm.apply({"params": params, "batch_stats": stats}, x, train=False)
     np.testing.assert_allclose(np.asarray(out.logits), torch_logits,
                                rtol=1e-3, atol=5e-4)
+
+
+def test_mc_dropout_distributional_parity():
+    """Same transplanted weights + dropout active: both implementations'
+    MC-mean probabilities converge to the same expectation (validates the
+    channel-dropout placement/scaling semantics, not just the deterministic
+    graph)."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from rcu_tpu.models import get_model
+
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from common.model.unet import UNet as TorchUNet
+
+    torch.manual_seed(0)
+    tm = TorchUNet(nb_classes=2, in_channels=2, depth=2, start_filters=4,
+                   dropout=0.3)
+    tm.eval()
+    params, stats = transplant(tm, 2)
+    fm = get_model("unet", dict(nb_classes=2, in_channels=2, depth=2,
+                                start_filters=4, dropout=0.3))
+    rng = np.random.RandomState(3)
+    x = rng.rand(1, 16, 16, 2).astype(np.float32)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    for m in tm.modules():  # the reference's MC switch
+        if isinstance(m, torch.nn.Dropout2d):
+            m.train()
+    T = 400
+    with torch.no_grad():
+        acc = sum(torch.softmax(tm(xt), 1) for _ in range(T))
+    torch_mean = (acc / T).numpy().transpose(0, 2, 3, 1)
+
+    def one(key):
+        out = fm.apply({"params": params, "batch_stats": stats}, x,
+                       train=False, mc_dropout=True, rngs={"dropout": key})
+        return jax.nn.softmax(out.logits, -1)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), T)
+    flax_mean = np.asarray(jnp.mean(jax.vmap(one)(keys), axis=0))
+    np.testing.assert_allclose(flax_mean, torch_mean, atol=0.02)
