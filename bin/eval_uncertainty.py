@@ -51,7 +51,7 @@ def main(dataset, to_eval, action_names):
         def prewarm(sf):
             loader = analysis.Loader()
             for action in actions:
-                loader.get_data(sf, action.load_params)
+                loader.get_data(sf, **action.load_spec)
             return loader
 
         import concurrent.futures

@@ -92,9 +92,7 @@ def main(dataset: str, to_plot: list):
             subject_dir = os.path.join(plot_dir, sf.subject)
             os.makedirs(subject_dir, exist_ok=True)
             loader = analysis.Loader()
-            d = loader.get_data(sf, analysis.Loader.Params(
-                entry.confidence_entry, need_target=True, need_prediction=True,
-                images_needed=[img_key]))
+            d = loader.get_data(sf, entry.confidence_entry, images=(img_key,))
             d = prepare(d)
 
             if dataset == "brats":

@@ -1,101 +1,148 @@
-"""Subject split create/save/load — exact JSON contract of the reference.
+"""Subject-split management.
 
-Parity target: common/data/split.py:10-117. File format is
-``{"train": [...], "valid": [...], "test": [...]}`` where entries are flat
-lists, or lists-of-lists for k-fold/jackknife files loaded with
-``load_split(file, k)`` (reference split.py:85-93).
+Only the on-disk JSON layout is a compatibility contract (reference
+common/data/split.py:75-93): a single object with ``train`` / ``valid`` /
+``test`` keys whose values are flat subject-name lists, or lists-of-lists for
+fold files that are indexed with a fold number at load time.  Everything else
+here — the partitioning helpers used by ``scripts/create_*_split.py`` — is
+this project's own design centred on the :class:`SubjectSplit` value object.
+
+Reproducibility note: the stratified shuffles delegate to
+``sklearn.model_selection.train_test_split`` with a caller-supplied
+``random_state`` so that regenerated splits are bit-equal to the vendored
+JSONs in ``config/splits/`` (which were produced with seed 100).
 """
 from __future__ import annotations
 
+import dataclasses
 import json
-import os
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
-import sklearn.model_selection as model_selection
+import sklearn.model_selection as _ms
 
 
-def split_subjects(subjects: list, sizes: tuple) -> tuple:
-    nb_total = len(subjects)
-    counts = _normalize_sizes(sizes, nb_total)
-    nb_train, nb_valid = counts[0], counts[1]
-    train = subjects[:nb_train]
-    valid = subjects[nb_train:nb_train + nb_valid]
-    ret = [train, valid]
+@dataclasses.dataclass(frozen=True)
+class SubjectSplit:
+    """A train/valid/test assignment of subject names.
+
+    Members may be flat lists (a single split) or lists-of-lists (one entry
+    per fold, as written by the jackknife/k-fold split makers).
+    """
+
+    train: list
+    valid: list
+    test: Optional[list] = None
+
+    def fold(self, k: int) -> "SubjectSplit":
+        """Select fold ``k`` from a folded split file."""
+        test = [] if self.test is None else self.test[k]
+        return SubjectSplit(self.train[k], self.valid[k], test)
+
+    def save(self, path: str) -> None:
+        payload = {"train": self.train, "valid": self.valid, "test": self.test}
+        with open(path, "w") as fp:
+            json.dump(payload, fp)
+
+    @classmethod
+    def load(cls, path: str, k: Optional[int] = None) -> "SubjectSplit":
+        with open(path) as fp:
+            payload = json.load(fp)
+        split = cls(payload["train"], payload["valid"], payload["test"])
+        return split if k is None else split.fold(k)
+
+
+# ---------------------------------------------------------------------------
+# Module-level façade kept for the engine/scripts call sites.
+
+def save_split(file: str, train_subjects: list, valid_subjects: list,
+               test_subjects: list = None) -> None:
+    SubjectSplit(train_subjects, valid_subjects, test_subjects).save(file)
+
+
+def load_split(file: str, k: int = None) -> Tuple[list, list, list]:
+    s = SubjectSplit.load(file, k)
+    return s.train, s.valid, s.test
+
+
+# ---------------------------------------------------------------------------
+# Partitioning helpers (project idiom; consumed by scripts/create_*_split.py).
+
+def _resolve_counts(sizes: Sequence, total: int) -> List[int]:
+    """Turn ``sizes`` (absolute ints or fractions) into absolute counts.
+
+    A trailing third entry is treated as "the remainder" so that rounding of
+    fractional sizes never loses subjects.
+    """
+    if all(isinstance(s, int) for s in sizes):
+        if sum(sizes) != total:
+            raise ValueError(
+                f"absolute split sizes {tuple(sizes)} must cover all "
+                f"{total} subjects exactly")
+        counts = list(sizes)
+    elif all(isinstance(s, float) for s in sizes):
+        if abs(sum(sizes) - 1.0) > 1e-12:
+            raise ValueError(
+                f"fractional split sizes {tuple(sizes)} must total 1.0")
+        counts = [int(total * s) for s in sizes]
+    else:
+        raise ValueError(
+            f"split sizes must be all-int or all-float, got {tuple(sizes)}")
     if len(counts) == 3:
-        ret.append(subjects[-counts[2]:])
-    return tuple(ret)
+        counts[2] = total - counts[0] - counts[1]
+    return counts
+
+
+def split_subjects(subjects: list, sizes: Sequence) -> tuple:
+    """Partition an already-ordered subject list into consecutive groups."""
+    counts = _resolve_counts(sizes, len(subjects))
+    groups, cursor = [], 0
+    for n in counts[:-1]:
+        groups.append(subjects[cursor:cursor + n])
+        cursor += n
+    groups.append(subjects[len(subjects) - counts[-1]:])
+    return tuple(groups)
 
 
 def split_subjects_k_fold(subjects: list, k: int) -> list:
-    n = len(subjects)
-    if n % k != 0:
-        raise ValueError(f"Number of subjects ({n}) must be a multiple of k ({k})")
-    per_fold = n // k
-    splits = []
-    for i in range(0, n, per_fold):
-        valid = subjects[i:i + per_fold]
-        train = subjects[:i] + subjects[i + per_fold:]
-        splits.append((train, valid))
-    return splits
-
-
-def split_subject_k_fold_stratified(subjects: list, stratification: list, k: int) -> list:
-    select = model_selection.StratifiedKFold(n_splits=k)
+    """Rotation k-fold: fold i holds out the i-th contiguous block."""
+    if len(subjects) % k:
+        raise ValueError(
+            f"k-fold needs len(subjects) divisible by k, got "
+            f"{len(subjects)} subjects for k={k}")
+    block = len(subjects) // k
     folds = []
-    for train_idx, valid_idx in select.split(subjects, stratification):
-        folds.append(([subjects[i] for i in train_idx],
-                      [subjects[i] for i in valid_idx]))
+    for i in range(k):
+        held_out = subjects[i * block:(i + 1) * block]
+        kept = subjects[:i * block] + subjects[(i + 1) * block:]
+        folds.append((kept, held_out))
+    return folds
+
+
+def split_subject_k_fold_stratified(subjects: list, stratification: list,
+                                    k: int) -> list:
+    """Label-stratified k-fold (deterministic sklearn StratifiedKFold)."""
+    folds = []
+    for kept_idx, held_idx in _ms.StratifiedKFold(n_splits=k).split(
+            subjects, stratification):
+        folds.append(([subjects[i] for i in kept_idx],
+                      [subjects[i] for i in held_idx]))
     return folds
 
 
 def create_stratified_shuffled_split(subjects: list, stratification: list,
-                                     counts: tuple, seed: int = 100):
-    valid_cnt = counts[1]
-    res = model_selection.train_test_split(
-        subjects, stratification, test_size=valid_cnt, random_state=seed,
+                                     counts: Sequence, seed: int = 100):
+    """Two chained stratified shuffles: carve valid off, then test off.
+
+    Call order and arguments mirror what produced the paper's vendored split
+    JSONs, so the same ``seed`` regenerates them bit-equal.
+    """
+    rest, valid, rest_strat, _ = _ms.train_test_split(
+        subjects, stratification, test_size=counts[1], random_state=seed,
         shuffle=True, stratify=np.asarray(stratification))
-    tt_subjects, valid_subjects = res[:2]
-    tt_strat, _ = res[2:]
-    if len(counts) == 3:
-        train_subjects, test_subjects = model_selection.train_test_split(
-            tt_subjects, test_size=counts[2], random_state=seed,
-            shuffle=True, stratify=np.asarray(tt_strat))
-        return train_subjects, valid_subjects, test_subjects
-    return tt_subjects, valid_subjects
-
-
-def save_split(file: str, train_subjects: list, valid_subjects: list,
-               test_subjects: list = None):
-    if os.path.exists(file):
-        os.remove(file)
-    with open(file, "w") as f:
-        json.dump({"train": train_subjects, "valid": valid_subjects,
-                   "test": test_subjects}, f)
-
-
-def load_split(file: str, k: int = None):
-    with open(file, "r") as f:
-        d = json.load(f)
-    train, valid, test = d["train"], d["valid"], d["test"]
-    if k is not None:
-        train, valid = train[k], valid[k]
-        test = [] if test is None else test[k]
+    if len(counts) < 3:
+        return rest, valid
+    train, test = _ms.train_test_split(
+        rest, test_size=counts[2], random_state=seed, shuffle=True,
+        stratify=np.asarray(rest_strat))
     return train, valid, test
-
-
-def _normalize_sizes(sizes, nb_total):
-    if isinstance(sizes[0], int):
-        if nb_total != sum(sizes):
-            raise ValueError(f"int sizes ({sizes}) do not sum to number of subjects ({nb_total})")
-        nb_train, nb_valid = sizes[0], sizes[1]
-    elif isinstance(sizes[0], float):
-        if sum(sizes) != 1.0:
-            raise ValueError(f"float sizes ({sizes}) do not sum up to 1")
-        nb_train = int(nb_total * sizes[0])
-        nb_valid = int(nb_total * sizes[1])
-    else:
-        raise ValueError(f"size values must be float or int, found {type(sizes[0])}")
-    counts = [nb_train, nb_valid]
-    if len(sizes) == 3:
-        counts.append(nb_total - nb_train - nb_valid)
-    return tuple(counts)

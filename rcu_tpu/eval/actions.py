@@ -60,7 +60,7 @@ class EvalCase:
 
 class EvalAction(abc.ABC):
     def __init__(self):
-        self.load_params = None
+        self.load_spec = {}
         self.prepare = None
         self.eval_cases = []
         self.id_ = ""
@@ -79,7 +79,7 @@ class EvalAction(abc.ABC):
             case.hook.on_run_start(self.id_)
 
     def eval_subject(self, sf, loader: analysis.Loader):
-        to_eval = loader.get_data(sf, self.load_params)
+        to_eval = loader.get_data(sf, **self.load_spec)
         if self.prepare:
             to_eval = self.prepare(to_eval)
         for case in self.eval_cases:
@@ -102,7 +102,7 @@ class SaveMinMaxAction(EvalAction):
         self.prepare, self.id_ = analysis.get_confidence_entry_preparation(
             eval_data, "probabilities")
         self.prepare = analysis.ComposePreparation([self.prepare])
-        self.load_params = analysis.Loader.Params(eval_data.confidence_entry)
+        self.load_spec = {"entry": eval_data.confidence_entry}
 
         def metric(to_eval):
             out = kernels.min_max(jnp.asarray(to_eval["probabilities"]))
@@ -134,8 +134,8 @@ class EceAction(EvalAction):
         self.prepare, self.id_ = analysis.get_probability_preparation(
             eval_data, rescale_confidence=self.rescale_confidence,
             rescale_sigma=self.rescale_sigma, min_max_dir=self.min_max_dir)
-        self.load_params = analysis.Loader.Params(
-            eval_data.confidence_entry, need_t2_mask=self.need_t2_mask)
+        self.load_spec = {"entry": eval_data.confidence_entry,
+                          "t2_mask": self.need_t2_mask}
 
         need_mask = self.need_t2_mask
 
@@ -174,8 +174,8 @@ class EceCalibrationAction(EvalAction):
         self.prepare, self.id_ = analysis.get_probability_preparation(
             eval_data, rescale_confidence=self.rescale_confidence,
             rescale_sigma=self.rescale_sigma, min_max_dir=self.min_max_dir)
-        self.load_params = analysis.Loader.Params(
-            eval_data.confidence_entry, need_t2_mask=self.need_mask)
+        self.load_spec = {"entry": eval_data.confidence_entry,
+                          "t2_mask": self.need_mask}
 
         need_mask = self.need_mask
 
@@ -220,7 +220,7 @@ class CorrectionAction(EvalAction):
         self.prepare, self.id_ = analysis.get_uncertainty_preparation(
             eval_data, rescale_confidence=self.rescale_confidence,
             rescale_sigma=self.rescale_sigma, min_max_dir=self.min_max_dir)
-        self.load_params = analysis.Loader.Params(eval_data.confidence_entry)
+        self.load_spec = {"entry": eval_data.confidence_entry}
 
         thresholds = np.asarray(self.thresholds, np.float32)
         hooks_per_th = []

@@ -41,55 +41,51 @@ def read_min_max(min_max_file: str):
 
 
 class Loader:
-    """Per-subject cached NIfTI loads (reference analysis.py:15-125)."""
+    """Per-subject cached host reads for the offline eval.
 
-    class Params:
-        def __init__(self, misc_entry: str = "probabilities",
-                     need_target: bool = True, need_prediction: bool = True,
-                     need_t2_mask: bool = False,
-                     need_prediction_dist_and_boarder: bool = False,
-                     need_gt_dist_and_boarder: bool = False,
-                     images_needed: list = None, need_img_props: bool = False):
-            self.misc_entry = misc_entry
-            self.need_target = need_target
-            self.need_prediction = need_prediction
-            self.need_t2_mask = need_t2_mask
-            self.need_gt_dist_and_boarder = need_gt_dist_and_boarder
-            self.need_prediction_dist_and_boarder = need_prediction_dist_and_boarder
-            self.images_needed = images_needed
-            self.need_img_props = need_img_props
+    ``get_data`` takes a declarative request instead of a parameter object:
+    the confidence ``entry`` to pull from the prediction artifacts, plus
+    keyword switches for the derived arrays. Repeated requests for the same
+    subject are served from an in-memory cache that is invalidated whenever a
+    different subject arrives (the reference reloads NIfTIs per action;
+    analysis.py:15-125 has the caching idea, the request shape here is ours).
+    """
 
     def __init__(self):
         self.cached_entries = {}
         self.cached_subject_id = None
 
-    def get_data(self, subject_file, params: "Loader.Params") -> dict:
+    def get_data(self, subject_file, entry: str = "probabilities", *,
+                 target: bool = True, prediction: bool = True,
+                 t2_mask: bool = False, borders: tuple = (),
+                 images: tuple = (), properties: bool = False) -> dict:
+        """Assemble the ``to_eval`` dict for one subject.
+
+        ``borders`` may contain ``"target"`` and/or ``"prediction"``; each
+        adds ``<name>_border`` (EDT band mask) and ``<name>_distance`` keys.
+        ``images`` lists raw image entries (e.g. ``("t2",)``) to include.
+        """
         if subject_file.subject != self.cached_subject_id:
             self.cached_entries.clear()
             self.cached_subject_id = subject_file.subject
 
         to_eval = {}
-        misc_np, props = self._get_misc(subject_file, params.misc_entry)
-        to_eval[params.misc_entry] = misc_np
-        if params.need_img_props:
+        misc_np, props = self._get_misc(subject_file, entry)
+        to_eval[entry] = misc_np
+        if properties:
             to_eval["img_properties"] = props
-        if params.need_target:
+        if target:
             to_eval["target"] = self._get_target(subject_file)
-        if params.need_prediction:
+        if prediction:
             to_eval["prediction"] = self._get_prediction(subject_file)
-        if params.need_gt_dist_and_boarder:
-            mask, distance = self._get_dist_and_border(subject_file, "target")
-            to_eval["target_boarder"] = mask
-            to_eval["target_distance"] = distance
-        if params.need_prediction_dist_and_boarder:
-            mask, distance = self._get_dist_and_border(subject_file, "prediction")
-            to_eval["prediction_boarder"] = mask
-            to_eval["prediction_distance"] = distance
-        if params.need_t2_mask:
+        for which in borders:
+            mask, distance = self._get_dist_and_border(subject_file, which)
+            to_eval[f"{which}_border"] = mask
+            to_eval[f"{which}_distance"] = distance
+        if t2_mask:
             to_eval["mask"] = self._get_t2_mask(subject_file)
-        if params.images_needed:
-            for image_type in params.images_needed:
-                to_eval[image_type] = self._get_image(subject_file, image_type)
+        for image_type in images:
+            to_eval[image_type] = self._get_image(subject_file, image_type)
         return to_eval
 
     def _cached(self, key, fn):
@@ -134,7 +130,7 @@ class Loader:
         return self._cached("t2mask", load)
 
     def _get_dist_and_border(self, sf, which):
-        key_b, key_d = f"{which}_boarder", f"{which}_distance"
+        key_b, key_d = f"{which}_border", f"{which}_distance"
         if key_b not in self.cached_entries:
             base = self._get_target(sf) if which == "target" \
                 else self._get_prediction(sf)

@@ -147,7 +147,7 @@ class UncertaintyErrorDice(EvaluationStrategy):
         self.with_mask = with_mask
 
     def __call__(self, to_evaluate, results):
-        mask = ~np.asarray(to_evaluate["target_boarder"]) if self.with_mask else None
+        mask = ~np.asarray(to_evaluate["target_border"]) if self.with_mask else None
         out = u_ops.uncertainty_error_metrics(
             jnp.asarray(to_evaluate["prediction"]),
             jnp.asarray(to_evaluate["target"]),
