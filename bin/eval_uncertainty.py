@@ -23,9 +23,14 @@ DEFAULT_IDS = ["baseline", "baseline_mc", "center", "center_mc", "ensemble",
 DEFAULT_ACTIONS = ["minmax", "ece_dice", "calib", "bnf_ue"]
 
 
-def main(dataset, to_eval, action_names):
+def main(dataset, to_eval, action_names, n_devices=None):
     if dataset not in ("brats", "isic"):
         raise ValueError('chose "brats" or "isic" as dataset')
+
+    mesh = None
+    if n_devices and n_devices > 1:
+        from rcu_tpu.parallel import mesh as mesh_lib
+        mesh = mesh_lib.make_mesh(n_devices=n_devices)
 
     if dataset == "brats":
         eval_data_list = evdata.get_brats_eval_data(to_eval)
@@ -37,7 +42,8 @@ def main(dataset, to_eval, action_names):
         base_dir = dirs.ISIC_EVAL_DIR
 
     min_max_dir = os.path.join(base_dir, dirs.MINMAX_NAME)
-    actions = act_lib.get_actions(action_names, min_max_dir, base_dir, ece_details)
+    actions = act_lib.get_actions(action_names, min_max_dir, base_dir,
+                                  ece_details, mesh=mesh)
 
     for entry in eval_data_list:
         for action in actions:
@@ -81,6 +87,9 @@ if __name__ == "__main__":
                         help="the ids of the runs to be evaluated")
     parser.add_argument("--act", type=str, nargs="*",
                         help="the names of the evaluation configuration")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="shard each subject's eval reductions over the "
+                             "first N devices (default: single device)")
     args = parser.parse_args()
 
     ds = args.ds or "brats"
@@ -93,4 +102,4 @@ if __name__ == "__main__":
     print(f"eval_actions: {action_ids}")
     print("**************************************\n")
 
-    main(ds, to_evaluate, action_ids)
+    main(ds, to_evaluate, action_ids, n_devices=args.devices)

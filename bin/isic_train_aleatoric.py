@@ -15,7 +15,9 @@ def main(config_file, config_id=None):
                                       'aleatoric')
     from rcu_tpu import strategies
     config = _cli.load_train_config(config_file)
-    return strategies.train_aleatoric(config)
+    # ISIC aleatoric validates with SmoothDice only (isic_train_aleatoric.py:103)
+    return strategies.train_aleatoric(
+        config, eval_subject_fn=strategies.isic_smooth_dice_eval_subject_fn)
 
 
 if __name__ == "__main__":

@@ -15,7 +15,9 @@ def main(config_file, config_id=None):
                                       'baseline')
     from rcu_tpu import strategies
     config = _cli.load_train_config(config_file)
-    return strategies.train_default(config)
+    # ISIC validates with SmoothDice+Nll (reference isic_train_default.py:57-74)
+    return strategies.train_default(
+        config, eval_subject_fn=strategies.isic_eval_subject_fn)
 
 
 if __name__ == "__main__":

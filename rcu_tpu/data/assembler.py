@@ -100,3 +100,9 @@ class Subject2dAssembler:
 
     def get_assembled_subject(self, subject_idx: int) -> dict:
         return self._store.pop(subject_idx)
+
+    def flush(self):
+        """Subjects stored but never drained (end-of-loop safety)."""
+        remaining = list(self._store.keys())
+        self._ready = []
+        return remaining

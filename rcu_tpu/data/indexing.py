@@ -56,10 +56,19 @@ class PatchWiseIndexing:
 
     The flat per-subject index encodes (z, gy, gx) row-major over the grid;
     :meth:`extract` decodes it and crops (padding edge cells to the full
-    patch shape so batches stay static)."""
+    patch shape so batches stay static).
 
-    def __init__(self, patch_shape):
+    ``pad`` adds a symmetric context halo around each patch (the equivalent
+    of pymia's pad-recursion ``PadDataExtractor``, reference
+    common/trainloop/factory.py:51-57): extraction returns
+    ``(py + 2*pad_y, px + 2*pad_x)`` windows whose out-of-volume regions are
+    zero-filled, while the patch *grid* (and thus the index count and the
+    assembly layout) is unchanged — overlap lives only in the extracted data.
+    """
+
+    def __init__(self, patch_shape, pad=(0, 0)):
         self.patch_shape = tuple(patch_shape)
+        self.pad = tuple(pad)
 
     def _grid(self, dataset, subject):
         z, y, x = dataset.shape(subject)[:3]
@@ -74,18 +83,27 @@ class PatchWiseIndexing:
     def extract(self, dataset, subject: str, index: int, category: str):
         _, grid_y, grid_x = self._grid(dataset, subject)
         py, px = self.patch_shape
+        hy, hx = self.pad
         zi, rest = divmod(index, grid_y * grid_x)
         gy, gx = divmod(rest, grid_x)
         plane = dataset.read_slice(subject, zi, category)
-        patch = plane[gy * py:(gy + 1) * py, gx * px:(gx + 1) * px]
-        if patch.shape[0] != py or patch.shape[1] != px:
-            pad = [(0, py - patch.shape[0]), (0, px - patch.shape[1])]
+        # desired window incl. halo, clipped to the plane
+        y0, y1 = gy * py - hy, (gy + 1) * py + hy
+        x0, x1 = gx * px - hx, (gx + 1) * px + hx
+        cy0, cx0 = max(y0, 0), max(x0, 0)
+        patch = plane[cy0:y1, cx0:x1]
+        want_y, want_x = py + 2 * hy, px + 2 * hx
+        lead_y, lead_x = cy0 - y0, cx0 - x0
+        if (lead_y, lead_x) != (0, 0) or patch.shape[:2] != (want_y, want_x):
+            pad = [(lead_y, want_y - lead_y - patch.shape[0]),
+                   (lead_x, want_x - lead_x - patch.shape[1])]
             pad += [(0, 0)] * (patch.ndim - 2)
             patch = np.pad(patch, pad)
         return patch
 
     def __repr__(self):
-        return f"PatchWiseIndexing(patch_shape={self.patch_shape})"
+        return (f"PatchWiseIndexing(patch_shape={self.patch_shape}, "
+                f"pad={self.pad})")
 
 
 class NoneBlackSelection:

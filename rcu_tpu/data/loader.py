@@ -32,7 +32,7 @@ class SliceBatchLoader:
     def __init__(self, dataset: SubjectDataset, indices: list, batch_size: int,
                  categories=("images", "labels"), shuffle: bool = False,
                  seed: int = 0, drop_remainder: bool = False,
-                 transform=None, indexing=None):
+                 transform=None, indexing=None, num_workers: int = 0):
         self.dataset = dataset
         self.indexing = indexing  # owns index->array extraction when given
         self.indices = list(indices)
@@ -42,7 +42,20 @@ class SliceBatchLoader:
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.transform = transform
+        self.num_workers = int(num_workers or 0)
+        self._pool = None  # lazily created, shared across epochs
         self._epoch = 0
+
+    def _reader_pool(self):
+        """P4 host read parallelism (reference DataLoader(num_workers),
+        common/trainloop/data.py:65-66) as a persistent thread pool: threads
+        overlap H5 decode + transform numpy work across the batch. Order is
+        preserved (Executor.map), so batches are bit-identical to serial."""
+        if self._pool is None and self.num_workers > 1:
+            import concurrent.futures
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                self.num_workers, thread_name_prefix="loader")
+        return self._pool
 
     def __len__(self):
         n = len(self.indices)
@@ -79,7 +92,12 @@ class SliceBatchLoader:
             chunk = order[start:start + bs]
             if len(chunk) < bs and self.drop_remainder:
                 return
-            items = [self._read(*self.indices[i]) for i in chunk]
+            pool = self._reader_pool()
+            if pool is not None:
+                items = list(pool.map(
+                    lambda i: self._read(*self.indices[i]), chunk))
+            else:
+                items = [self._read(*self.indices[i]) for i in chunk]
             batch = {c: np.stack([it[c] for it in items]) for c in self.categories}
             nb_valid = len(chunk)
             if nb_valid < bs:  # pad ragged tail to static shape

@@ -58,7 +58,9 @@ def build_indexing(node: typing.Optional[ParametricNode]):
     if node.type == "empty":
         return idx_lib.EmptyIndexing()
     if node.type == "patch":
-        return idx_lib.PatchWiseIndexing(node.params.get("patch_shape", (128, 128)))
+        return idx_lib.PatchWiseIndexing(
+            node.params.get("patch_shape", (128, 128)),
+            pad=node.params.get("pad", (0, 0)))
     raise ValueError(f'unknown indexing "{node.type}"')
 
 
@@ -116,7 +118,7 @@ def build_data(data_config: DataConfiguration, subjects=None, seed: int = 0,
         batch_size=batch_size or data_config.batch_size,
         categories=tuple(dataset.categories()),
         shuffle=data_config.shuffle, seed=seed, transform=transform,
-        indexing=indexing)
+        indexing=indexing, num_workers=data_config.num_workers)
     return Data(dataset=dataset, loader=loader, nb_batches=len(loader))
 
 

@@ -2,8 +2,9 @@
 
 Same event surface (console cadence logs, tensorboard scalars, per-subject
 CSVs, best/rolling checkpoint retention), composed explicitly instead of via
-reflection. Hooks receive plain dicts/floats — device values are pulled once
-by the loop, not per hook.
+reflection. Per-batch metric values may be device scalars — hooks convert
+(`float(v)`) at their own cadence so the hot loop never blocks on a device
+round trip.
 """
 from __future__ import annotations
 
@@ -76,17 +77,27 @@ class ConsoleLogHook(TrainLoopHook):
 
 
 class TensorboardHook(TrainLoopHook):
-    """Train-step scalars + per-epoch validation means (reference hooks.py:154-179)."""
+    """Train-step scalars + per-epoch validation means (reference hooks.py:154-179).
+
+    Per-step scalars are buffered as (possibly device) values and flushed once
+    per epoch so logging never forces a device round-trip inside the hot loop.
+    """
 
     def __init__(self, log_dir: str):
         import tensorboardX
         self.writer = tensorboardX.SummaryWriter(log_dir)
         self._step = 0
+        self._pending: typing.List[dict] = []
 
     def on_training_batch_end(self, loop, epoch, batch_index, nb_batches, metrics):
-        for k, v in metrics.items():
-            self.writer.add_scalar(f"train/{k}", float(v), self._step)
-        self._step += 1
+        self._pending.append(dict(metrics))
+
+    def on_training_end(self, loop, epoch, metrics_mean):
+        for metrics in self._pending:
+            for k, v in metrics.items():
+                self.writer.add_scalar(f"train/{k}", float(v), self._step)
+            self._step += 1
+        self._pending.clear()
 
     def on_validation_end(self, loop, epoch, score, is_best, subject_results):
         self.writer.add_scalar("valid/score", float(score), epoch)

@@ -24,6 +24,21 @@ from rcu_tpu.ops import losses as losses_lib
 from rcu_tpu.ops import metrics as metrics_lib
 
 
+def _jit_predict(fn, mesh=None, n_leading_rep: int = 2, has_rng: bool = False):
+    """jit a predict fn; with a mesh, pin the canonical inference shardings:
+    parameter trees replicated, the batch dict sharded on its leading axis
+    over the mesh's data axis, outputs batch-sharded. Without a mesh this is
+    plain ``jax.jit`` (single-device path, bit-identical results)."""
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rcu_tpu.parallel.mesh import DATA_AXIS
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    in_shardings = (rep,) * n_leading_rep + (data,) + ((rep,) if has_rng else ())
+    return jax.jit(fn, in_shardings=in_shardings, out_shardings=data)
+
+
 def _masked_mean(per_px: jnp.ndarray, valid: jnp.ndarray):
     """Mean over pixels of valid batch items; per_px (B, H, W), valid (B,)."""
     w = valid[:, None, None]
@@ -91,16 +106,16 @@ def make_train_step(model, optimizer, loss_kind: str = "ce",
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_predict_fn(model):
-    """Deterministic softmax forward (reference SegmentationPredictStep)."""
+def make_predict_fn(model, mesh=None):
+    """Deterministic softmax forward (reference SegmentationPredictStep).
+    With ``mesh``, the batch shards over the data axis (params replicated)."""
 
-    @jax.jit
     def predict(params, batch_stats, batch):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch["images"], train=False)
         return {"probabilities": jax.nn.softmax(out.logits, axis=-1)}
 
-    return predict
+    return _jit_predict(predict, mesh)
 
 
 def multi_prediction_summary(multi_probabilities: jnp.ndarray,
@@ -120,11 +135,12 @@ def multi_prediction_summary(multi_probabilities: jnp.ndarray,
 
 
 def make_mc_predict_fn(model, mc_steps: int, do_mi: bool = False,
-                       do_var: bool = False):
+                       do_var: bool = False, mesh=None):
     """T stochastic forwards as one vmapped program + weight-scaling forward
-    (reference McPredictStep, customsteps.py:10-39)."""
+    (reference McPredictStep, customsteps.py:10-39). With ``mesh``, each chip
+    runs all T forwards on its shard of the batch (data parallelism over ICI;
+    the flagship multi-chip inference path)."""
 
-    @functools.partial(jax.jit, static_argnums=())
     def predict(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
         images = batch["images"]
@@ -141,15 +157,14 @@ def make_mc_predict_fn(model, mc_steps: int, do_mi: bool = False,
         out["ws_probabilities"] = ws_probabilities
         return out
 
-    return predict
+    return _jit_predict(predict, mesh, has_rng=True)
 
 
-def make_aleatoric_predict_fn(model, is_log_sigma: bool):
+def make_aleatoric_predict_fn(model, is_log_sigma: bool, mesh=None):
     """Softmax probs + per-class sigma + predicted-class sigma
     (reference bin-dl/brats_test_aleatoric.py:66-97: exp() when log-sigma,
     abs() otherwise; the artifact stores the predicted class's sigma)."""
 
-    @jax.jit
     def predict(params, batch_stats, batch):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           batch["images"], train=False)
@@ -161,15 +176,15 @@ def make_aleatoric_predict_fn(model, is_log_sigma: bool):
         return {"probabilities": probabilities, "sigma_all": sigma,
                 "sigma": predicted_sigma}
 
-    return predict
+    return _jit_predict(predict, mesh)
 
 
-def make_ensemble_predict_fn(model, do_mi: bool = False, do_var: bool = False):
+def make_ensemble_predict_fn(model, do_mi: bool = False, do_var: bool = False,
+                             mesh=None):
     """Stacked-parameter ensemble inference: members vmapped in one program
     (replaces the reference's sequential member loop,
     bin-dl/brats_test_ensemble.py:72-94)."""
 
-    @jax.jit
     def predict(stacked_params, stacked_batch_stats, batch):
         images = batch["images"]
 
@@ -181,10 +196,10 @@ def make_ensemble_predict_fn(model, do_mi: bool = False, do_var: bool = False):
         member_probs = jax.vmap(one)(stacked_params, stacked_batch_stats)
         return multi_prediction_summary(member_probs, do_mi, do_var)
 
-    return predict
+    return _jit_predict(predict, mesh)
 
 
-def make_auxiliary_feat_predict_fn(segm_model, post_model):
+def make_auxiliary_feat_predict_fn(segm_model, post_model, mesh=None):
     """Frozen segmenter (provide_features) + PostNet error/confidence net
     (reference bin-dl/brats_{train,test}_auxiliary_feat.py).
 
@@ -195,7 +210,6 @@ def make_auxiliary_feat_predict_fn(segm_model, post_model):
     - 'confidence':         PostNet foreground column (artifact payload)
     """
 
-    @jax.jit
     def predict(segm_params, segm_stats, post_params, post_stats, batch):
         segm_out = segm_model.apply(
             {"params": segm_params, "batch_stats": segm_stats}, batch["images"],
@@ -210,14 +224,13 @@ def make_auxiliary_feat_predict_fn(segm_model, post_model):
                 "segm_probabilities": segm_probabilities,
                 "confidence": confidence[..., 1]}
 
-    return predict
+    return _jit_predict(predict, mesh, n_leading_rep=4)
 
 
-def make_auxiliary_segm_predict_fn(model):
+def make_auxiliary_segm_predict_fn(model, mesh=None):
     """Auxiliary-segm forward: input = images concat baseline-prediction channel
     (labels carry [gt, prediction]; reference brats_test_auxiliary_segm.py)."""
 
-    @jax.jit
     def predict(params, batch_stats, batch):
         images, labels = batch["images"], batch["labels"]
         pred_channel = labels[..., 1].astype(jnp.float32)
@@ -229,7 +242,7 @@ def make_auxiliary_segm_predict_fn(model):
                 "confidence": confidence[..., 1],
                 "baseline_prediction": labels[..., 1]}
 
-    return predict
+    return _jit_predict(predict, mesh)
 
 
 def make_auxiliary_train_step(post_model, optimizer, segm_model=None,

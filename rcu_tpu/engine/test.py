@@ -85,7 +85,12 @@ class TestLoop:
                  predict_fn=None, model=None, entries: tuple = ("probabilities",),
                  eval_subject_fn=None, artifact_fn=None, hooks: list = None,
                  mesh=None, needs_rng: bool = False, symlink_inputs: bool = False,
-                 state_override=None):
+                 state_override=None, external_state: bool = False,
+                 run_dir_base: str = None):
+        """``external_state=True`` declares that ``predict_fn`` carries its own
+        parameters (e.g. a stacked-ensemble closure): no checkpoint is loaded
+        and no state is threaded. ``run_dir_base`` anchors the test run dir
+        when neither ``config.test_dir`` nor ``config.model_dir`` should."""
         self.config = config
         self.mesh = mesh
         self.needs_rng = needs_rng
@@ -94,6 +99,7 @@ class TestLoop:
         self.eval_subject_fn = eval_subject_fn or default_test_eval_fn
         self.artifact_fn = artifact_fn or default_artifact_fn
         self._state_override = state_override
+        self.external_state = external_state
 
         self.model_files = ckpt_lib.ModelFiles.from_model_dir(config.model_dir) \
             if config.model_dir else None
@@ -110,6 +116,11 @@ class TestLoop:
         if not test_dir and config.model_dir:
             # default: 'test' dir under the model's train run dir (context.py:276-284)
             test_dir = os.path.join(os.path.dirname(config.model_dir), "test")
+        if not test_dir:
+            test_dir = run_dir_base
+        if not test_dir:
+            raise ValueError("one of config.test_dir, config.model_dir or "
+                             "run_dir_base must locate the test run dir")
         self.run_dir = os.path.join(test_dir, f"{self.test_id}_{config.test_name}")
 
         self.hook = hooks_lib.ComposeTestHook(
@@ -124,6 +135,12 @@ class TestLoop:
         self.test_data = None
 
     def load_state(self):
+        if self.external_state:
+            # predict_fn owns its parameters; thread an empty placeholder
+            from rcu_tpu.engine.state import TrainState
+            self.state = TrainState(params={}, batch_stats={}, opt_state=None,
+                                    epoch=np.int32(0), best_score=np.float32(0))
+            return
         if self._state_override is not None:
             self.state = self._state_override
             return
@@ -172,8 +189,11 @@ class TestLoop:
             prediction_dir=cfg.others.get("prediction_dir"))
 
         self.load_state()
+        if self.mesh is not None and self.state is not None:
+            from rcu_tpu.parallel.inference import replicate_tree
+            self.state = replicate_tree(self.state, self.mesh)
         if self.predict_fn is None:
-            self.predict_fn = steps_lib.make_predict_fn(self.model)
+            self.predict_fn = steps_lib.make_predict_fn(self.model, mesh=self.mesh)
         self.hook.on_startup(self)
 
         sharding = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
@@ -201,6 +221,12 @@ class TestLoop:
             self._drain_ready(asm, dataset, subject_results)
 
         self._drain_ready(asm, dataset, subject_results)
+        leftover = asm.flush()
+        if leftover:
+            names = [dataset.subjects[si] for si in leftover]
+            raise RuntimeError(
+                "test loop ended with partially assembled subjects (missing "
+                f"slices, no artifacts written): {names}")
         self.pool.flush()
         self.hook.on_test_end(self, subject_results)
         self.hook.on_termination(self)

@@ -38,8 +38,9 @@ from rcu_tpu.utils import logs as logs_lib
 
 
 def default_eval_subject_fn(subject_data: dict, info: dict) -> typing.Tuple[dict, float]:
-    """Per-subject validation metrics: dice of argmax + log loss
-    (reference bin-dl/brats_train_default.py:58-73). Returns (results, score)."""
+    """Per-subject validation metrics: dice of argmax + log loss as ``ce``
+    (reference bin-dl/brats_train_default.py:58-73 — DiceNumpy +
+    LogLossSklearn(result_entry='ce')). Returns (results, score)."""
     probabilities = subject_data["probabilities"]
     prediction = np.argmax(probabilities, axis=-1)
     target = np.squeeze(np.asarray(info["labels"]))
@@ -47,9 +48,9 @@ def default_eval_subject_fn(subject_data: dict, info: dict) -> typing.Tuple[dict
         target = target[..., 0]
     target = (target > 0.5).astype(np.uint8)
     dice = float(np.asarray(metrics_lib.dice(prediction, target)))
-    logloss = float(np.asarray(metrics_lib.log_loss(
+    ce = float(np.asarray(metrics_lib.log_loss(
         probabilities.reshape(-1, probabilities.shape[-1]), target)))
-    return {"dice": dice, "logloss": logloss}, dice
+    return {"dice": dice, "ce": ce}, dice
 
 
 class TrainLoop:
@@ -80,7 +81,7 @@ class TrainLoop:
         self.train_step = train_step if train_step is not None else \
             steps_lib.make_train_step(model, optimizer)
         self.predict_fn = predict_fn if predict_fn is not None else \
-            steps_lib.make_predict_fn(model)
+            steps_lib.make_predict_fn(model, mesh=mesh)
         self.eval_subject_fn = eval_subject_fn or default_eval_subject_fn
 
         # run identity + resume (reference context.py:117-134)
@@ -220,12 +221,15 @@ class TrainLoop:
             step_key = jax.random.fold_in(epoch_key, i)
             self.state, metrics = self.train_step(
                 self.state, *self.extra_step_args, batch, step_key)
-            metrics = {k: float(v) for k, v in metrics.items()}
+            # metrics stay device scalars: accumulating them is async under
+            # jax dispatch, so the loop never blocks on a step's result. Hooks
+            # fetch at their own cadence (console every log_every_nth,
+            # tensorboard once per epoch).
             for k, v in metrics.items():
                 metric_sums[k] = metric_sums.get(k, 0.0) + v
             nb += 1
             self.hook.on_training_batch_end(self, epoch, i, nb_batches, metrics)
-        means = {k: v / max(nb, 1) for k, v in metric_sums.items()}
+        means = {k: float(v) / max(nb, 1) for k, v in metric_sums.items()}
         self.hook.on_training_end(self, epoch, means)
 
     def _make_assembler(self, data, entries):

@@ -59,11 +59,20 @@ class EvalCase:
 
 
 class EvalAction(abc.ABC):
-    def __init__(self):
+    def __init__(self, mesh=None):
         self.load_spec = {}
         self.prepare = None
         self.eval_cases = []
         self.id_ = ""
+        self.mesh = mesh
+
+    def _kernels(self):
+        """Single-device fused kernels, or the mesh-sharded equivalents (same
+        method names/signatures; rcu_tpu.parallel.inference)."""
+        if self.mesh is None:
+            return kernels
+        from rcu_tpu.parallel.inference import ShardedSubjectEval
+        return ShardedSubjectEval(self.mesh)
 
     @abc.abstractmethod
     def _setup_eval(self, eval_data: EvalData):
@@ -93,8 +102,8 @@ class EvalAction(abc.ABC):
 class SaveMinMaxAction(EvalAction):
     """Global min/max of the confidence entry (reference :205-223)."""
 
-    def __init__(self, min_max_dir: str):
-        super().__init__()
+    def __init__(self, min_max_dir: str, mesh=None):
+        super().__init__(mesh)
         self.min_max_dir = min_max_dir
         _make_dir_if_not_exists(min_max_dir)
 
@@ -104,8 +113,10 @@ class SaveMinMaxAction(EvalAction):
         self.prepare = analysis.ComposePreparation([self.prepare])
         self.load_spec = {"entry": eval_data.confidence_entry}
 
+        kern = self._kernels()
+
         def metric(to_eval):
-            out = kernels.min_max(jnp.asarray(to_eval["probabilities"]))
+            out = kern.min_max(jnp.asarray(to_eval["probabilities"]))
             return {"min": float(np.asarray(out["min"])),
                     "max": float(np.asarray(out["max"]))}
 
@@ -120,8 +131,8 @@ class EceAction(EvalAction):
     """ECE (+fg mask for brats) + dice + confusion (reference :141-173)."""
 
     def __init__(self, base_dir: str, details: str, rescale_confidence="subject",
-                 rescale_sigma="subject", min_max_dir: str = None):
-        super().__init__()
+                 rescale_sigma="subject", min_max_dir: str = None, mesh=None):
+        super().__init__(mesh)
         self.rescale_confidence = rescale_confidence
         self.rescale_sigma = rescale_sigma
         self.min_max_dir = min_max_dir
@@ -138,10 +149,11 @@ class EceAction(EvalAction):
                           "t2_mask": self.need_t2_mask}
 
         need_mask = self.need_t2_mask
+        kern = self._kernels()
 
         def metric(to_eval):
             mask = jnp.asarray(to_eval["mask"]) if need_mask else None
-            out = kernels.ece_dice_confusion(
+            out = kern.ece_dice_confusion(
                 jnp.asarray(to_eval["probabilities"]),
                 jnp.asarray(to_eval["target"]),
                 jnp.asarray(to_eval["prediction"]), mask)
@@ -161,8 +173,8 @@ class EceCalibrationAction(EvalAction):
 
     def __init__(self, base_dir: str, details: str = "",
                  rescale_confidence="subject", rescale_sigma="subject",
-                 min_max_dir: str = None):
-        super().__init__()
+                 min_max_dir: str = None, mesh=None):
+        super().__init__(mesh)
         self.need_mask = details == "foreground"
         self.rescale_confidence = rescale_confidence
         self.rescale_sigma = rescale_sigma
@@ -178,10 +190,11 @@ class EceCalibrationAction(EvalAction):
                           "t2_mask": self.need_mask}
 
         need_mask = self.need_mask
+        kern = self._kernels()
 
         def metric(to_eval):
             mask = jnp.asarray(to_eval["mask"]) if need_mask else None
-            out = kernels.calibration_bins(
+            out = kern.calibration_bins(
                 jnp.asarray(to_eval["probabilities"]),
                 jnp.asarray(to_eval["target"]),
                 jnp.asarray(to_eval["prediction"]), mask)
@@ -207,8 +220,8 @@ class CorrectionAction(EvalAction):
     (reference :176-202 runs one python object per threshold)."""
 
     def __init__(self, thresholds: list, base_dir: str, rescale_confidence="",
-                 rescale_sigma="global", min_max_dir: str = None):
-        super().__init__()
+                 rescale_sigma="global", min_max_dir: str = None, mesh=None):
+        super().__init__(mesh)
         self.thresholds = list(thresholds)
         self.rescale_confidence = rescale_confidence
         self.rescale_sigma = rescale_sigma
@@ -223,6 +236,7 @@ class CorrectionAction(EvalAction):
         self.load_spec = {"entry": eval_data.confidence_entry}
 
         thresholds = np.asarray(self.thresholds, np.float32)
+        kern = self._kernels()
         hooks_per_th = []
         for threshold in self.thresholds:
             threshold_str = f"{threshold:.2f}".replace(".", "")
@@ -255,7 +269,7 @@ class CorrectionAction(EvalAction):
                 return _H()
 
             def do_eval(self, to_eval, subject_name, id_):
-                out = kernels.correction_eval(
+                out = kern.correction_eval(
                     jnp.asarray(to_eval["prediction"]),
                     jnp.asarray(to_eval["target"]),
                     jnp.asarray(to_eval["uncertainty"]),
@@ -270,26 +284,28 @@ class CorrectionAction(EvalAction):
         self.eval_cases = [_FusedCase()]
 
 
-def get_actions(action_names, min_max_dir, base_dir, ece_details):
-    """Reference :226-244 — same names, same default rescale wiring."""
+def get_actions(action_names, min_max_dir, base_dir, ece_details, mesh=None):
+    """Reference :226-244 — same names, same default rescale wiring. With a
+    ``mesh`` every action's reduction pass shards subject volumes over it."""
     actions = []
     for action_name in action_names:
         action = None
         if action_name == "minmax":
-            action = SaveMinMaxAction(min_max_dir)
+            action = SaveMinMaxAction(min_max_dir, mesh=mesh)
         elif action_name == "ece_dice":
             action = EceAction(base_dir, ece_details, rescale_confidence="subject",
-                               rescale_sigma="global", min_max_dir=min_max_dir)
+                               rescale_sigma="global", min_max_dir=min_max_dir,
+                               mesh=mesh)
         elif action_name == "calib":
             action = EceCalibrationAction(base_dir, ece_details,
                                           rescale_confidence="subject",
                                           rescale_sigma="global",
-                                          min_max_dir=min_max_dir)
+                                          min_max_dir=min_max_dir, mesh=mesh)
         elif action_name == "bnf_ue":
             action = CorrectionAction(
                 [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95],
                 base_dir, rescale_confidence="subject", rescale_sigma="global",
-                min_max_dir=min_max_dir)
+                min_max_dir=min_max_dir, mesh=mesh)
         if action is not None:
             actions.append(action)
     return actions

@@ -70,8 +70,15 @@ class WriteCsvHook(EvalHook):
             self.entries = list(results.keys())
         if self.header is None:
             self.header = ["test_id", "subject_name"] + self.entries
+        missing = [e for e in self.entries if e not in results]
+        if missing:
+            # a dropped entry would silently shift every later column of the
+            # row against the header — fail loudly instead
+            raise KeyError(
+                f"subject '{subject_name}' is missing result entries {missing} "
+                f"required by the CSV header of {self.file_path}")
         self.rows.append([run_id, subject_name]
-                         + [results[e] for e in self.entries if e in results])
+                         + [results[e] for e in self.entries])
 
     def on_run_end(self, results_history: dict, run_id: str):
         os.makedirs(os.path.dirname(self.file_path), exist_ok=True)

@@ -109,18 +109,21 @@ def _correction_from_counts(counts):
 
 
 @jax.jit
-def correction_eval(prediction, target, uncertainty, thresholds):
+def correction_eval(prediction, target, uncertainty, thresholds, weight=None):
     """Correction analysis for a whole vector of thresholds in one device pass.
 
     Returns a dict of arrays shaped (len(thresholds),) with exactly the result
     entries of reference eval.py:176-226 (uncertainty is compared with ``>``).
+    ``weight`` marks which voxels exist (0 excludes, e.g. pad voxels added for
+    even sharding across a device mesh); semantics are unchanged when None.
     """
     p = prediction.reshape(-1).astype(jnp.bool_)
     t = target.reshape(-1).astype(jnp.bool_)
     u = uncertainty.reshape(-1).astype(jnp.float32)
+    w = weight.reshape(-1) if weight is not None else None
 
     def one(threshold):
-        counts = uncertainty_counts(p, t, u > threshold)
+        counts = uncertainty_counts(p, t, u > threshold, w)
         return _correction_from_counts(counts)
 
     return jax.vmap(one)(jnp.asarray(thresholds, jnp.float32))

@@ -26,7 +26,7 @@ import numpy as np
 from rcu_tpu.engine import checkpoint as ckpt_lib
 from rcu_tpu.engine import config as cfg_lib
 from rcu_tpu.engine import steps as steps_lib
-from rcu_tpu.engine.state import TrainState, create_train_state
+from rcu_tpu.engine.state import create_train_state
 from rcu_tpu.engine.test import TestLoop
 from rcu_tpu.engine.train import TrainLoop
 from rcu_tpu.models import get_model, get_optimizer
@@ -76,11 +76,44 @@ def _binary_target(info: dict) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# per-dataset validation metrics (which checkpoint becomes "best" depends on
+# these, so each matches its reference train script exactly)
+# ---------------------------------------------------------------------------
+
+def isic_eval_subject_fn(subject_data: dict, info: dict):
+    """ISIC validation: SmoothDice('dice') of the argmax + Nll on the
+    probabilities (reference bin-dl/isic_train_default.py:57-74)."""
+    probabilities = subject_data["probabilities"]
+    prediction = np.argmax(probabilities, axis=-1)
+    target = _binary_target(info)
+    sdice = float(np.asarray(metrics_lib.smooth_dice(prediction, target)))
+    nll = float(np.asarray(metrics_lib.nll(probabilities, target)))
+    return {"dice": sdice, "nll": nll}, sdice
+
+
+def dice_eval_subject_fn(subject_data: dict, info: dict):
+    """Dice-only validation (reference stock EvalSubjectStep, steps.py:117-132;
+    used by bin-dl/brats_train_aleatoric.py:43)."""
+    prediction = np.argmax(subject_data["probabilities"], axis=-1)
+    dice = float(np.asarray(metrics_lib.dice(prediction, _binary_target(info))))
+    return {"dice": dice}, dice
+
+
+def isic_smooth_dice_eval_subject_fn(subject_data: dict, info: dict):
+    """SmoothDice-only validation (reference bin-dl/isic_train_aleatoric.py:103)."""
+    prediction = np.argmax(subject_data["probabilities"], axis=-1)
+    sdice = float(np.asarray(metrics_lib.smooth_dice(prediction,
+                                                     _binary_target(info))))
+    return {"dice": sdice}, sdice
+
+
+# ---------------------------------------------------------------------------
 # default (baseline / center / cv / ensemble members)
 # ---------------------------------------------------------------------------
 
-def train_default(config: cfg_lib.TrainConfiguration, mesh=None) -> TrainLoop:
-    return TrainLoop(config, mesh=mesh).run()
+def train_default(config: cfg_lib.TrainConfiguration, mesh=None,
+                  eval_subject_fn=None) -> TrainLoop:
+    return TrainLoop(config, mesh=mesh, eval_subject_fn=eval_subject_fn).run()
 
 
 def test_default(config: cfg_lib.TestConfiguration, mesh=None,
@@ -88,7 +121,7 @@ def test_default(config: cfg_lib.TestConfiguration, mesh=None,
     mc = int(config.others.get("mc") or 0)
     if mc:
         model = _load_test_model(config)
-        predict = steps_lib.make_mc_predict_fn(model, mc)
+        predict = steps_lib.make_mc_predict_fn(model, mc, mesh=mesh)
         return TestLoop(config, predict_fn=predict, model=model,
                         entries=("probabilities",), needs_rng=True, mesh=mesh,
                         symlink_inputs=symlink_inputs).run()
@@ -105,22 +138,26 @@ def _require_log_sigma(config) -> bool:
     return bool(config.others["is_log_sigma"])
 
 
-def train_aleatoric(config: cfg_lib.TrainConfiguration, mesh=None) -> TrainLoop:
+def train_aleatoric(config: cfg_lib.TrainConfiguration, mesh=None,
+                    eval_subject_fn=None) -> TrainLoop:
     is_log_sigma = _require_log_sigma(config)
     model = get_model(config.model.type, config.model.params)
     optimizer = get_optimizer(config.optimizer.type, config.optimizer.params)
     train_step = steps_lib.make_train_step(model, optimizer,
                                            loss_kind="aleatoric",
                                            is_log_sigma=is_log_sigma)
+    # reference validates aleatoric runs with dice only (brats_train_aleatoric
+    # .py:43 uses the stock EvalSubjectStep)
     return TrainLoop(config, model=model, optimizer=optimizer,
-                     train_step=train_step, mesh=mesh).run()
+                     train_step=train_step, mesh=mesh,
+                     eval_subject_fn=eval_subject_fn or dice_eval_subject_fn).run()
 
 
 def test_aleatoric(config: cfg_lib.TestConfiguration, mesh=None,
                    symlink_inputs: bool = False) -> TestLoop:
     is_log_sigma = _require_log_sigma(config)
     model = _load_test_model(config)
-    predict = steps_lib.make_aleatoric_predict_fn(model, is_log_sigma)
+    predict = steps_lib.make_aleatoric_predict_fn(model, is_log_sigma, mesh=mesh)
     return TestLoop(config, predict_fn=predict, model=model,
                     entries=("probabilities", "sigma"), mesh=mesh,
                     symlink_inputs=symlink_inputs).run()
@@ -157,18 +194,18 @@ def test_ensemble(config: cfg_lib.TestConfiguration, mesh=None,
     stacked_params = jax.tree_util.tree_map(stack, *[m[0] for m in members])
     stacked_stats = jax.tree_util.tree_map(stack, *[m[1] for m in members])
 
-    ensemble_predict = steps_lib.make_ensemble_predict_fn(model)
+    ensemble_predict = steps_lib.make_ensemble_predict_fn(model, mesh=mesh)
 
     def predict(params, batch_stats, batch):
         return ensemble_predict(stacked_params, stacked_stats, batch)
 
-    dummy_state = TrainState(params={}, batch_stats={}, opt_state=None,
-                             epoch=np.int32(0), best_score=np.float32(0))
-    if not config.model_dir:
-        config.model_dir = all_dirs[0][0]
+    # anchor the test run dir under the first member's train dir when the
+    # config names no primary model (reference default, context.py:276-284)
+    anchor = config.model_dir or all_dirs[0][0]
     return TestLoop(config, predict_fn=predict, model=model,
                     entries=("probabilities", "entropy"),
-                    state_override=dummy_state, mesh=mesh,
+                    external_state=True, mesh=mesh,
+                    run_dir_base=os.path.join(os.path.dirname(anchor), "test"),
                     symlink_inputs=symlink_inputs).run()
 
 
@@ -184,10 +221,10 @@ def _aux_feat_eval_subject_fn(subject_data: dict, info: dict):
     target = (net_predictions.astype(np.uint8) != _binary_target(info))
     prediction = np.argmax(probabilities, axis=-1)
     dice = float(np.asarray(metrics_lib.dice(prediction, target)))
-    logloss = float(np.asarray(metrics_lib.log_loss(
+    ce = float(np.asarray(metrics_lib.log_loss(
         probabilities.reshape(-1, probabilities.shape[-1]),
         target.astype(np.uint8))))
-    return {"dice": dice, "logloss": logloss}, dice
+    return {"dice": dice, "ce": ce}, dice
 
 
 def _aux_feat_test_eval_fn(subject_data: dict, info: dict) -> dict:
@@ -227,7 +264,7 @@ def train_auxiliary_feat(config: cfg_lib.TrainConfiguration, mesh=None) -> Train
     optimizer = get_optimizer(config.optimizer.type, config.optimizer.params)
     train_step = steps_lib.make_auxiliary_train_step(post_model, optimizer,
                                                      segm_model=segm_model)
-    aux_predict = steps_lib.make_auxiliary_feat_predict_fn(segm_model, post_model)
+    aux_predict = steps_lib.make_auxiliary_feat_predict_fn(segm_model, post_model, mesh=mesh)
 
     def predict(params, batch_stats, batch):
         return aux_predict(segm_params, segm_stats, params, batch_stats, batch)
@@ -244,7 +281,7 @@ def test_auxiliary_feat(config: cfg_lib.TestConfiguration, mesh=None,
                         symlink_inputs: bool = False) -> TestLoop:
     segm_model, segm_params, segm_stats = _frozen_segm_from_others(config.others)
     post_model = _load_test_model(config)
-    aux_predict = steps_lib.make_auxiliary_feat_predict_fn(segm_model, post_model)
+    aux_predict = steps_lib.make_auxiliary_feat_predict_fn(segm_model, post_model, mesh=mesh)
 
     def predict(params, batch_stats, batch):
         return aux_predict(segm_params, segm_stats, params, batch_stats, batch)
@@ -261,7 +298,8 @@ def test_auxiliary_feat(config: cfg_lib.TestConfiguration, mesh=None,
 # ---------------------------------------------------------------------------
 
 def _aux_segm_eval_subject_fn(subject_data: dict, info: dict):
-    """Dice of the error-net prediction vs (baseline_pred != gt)."""
+    """Dice + ce of the error-net prediction vs (baseline_pred != gt)
+    (reference brats_train_auxiliary_segm.py:106 — DiceNumpy + LogLossSklearn)."""
     probabilities = subject_data["probabilities"]
     labels = np.squeeze(np.asarray(info["labels"]))
     gt = (labels[..., 0] > 0.5).astype(np.uint8)
@@ -269,7 +307,10 @@ def _aux_segm_eval_subject_fn(subject_data: dict, info: dict):
     target = baseline != gt
     prediction = np.argmax(probabilities, axis=-1)
     dice = float(np.asarray(metrics_lib.dice(prediction, target)))
-    return {"dice": dice}, dice
+    ce = float(np.asarray(metrics_lib.log_loss(
+        probabilities.reshape(-1, probabilities.shape[-1]),
+        target.astype(np.uint8))))
+    return {"dice": dice, "ce": ce}, dice
 
 
 def _aux_segm_artifact_fn(loop: TestLoop, subject: str, subject_data: dict,
@@ -292,7 +333,7 @@ def train_auxiliary_segm(config: cfg_lib.TrainConfiguration, mesh=None) -> Train
     optimizer = get_optimizer(config.optimizer.type, config.optimizer.params)
     train_step = steps_lib.make_auxiliary_train_step(model, optimizer,
                                                      segm_model=None)
-    predict = steps_lib.make_auxiliary_segm_predict_fn(model)
+    predict = steps_lib.make_auxiliary_segm_predict_fn(model, mesh=mesh)
     return TrainLoop(config, model=model, optimizer=optimizer,
                      train_step=train_step, predict_fn=predict,
                      eval_subject_fn=_aux_segm_eval_subject_fn,
@@ -302,7 +343,7 @@ def train_auxiliary_segm(config: cfg_lib.TrainConfiguration, mesh=None) -> Train
 def test_auxiliary_segm(config: cfg_lib.TestConfiguration, mesh=None,
                         symlink_inputs: bool = False) -> TestLoop:
     model = _load_test_model(config)
-    predict = steps_lib.make_auxiliary_segm_predict_fn(model)
+    predict = steps_lib.make_auxiliary_segm_predict_fn(model, mesh=mesh)
     return TestLoop(config, predict_fn=predict, model=model,
                     entries=("probabilities",),
                     eval_subject_fn=lambda sd, info:

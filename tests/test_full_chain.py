@@ -15,6 +15,8 @@ from rcu_tpu.data import split as split_lib
 from rcu_tpu.eval import actions as act_lib
 from rcu_tpu.eval import analysis, evaldata
 
+pytestmark = pytest.mark.slow
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -12,6 +12,8 @@ from rcu_tpu.data import nifti
 from rcu_tpu.data.isic import IsicFolderDataset
 from rcu_tpu.engine import config as cfg_lib
 
+pytestmark = pytest.mark.slow
+
 H, W = 32, 48  # small stand-in for 192x256
 
 

@@ -2,10 +2,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rcu_tpu.engine import steps as steps_lib
 from rcu_tpu.engine.state import create_train_state
 from rcu_tpu.models import get_model, get_optimizer
+
+pytestmark = pytest.mark.slow
 
 
 class TestMixedPrecision:

@@ -58,3 +58,51 @@ class TestPatchIndexing:
         # images are an arange: only the very first patch contains the 0 voxel,
         # and even it has nonzero entries -> everything kept
         assert len(kept) == 12
+
+
+class TestPatchHalo:
+    """pad= halo extraction (pymia PadDataExtractor equivalent,
+    reference factory.py:51-57): overlapping context windows, zero-filled at
+    volume borders, same grid/index layout."""
+
+    def test_interior_patch_gets_true_halo(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8), pad=(2, 3))
+        vol = ds.read_volume("s0", "images")
+        # index 2: z=0, gy=1 (rows 4:8), gx=0 (cols 0:8); halo rows 2:10, cols -3:11
+        p = idx.extract(ds, "s0", 2, "images")
+        assert p.shape == (4 + 4, 8 + 6, 1)
+        np.testing.assert_array_equal(p[:, 3:], vol[0, 2:10, 0:11])
+        np.testing.assert_array_equal(p[:, :3], 0)  # left halo off-volume
+
+    def test_corner_patch_zero_fills_all_sides(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8), pad=(1, 1))
+        vol = ds.read_volume("s0", "images")
+        p0 = idx.extract(ds, "s0", 0, "images")  # top-left corner
+        assert p0.shape == (6, 10, 1)
+        np.testing.assert_array_equal(p0[0], 0)       # top halo
+        np.testing.assert_array_equal(p0[:, 0], 0)    # left halo
+        np.testing.assert_array_equal(p0[1:6, 1:10], vol[0, 0:5, 0:9])
+
+    def test_grid_unchanged_by_pad(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        plain = indexing.PatchWiseIndexing((4, 8))
+        halo = indexing.PatchWiseIndexing((4, 8), pad=(2, 2))
+        assert plain.indices_for(ds, 0) == halo.indices_for(ds, 0)
+
+    def test_config_drivable(self):
+        from rcu_tpu.engine import databuild
+        from rcu_tpu.engine.config import ParametricNode
+        node = ParametricNode.parse({"patch": {"patch_shape": [4, 8],
+                                               "pad": [2, 3]}})
+        idx = databuild.build_indexing(node)
+        assert idx.patch_shape == (4, 8) and idx.pad == (2, 3)
+
+    def test_loader_static_shapes_with_halo(self, tmp_path):
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8), pad=(1, 2))
+        items = indexing.all_indices(ds, idx)
+        ld = loader.SliceBatchLoader(ds, items, batch_size=5, indexing=idx)
+        for b in ld:
+            assert b["images"].shape == (5, 6, 12, 1)

@@ -11,6 +11,8 @@ from rcu_tpu.data.nifti import ImageProperties
 from rcu_tpu.data.split import save_split
 from rcu_tpu.engine import config as cfg_lib
 
+pytestmark = pytest.mark.slow
+
 
 def make_store(path, nb_subjects=3, nb_slices=2, hw=(16, 16), channels=2,
                label_channels=1, seed=3):
