@@ -49,9 +49,10 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _build(dtype: str = None, mesh=None):
-    """Model + replicated params + the jitted MC predict fn."""
+    """Model + (replicated) params + the one-dispatch fused volume program
+    (rcu_tpu.eval.pipeline: scan over slice batches + eval reductions)."""
     import jax.numpy as jnp
-    from rcu_tpu.engine import steps as steps_lib
+    from rcu_tpu.eval import pipeline
     from rcu_tpu.models import get_model
 
     kwargs = dict(nb_classes=2, in_channels=4, depth=4, start_filters=32,
@@ -74,20 +75,27 @@ def _build(dtype: str = None, mesh=None):
         device = jax.devices()[0]
         params = jax.device_put(variables["params"], device)
         batch_stats = jax.device_put(variables.get("batch_stats", {}), device)
-    predict = steps_lib.make_mc_predict_fn(model, MC_T, mesh=mesh)
-    return predict, params, batch_stats
+    fused = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL_SLICES,
+                                            mesh=mesh)
+    return fused, params, batch_stats, model
 
 
-def _flops_per_volume(predict, params, batch_stats, example_batch, key):
-    """Analytic forward FLOPs per volume from XLA's cost analysis."""
+def _flops_per_volume(model, params, batch_stats):
+    """Analytic forward FLOPs per volume: XLA cost analysis of ONE slice
+    batch's 21-forward MC program, times the batches per volume. (The fused
+    whole-volume program can't be used directly: cost_analysis counts a
+    lax.scan body once, not times its trip count.)"""
+    import jax.numpy as jnp
+    from rcu_tpu.engine import steps as steps_lib
     try:
-        compiled = predict.lower(params, batch_stats,
-                                 {"images": example_batch}, key).compile()
+        probe = steps_lib.make_mc_predict_fn(model, MC_T)
+        batch = {"images": jnp.zeros((BATCH, H, W, C), jnp.float32)}
+        compiled = probe.lower(params, batch_stats, batch,
+                               jax.random.PRNGKey(0)).compile()
         analysis = compiled.cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
-        flops_per_batch = float(analysis["flops"])
-        return flops_per_batch * (PAD_SLICES // BATCH)
+        return float(analysis["flops"]) * (PAD_SLICES // BATCH)
     except Exception:
         return None
 
@@ -102,40 +110,28 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from rcu_tpu.eval import kernels
-    from rcu_tpu.ops.uncertainty import correction_eval
-
-    predict, params, batch_stats = _build(dtype, mesh)
+    fused, params, batch_stats, model = _build(dtype, mesh)
 
     rng = np.random.RandomState(0)
-    volume = rng.rand(PAD_SLICES, H, W, C).astype(np.float32)
+    batched = rng.rand(PAD_SLICES // BATCH, BATCH, H, W, C).astype(np.float32)
     target = (rng.rand(VOL_SLICES, H, W) < 0.3).astype(np.uint8)
     mask = rng.rand(VOL_SLICES, H, W) < 0.8
     thresholds = jnp.asarray(THRESHOLDS, jnp.float32)
 
     if mesh is not None:
-        from rcu_tpu.parallel.mesh import batch_sharding
-        put = lambda x: jax.device_put(x, batch_sharding(mesh))  # noqa: E731
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rcu_tpu.parallel.mesh import DATA_AXIS
+        batched_d = jax.device_put(
+            batched, NamedSharding(mesh, P(None, DATA_AXIS)))
     else:
-        put = jax.device_put
-    n_batches = PAD_SLICES // BATCH
-    batches = [put(volume[i * BATCH:(i + 1) * BATCH]) for i in range(n_batches)]
+        batched_d = jax.device_put(batched)
     target_d = jax.device_put(target)
     mask_d = jax.device_put(mask)
 
     def one_volume(key):
-        fg_parts, ent_parts = [], []
-        for i, images in enumerate(batches):
-            out = predict(params, batch_stats, {"images": images},
-                          jax.random.fold_in(key, i))
-            fg_parts.append(out["probabilities"][..., 1])
-            ent_parts.append(out["entropy"])
-        fg = jnp.concatenate(fg_parts)[:VOL_SLICES]
-        ent = jnp.concatenate(ent_parts)[:VOL_SLICES] / jnp.log(2.0)
-        prediction = fg > 0.5
-        ece_out = kernels.calibration_bins(fg, target_d, prediction, mask_d)
-        corr = correction_eval(prediction, target_d, ent, thresholds)
-        return ece_out["ece"], corr["corrected_dice"]
+        out = fused(params, batch_stats, batched_d, target_d, mask_d,
+                    thresholds, key)
+        return out["ece"], out["correction"]["corrected_dice"]
 
     # warmup/compile; value fetch is the only reliable sync on the remote
     # (axon) backend — block_until_ready returns before remote execution ends
@@ -150,8 +146,8 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None):
         elapsed = time.perf_counter() - t0
         rates.append(VOL_SLICES * H * W / elapsed)
 
-    flops = _flops_per_volume(predict, params, batch_stats, batches[0],
-                              jax.random.PRNGKey(0))
+    flops = _flops_per_volume(model, params, batch_stats) if mesh is None \
+        else None
     return max(rates), sum(rates) / len(rates), flops, float(ece)
 
 

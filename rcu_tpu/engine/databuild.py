@@ -8,6 +8,16 @@ Differences by design (TPU-first, channels-last):
   (static shapes, ragged tail padded + masked);
 - the selection sampler's crc32 index cache is kept 1:1
   (data/indexing.calculate_or_load_indices).
+
+Extractor-registry mapping (reference factory.py:30-57 — every entry has a
+structural equivalent; none needs a dedicated class here):
+  names/subject  -> ``direct_subject_info`` / loader ``subject_index`` column
+  data           -> loader ``categories`` (all store categories by default)
+  selective      -> loader ``categories`` restricted to a subset
+  pad (recursion)-> ``PatchWiseIndexing(pad=...)`` halo extraction
+  shape/properties/files -> ``direct_subject_info`` / ``dataset.properties``
+  indexing       -> loader ``slice_index`` column (assembler metadata)
+  random         -> shuffled loader order (per-epoch reseeded)
 """
 from __future__ import annotations
 

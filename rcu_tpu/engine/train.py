@@ -78,8 +78,17 @@ class TrainLoop:
         self.model = model
         self.optimizer = optimizer
 
-        self.train_step = train_step if train_step is not None else \
-            steps_lib.make_train_step(model, optimizer)
+        if train_step is None:
+            if mesh is not None:
+                # explicit shardings: state replicated, batch data-sharded;
+                # XLA emits the gradient psum over ICI (parallel/mesh.py)
+                inner = steps_lib.make_train_step(model, optimizer,
+                                                  donate=False)
+                inner = getattr(inner, "__wrapped__", inner)
+                train_step = mesh_lib.shard_train_step(inner, mesh)
+            else:
+                train_step = steps_lib.make_train_step(model, optimizer)
+        self.train_step = train_step
         self.predict_fn = predict_fn if predict_fn is not None else \
             steps_lib.make_predict_fn(model, mesh=mesh)
         self.eval_subject_fn = eval_subject_fn or default_eval_subject_fn

@@ -1,0 +1,86 @@
+"""Fused whole-volume pipeline: T-sample MC-dropout inference + calibration/
+uncertainty eval as ONE jitted XLA program.
+
+The strategy/test loops compose per-batch predicts with the fused eval
+kernels (7+ dispatches per volume); this module compiles the entire
+volume-level workload — ``lax.scan`` over slice batches of the volume, then
+the calibration-bin and 11-threshold correction reductions — into a single
+program. One dispatch per volume means no host round-trips on the hot path
+(the remote-TPU tunnel makes per-dispatch latency expensive) and XLA can
+schedule the eval reductions to overlap the tail of the conv work.
+
+Reference semantics covered in one program: McPredictStep +
+MultiPredictionSummary (rechun/dl/customsteps.py), the normalized-entropy
+preparation (rechun/eval/analysis.py:201) and the EceCalibrationAction /
+CorrectionAction metric passes (bin-eval/eval_uncertainty.py:112-138,176-202).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rcu_tpu.ops import calibration as cal_ops
+from rcu_tpu.ops import metrics as metrics_ops
+from rcu_tpu.ops import uncertainty as u_ops
+
+
+def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
+                           vol_slices: int, mesh=None):
+    """One-dispatch (params, batch_stats, batched_volume, target, mask,
+    thresholds, rng) -> eval dict for a padded volume.
+
+    ``batched_volume`` is (n_batches, batch_size, H, W, C) — the true
+    ``vol_slices`` slices in row-major order followed by padding; target/mask
+    are (vol_slices, H, W). The per-batch PRNG schedule is
+    ``fold_in(rng, batch_index)``, identical to the composed per-batch path,
+    so outputs match it bitwise.
+
+    With ``mesh``, each scanned step's batch axis is sharded over the mesh's
+    data axis and the eval reductions run on the sharded outputs — the
+    whole-volume program stays a single dispatch across all chips.
+    """
+
+    def run(params, batch_stats, batched, target, mask, thresholds, rng):
+        n_batches = batched.shape[0]
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def one_batch(_, inp):
+            images, batch_index = inp
+            key = jax.random.fold_in(rng, batch_index)
+
+            # weight-scaling forward (the reference protocol's 21st forward,
+            # customsteps.py:23-25; kept so the workload stays comparable)
+            ws_out = model.apply(variables, images, train=False)
+            ws_fg = jax.nn.softmax(ws_out.logits, axis=-1)[..., 1]
+
+            def one_sample(sample_key):
+                out = model.apply(variables, images, train=False,
+                                  mc_dropout=True, rngs={"dropout": sample_key})
+                return jax.nn.softmax(out.logits, axis=-1)
+
+            mc_probs = jax.vmap(one_sample)(jax.random.split(key, mc_steps))
+            probabilities = jnp.mean(mc_probs, axis=0)
+            ent = metrics_ops.entropy(probabilities, axis=-1)
+            return None, (probabilities[..., 1], ent, ws_fg)
+
+        _, (fg, ent, ws_fg) = jax.lax.scan(
+            one_batch, None, (batched, jnp.arange(n_batches)))
+        fg = fg.reshape((-1,) + fg.shape[2:])[:vol_slices]
+        ent = ent.reshape((-1,) + ent.shape[2:])[:vol_slices] / jnp.log(2.0)
+        ws_fg = ws_fg.reshape((-1,) + ws_fg.shape[2:])[:vol_slices]
+        prediction = fg > 0.5
+
+        ece, bins = cal_ops.ece_binary_with_bins(fg, target, mask)
+        correction = u_ops.correction_eval(prediction, target, ent, thresholds)
+        return {"ece": ece, **bins, "correction": correction,
+                "fg": fg, "entropy": ent, "ws_fg": ws_fg}
+
+    if mesh is None:
+        return jax.jit(run)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rcu_tpu.parallel.mesh import DATA_AXIS
+    rep = NamedSharding(mesh, P())
+    # scan axis unsharded, each step's batch axis sharded over the data axis
+    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(run, in_shardings=(rep, rep, data, rep, rep, rep, rep),
+                   out_shardings=rep)

@@ -55,6 +55,34 @@ def shard_ensemble_train_step(vmapped_step, mesh: Mesh, donate: bool = True):
     )
 
 
+def shard_ensemble_predict_fn(model, mesh: Mesh, do_mi: bool = False,
+                              do_var: bool = False):
+    """EP x DP ensemble inference on a 2-D mesh: member params sharded over
+    'model', batches sharded over 'data'. Each device holds K/n_model member
+    replicas and computes their forwards on its batch shard; the member-mean
+    becomes an all-reduce over the 'model' axis (inserted by XLA). Replaces
+    the reference's sequential member loop (bin-dl/brats_test_ensemble.py:84-94)
+    at multi-chip scale; the member count must divide the 'model' axis."""
+    from rcu_tpu.engine.steps import multi_prediction_summary
+
+    member_sh = NamedSharding(mesh, P(MODEL_AXIS))
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def predict(stacked_params, stacked_batch_stats, batch):
+        images = batch["images"]
+
+        def one(params, batch_stats):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              images, train=False)
+            return jax.nn.softmax(out.logits, axis=-1)
+
+        member_probs = jax.vmap(one)(stacked_params, stacked_batch_stats)
+        return multi_prediction_summary(member_probs, do_mi, do_var)
+
+    return jax.jit(predict, in_shardings=(member_sh, member_sh, batch_sh),
+                   out_shardings=batch_sh)
+
+
 def train_ensemble_fused(configs, mesh: Mesh = None):
     """Train ALL ensemble members as one program (replaces K sequential
     reference jobs, config/train_ensemble/). Each member keeps its own

@@ -194,7 +194,13 @@ def test_ensemble(config: cfg_lib.TestConfiguration, mesh=None,
     stacked_params = jax.tree_util.tree_map(stack, *[m[0] for m in members])
     stacked_stats = jax.tree_util.tree_map(stack, *[m[1] for m in members])
 
-    ensemble_predict = steps_lib.make_ensemble_predict_fn(model, mesh=mesh)
+    from rcu_tpu.parallel import ensemble as ens_lib
+    if mesh is not None and ens_lib.MODEL_AXIS in mesh.axis_names:
+        # 2-D model x data mesh: members sharded over 'model' (EP), batches
+        # over 'data' (DP) — one program across all chips
+        ensemble_predict = ens_lib.shard_ensemble_predict_fn(model, mesh)
+    else:
+        ensemble_predict = steps_lib.make_ensemble_predict_fn(model, mesh=mesh)
 
     def predict(params, batch_stats, batch):
         return ensemble_predict(stacked_params, stacked_stats, batch)

@@ -73,6 +73,21 @@ class TestMeshEquivalence:
         assert mesh_lib.pad_batch_size_to_mesh(16, mesh) == 16
 
 
+class TestMeshTraining:
+    def test_train_loop_with_mesh_end_to_end(self, tmp_path):
+        """TrainLoop(mesh): explicit sharded train step + sharded validation
+        predict; checkpoints land and a mesh test run consumes them."""
+        store = make_store(str(tmp_path / "ds.h5"))
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        mesh = mesh_lib.make_mesh()
+        loop = strategies.train_default(
+            base_train_cfg(tmp_path, store, split_file, name="mesh_train"),
+            mesh=mesh)
+        assert loop.best_score is not None
+        assert ckpt_lib.find_best_checkpoint_epoch(loop.model_files) is not None
+
+
 class TestMeshInference:
     def test_test_loop_with_mesh(self, tmp_path):
         """TestLoop with a mesh: batches land pre-sharded; outputs assemble."""
@@ -268,6 +283,48 @@ class TestFusedEnsemble:
         solo_state, solo_metrics = raw(states[0], batches[0], rngs[0])
         np.testing.assert_allclose(float(np.asarray(metrics["loss"])[0]),
                                    float(solo_metrics["loss"]), rtol=1e-5)
+
+    def test_ep_sharded_predict_matches_single_device(self):
+        """Members over 'model' x batch over 'data' == plain vmapped ensemble."""
+        model, optimizer = tiny_model()
+        states = [create_train_state(model, optimizer, (1, 16, 16, 2),
+                                     jax.random.PRNGKey(i)) for i in range(4)]
+        stacked = ens_lib.stack_states(states)
+        batch = tiny_batch(8)
+
+        plain = steps_lib.make_ensemble_predict_fn(model)
+        ref = plain(stacked.params, stacked.batch_stats, batch)
+
+        mesh = ens_lib.make_ensemble_mesh(2)  # 2 model x 4 data
+        sharded = ens_lib.shard_ensemble_predict_fn(model, mesh)
+        got = sharded(stacked.params, stacked.batch_stats, batch)
+        # the EP program tiles its convs differently from the single-device
+        # one, so f32 reduction reassociation shows up; with an untrained
+        # model logits sit near 0 where that noise is largest (observed
+        # ~7e-4 absolute). Assert tight agreement in the mean and bounded
+        # worst case — a member-count/psum bug would be orders larger.
+        for key in ("probabilities", "entropy"):
+            a, b = np.asarray(ref[key]), np.asarray(got[key])
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)
+            assert float(np.abs(a - b).mean()) < 2e-4, key
+
+    def test_ensemble_strategy_on_2d_mesh(self, tmp_path):
+        """test_ensemble with a model x data mesh goes through the EP path."""
+        store = make_store(str(tmp_path / "ds.h5"))
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        members = [strategies.train_default(
+            base_train_cfg(tmp_path, store, split_file, name=f"ep_m{k}"))
+            for k in range(2)]
+        tcfg = base_test_cfg(tmp_path, store, split_file,
+                             members[0].model_files.model_dir,
+                             others={"model_dir": [members[1].model_files.model_dir],
+                                     "test_at": "best"},
+                             name="ep_ens_test")
+        mesh = ens_lib.make_ensemble_mesh(2)
+        loop = strategies.test_ensemble(tcfg, mesh=mesh)
+        probs = glob.glob(os.path.join(loop.run_dir, "*_probabilities.nii.gz"))
+        assert len(probs) == 1
 
     def test_train_ensemble_fused_end_to_end(self, tmp_path):
         store = make_store(str(tmp_path / "ds.h5"), nb_subjects=4)

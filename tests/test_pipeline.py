@@ -1,0 +1,96 @@
+"""Fused whole-volume MC+eval program vs the composed per-batch path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rcu_tpu.engine import steps as steps_lib
+from rcu_tpu.engine.state import create_train_state
+from rcu_tpu.eval import kernels, pipeline
+from rcu_tpu.models import get_model, get_optimizer
+from rcu_tpu.ops.uncertainty import correction_eval
+from rcu_tpu.parallel import mesh as mesh_lib
+
+MC_T, BATCH, VOL, HW, CH = 3, 4, 7, 16, 2
+THRESHOLDS = np.asarray([0.05, 0.5, 0.95], np.float32)
+
+
+def setup():
+    model = get_model("unet", dict(nb_classes=2, in_channels=CH, depth=2,
+                                   start_filters=4, dropout=0.2))
+    optimizer = get_optimizer("adam", {"lr": 1e-3})
+    state = create_train_state(model, optimizer, (1, HW, HW, CH),
+                               jax.random.PRNGKey(0))
+    rng = np.random.RandomState(4)
+    pad = (-VOL) % BATCH
+    volume = rng.rand(VOL + pad, HW, HW, CH).astype(np.float32)
+    target = (rng.rand(VOL, HW, HW) > 0.5).astype(np.uint8)
+    mask = rng.rand(VOL, HW, HW) > 0.2
+    return model, state, volume, target, mask
+
+
+def composed_path(model, state, volume, target, mask, key):
+    """Per-batch MC predict + separate eval kernels (the loop the fused
+    program replaces), same fold_in key schedule."""
+    predict = steps_lib.make_mc_predict_fn(model, MC_T)
+    n_batches = volume.shape[0] // BATCH
+    fg_parts, ent_parts = [], []
+    for i in range(n_batches):
+        images = volume[i * BATCH:(i + 1) * BATCH]
+        out = predict(state.params, state.batch_stats, {"images": images},
+                      jax.random.fold_in(key, i))
+        fg_parts.append(out["probabilities"][..., 1])
+        ent_parts.append(out["entropy"])
+    fg = jnp.concatenate(fg_parts)[:VOL]
+    ent = jnp.concatenate(ent_parts)[:VOL] / jnp.log(2.0)
+    prediction = fg > 0.5
+    ece_out = kernels.calibration_bins(fg, target, prediction, mask)
+    corr = correction_eval(prediction, target, ent, THRESHOLDS)
+    return ece_out, corr, fg, ent
+
+
+class TestFusedVolumePipeline:
+    def test_matches_composed_path(self):
+        model, state, volume, target, mask = setup()
+        key = jax.random.PRNGKey(21)
+        ece_out, corr, fg, ent = composed_path(model, state, volume, target,
+                                               mask, key)
+
+        fused = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL)
+        batched = volume.reshape(-1, BATCH, HW, HW, CH)
+        got = fused(state.params, state.batch_stats, batched, target, mask,
+                    THRESHOLDS, key)
+
+        np.testing.assert_allclose(np.asarray(got["fg"]), np.asarray(fg),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(got["ece"]), float(ece_out["ece"]),
+                                   rtol=1e-5)
+        for k in ("bins_count", "bins_avg_confidence"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ece_out[k]), rtol=1e-5)
+        for k in ("corrected_dice", "tpu", "fpu"):
+            np.testing.assert_allclose(np.asarray(got["correction"][k]),
+                                       np.asarray(corr[k]), rtol=1e-5)
+
+    def test_sharded_matches_single_device(self):
+        model, state, volume, target, mask = setup()
+        key = jax.random.PRNGKey(5)
+        batched = volume.reshape(-1, BATCH, HW, HW, CH)
+
+        single = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL)
+        ref = single(state.params, state.batch_stats, batched, target, mask,
+                     THRESHOLDS, key)
+
+        mesh = mesh_lib.make_mesh(n_devices=4)  # batch 4 shards over 4 devs
+        from rcu_tpu.parallel.inference import replicate_tree
+        rstate = replicate_tree(state, mesh)
+        sharded = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL,
+                                                  mesh=mesh)
+        got = sharded(rstate.params, rstate.batch_stats, batched, target,
+                      mask, THRESHOLDS, key)
+        np.testing.assert_allclose(float(ref["ece"]), float(got["ece"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref["fg"]),
+                                   np.asarray(got["fg"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(ref["correction"]["corrected_dice"]),
+            np.asarray(got["correction"]["corrected_dice"]), rtol=1e-5)
