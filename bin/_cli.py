@@ -28,6 +28,14 @@ def resolve_config(config_file, config_id, default_map: dict, default_id: str):
     return os.path.join(dirs.CONFIG_DIR, default_map[cid])
 
 
+def mesh_from_devices(devices):
+    """-devices N -> a 1-D data mesh over the first N devices (None -> no mesh)."""
+    if not devices or devices <= 1:
+        return None
+    from rcu_tpu.parallel import mesh as mesh_lib
+    return mesh_lib.make_mesh(n_devices=devices)
+
+
 def run_main(main_fn, description: str, with_config_id: bool = True):
     parser = argparse.ArgumentParser(description=description)
     parser.add_argument("-config_file", type=str, nargs="?",
@@ -35,12 +43,15 @@ def run_main(main_fn, description: str, with_config_id: bool = True):
     if with_config_id:
         parser.add_argument("-config_id", type=str, nargs="?",
                             help="config id resolving to a default yaml")
+    parser.add_argument("-devices", type=int, nargs="?", default=None,
+                        help="run sharded over the first N devices "
+                             "(default: single device)")
     args = parser.parse_args()
     try:
         if with_config_id:
-            main_fn(args.config_file, args.config_id)
+            main_fn(args.config_file, args.config_id, devices=args.devices)
         else:
-            main_fn(args.config_file)
+            main_fn(args.config_file, devices=args.devices)
     except Exception:
         logging.exception("")
         raise

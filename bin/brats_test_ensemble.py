@@ -10,12 +10,12 @@ import _cli
 DEFAULT_CONFIGS = {'ensemble': 'test_brats_ensemble.yaml'}
 
 
-def main(config_file, config_id=None):
+def main(config_file, config_id=None, devices=None):
     config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
                                       'ensemble')
     from rcu_tpu import strategies
     config = _cli.load_test_config(config_file)
-    return strategies.test_ensemble(config)
+    return strategies.test_ensemble(config, mesh=_cli.mesh_from_devices(devices))
 
 
 if __name__ == "__main__":

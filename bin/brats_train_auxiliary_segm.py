@@ -10,12 +10,12 @@ import _cli
 DEFAULT_CONFIGS = {'auxiliary_segm': 'train_brats_auxiliary_segm.yaml'}
 
 
-def main(config_file, config_id=None):
+def main(config_file, config_id=None, devices=None):
     config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
                                       'auxiliary_segm')
     from rcu_tpu import strategies
     config = _cli.load_train_config(config_file)
-    return strategies.train_auxiliary_segm(config)
+    return strategies.train_auxiliary_segm(config, mesh=_cli.mesh_from_devices(devices))
 
 
 if __name__ == "__main__":

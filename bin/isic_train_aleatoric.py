@@ -10,14 +10,14 @@ import _cli
 DEFAULT_CONFIGS = {'aleatoric': 'train_isic_aleatoric.yaml'}
 
 
-def main(config_file, config_id=None):
+def main(config_file, config_id=None, devices=None):
     config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
                                       'aleatoric')
     from rcu_tpu import strategies
     config = _cli.load_train_config(config_file)
     # ISIC aleatoric validates with SmoothDice only (isic_train_aleatoric.py:103)
     return strategies.train_aleatoric(
-        config, eval_subject_fn=strategies.isic_smooth_dice_eval_subject_fn)
+        config, mesh=_cli.mesh_from_devices(devices), eval_subject_fn=strategies.isic_smooth_dice_eval_subject_fn)
 
 
 if __name__ == "__main__":

@@ -10,12 +10,12 @@ import _cli
 DEFAULT_CONFIGS = {'auxiliary_feat': 'train_isic_auxiliary_feat.yaml'}
 
 
-def main(config_file, config_id=None):
+def main(config_file, config_id=None, devices=None):
     config_file = _cli.resolve_config(config_file, config_id, DEFAULT_CONFIGS,
                                       'auxiliary_feat')
     from rcu_tpu import strategies
     config = _cli.load_train_config(config_file)
-    return strategies.train_auxiliary_feat(config)
+    return strategies.train_auxiliary_feat(config, mesh=_cli.mesh_from_devices(devices))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,169 @@
+"""Direct one-pass test+eval: checkpoint -> per-volume fused MC inference +
+calibration/uncertainty eval, with NO intermediate NIfTI artifacts.
+
+The reference pipeline (and our contract-compatible one) stages through disk:
+``*_test_*`` writes per-subject NIfTIs, then ``eval_uncertainty`` re-reads
+them (bin-dl/brats_test_default.py -> bin-eval/eval_uncertainty.py). That
+round-trip costs two gzip passes plus a full host decode per subject. This
+module is the production path: each subject's volume streams through ONE
+jitted program (:func:`rcu_tpu.eval.pipeline.make_volume_mc_eval_fn` — 21
+forwards per slice batch + ECE bins + 11-threshold correction) and only the
+eval CSV rows come back to the host. CSV schemas are identical to the staged
+pipeline, so the analysis layer consumes the output unchanged.
+
+This has no reference counterpart — it exists because the fused TPU program
+makes the staging unnecessary.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import jax
+import numpy as np
+
+from rcu_tpu import directories as dirs
+from rcu_tpu.engine import checkpoint as ckpt_lib
+from rcu_tpu.engine import config as cfg_lib
+from rcu_tpu.engine import databuild
+from rcu_tpu.engine.state import create_train_state
+from rcu_tpu.eval import hooks as ev_hooks
+from rcu_tpu.eval.actions import CORRECTION_KEYS, _pyval
+from rcu_tpu.eval.pipeline import make_volume_mc_eval_fn
+from rcu_tpu.models import get_model, get_optimizer
+
+DEFAULT_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
+
+
+def _load_model_state(model_dir: str, test_at, input_shape):
+    mf = ckpt_lib.ModelFiles.from_model_dir(model_dir)
+    model_node, _ = ckpt_lib.load_model_parameters(mf)
+    model = get_model(model_node.type, model_node.params)
+    path = ckpt_lib.find_checkpoint_file(mf, test_at)
+    if path is None:
+        raise FileNotFoundError(f"no checkpoint '{test_at}' in {model_dir}")
+    optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
+    state = create_train_state(model, optimizer, input_shape)
+    raw = ckpt_lib.load_checkpoint(path)
+    from flax import serialization
+    restored = serialization.from_state_dict(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": raw["params"], "batch_stats": raw["batch_stats"]})
+    return model, restored["params"], restored["batch_stats"]
+
+
+def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
+                    run_id: str = "baseline", mc: int = None,
+                    thresholds=DEFAULT_THRESHOLDS, mesh=None,
+                    t2_channel: int = 3) -> dict:
+    """Run MC inference + eval for every test-split subject, one dispatch per
+    volume; write the ``eval_calibration_*`` and ``eval_uncertainty_*_th*``
+    CSV families into ``out_dir``. Returns the per-subject ECE dict.
+
+    ``t2_channel`` selects the image channel whose >0 support forms the
+    BraTS foreground mask (collector order flair/t1/t1ce/t2 -> 3); pass None
+    to evaluate unmasked (the ISIC convention).
+    """
+    mc = mc or int(config.others.get("mc") or 20)
+    subjects = None
+    if config.split:
+        from rcu_tpu.data.split import load_split
+        _, _, subjects = load_split(config.split, config.others.get("split_k"))
+    data = databuild.build_data(config.test_data, subjects=subjects,
+                                seed=config.seed)
+    dataset = data.dataset
+
+    first = dataset.subjects[0]
+    z, h, w = dataset.shape(first)[:3]
+    sample = dataset.read_slice(first, 0, "images")
+    in_ch = sample.shape[-1]
+    batch_size = config.test_data.batch_size
+
+    model, params, batch_stats = _load_model_state(
+        config.model_dir, config.test_at or "best", (1, h, w, in_ch))
+    if mesh is not None:
+        from rcu_tpu.parallel.inference import replicate_tree
+        params = replicate_tree(params, mesh)
+        batch_stats = replicate_tree(batch_stats, mesh)
+
+    thresholds_arr = np.asarray(thresholds, np.float32)
+    os.makedirs(out_dir, exist_ok=True)
+    calib_hook = ev_hooks.WriteBinsCsvHook(os.path.join(
+        out_dir, dirs.CALIBRATION_PLACEHOLDER.format(run_id)))
+    corr_hooks = []
+    for threshold in thresholds:
+        threshold_str = f"{threshold:.2f}".replace(".", "")
+        corr_hooks.append(ev_hooks.WriteCsvHook(os.path.join(
+            out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(run_id,
+                                                         threshold_str)), None))
+
+    def load_subject(subject):
+        volume = np.asarray(dataset.read_volume(subject, "images"), np.float32)
+        labels = np.squeeze(np.asarray(dataset.read_volume(subject, "labels")))
+        if labels.ndim > 3:
+            labels = labels[..., 0]
+        target = (labels > 0.5).astype(np.uint8)
+        mask = np.ones(target.shape, bool) if t2_channel is None \
+            else volume[..., t2_channel] > 0
+        nz = volume.shape[0]
+        pad = (-nz) % batch_size
+        if pad:
+            volume = np.concatenate(
+                [volume, np.zeros((pad,) + volume.shape[1:], volume.dtype)])
+        batched = volume.reshape((-1, batch_size) + volume.shape[1:])
+        return batched, target, mask, nz
+
+    # overlap the next subject's host H5 read with the current device pass
+    import concurrent.futures
+    pool = concurrent.futures.ThreadPoolExecutor(1, thread_name_prefix="direct")
+
+    fused_cache = {}
+    rng = jax.random.PRNGKey(config.seed)
+    eces = {}
+    names = list(dataset.subjects)
+    future = pool.submit(load_subject, names[0]) if names else None
+    for si, subject in enumerate(names):
+        t0 = time.time()
+        batched, target, mask, nz = future.result()
+        if si + 1 < len(names):
+            future = pool.submit(load_subject, names[si + 1])
+
+        key = (nz, batched.shape[0])
+        if key not in fused_cache:
+            fused_cache[key] = make_volume_mc_eval_fn(
+                model, mc, batch_size, nz, mesh=mesh)
+        out = fused_cache[key](params, batch_stats, batched, target, mask,
+                               thresholds_arr, jax.random.fold_in(rng, si))
+
+        calib_hook.on_subject({
+            "bins_count": np.asarray(out["bins_count"]).astype(np.int64),
+            "bins_avg_confidence": np.asarray(out["bins_avg_confidence"]),
+            "bins_positive_fraction": np.asarray(out["bins_positive_fraction"]),
+            "bins_non_zero": np.asarray(out["bins_non_zero"]),
+            "ece": float(out["ece"]),
+            "dice": float(np.asarray(  # dice of thresholded fg vs target
+                _dice(np.asarray(out["fg"]) > 0.5, target))),
+        }, subject, run_id)
+        corr = {k: np.asarray(v) for k, v in out["correction"].items()}
+        for ti, hook in enumerate(corr_hooks):
+            hook.on_subject({k: _pyval(k, corr[k][ti])
+                             for k in CORRECTION_KEYS}, subject, run_id)
+        eces[subject] = float(out["ece"])
+        logging.info("direct eval %s ece=%.5f (%.2fs)", subject,
+                     eces[subject], time.time() - t0)
+
+    pool.shutdown()
+    calib_hook.on_run_end({}, run_id)
+    for hook in corr_hooks:
+        hook.on_run_end({}, run_id)
+    return eces
+
+
+def _dice(prediction, target):
+    p = prediction.astype(bool)
+    t = target.astype(bool)
+    tp = float((p & t).sum())
+    fp = float((p & ~t).sum())
+    fn = float((~p & t).sum())
+    return 2 * tp / (2 * tp + fp + fn)

@@ -215,7 +215,8 @@ def _ref_subject_files(pred_dir, gt_dir):
     return out
 
 
-def _run_reference(ref_eval, artifacts, base_dir, run_id, confidence_entry):
+def _run_reference(ref_eval, artifacts, base_dir, run_id, confidence_entry,
+                   details="foreground"):
     tmp, gt_dir, pred_dir, split_file = artifacts
     entry = types.SimpleNamespace(id_=run_id, confidence_entry=confidence_entry,
                                   subject_files=_ref_subject_files(pred_dir,
@@ -224,7 +225,7 @@ def _run_reference(ref_eval, artifacts, base_dir, run_id, confidence_entry):
     # action-by-action: global rescale reads the minmax CSV at setup time
     for name in ("minmax", "ece_dice", "calib", "bnf_ue"):
         actions = ref_eval.get_actions([name], min_max_dir, base_dir,
-                                       "foreground")
+                                       details)
         for action in actions:
             action.setup_eval(entry)
             action.start_eval()
@@ -234,7 +235,8 @@ def _run_reference(ref_eval, artifacts, base_dir, run_id, confidence_entry):
             action.finish_eval()
 
 
-def _run_ours(artifacts, base_dir, run_id, confidence_entry):
+def _run_ours(artifacts, base_dir, run_id, confidence_entry,
+              details="foreground"):
     from rcu_tpu.eval import actions as act_lib
     from rcu_tpu.eval import analysis, evaldata
 
@@ -244,7 +246,7 @@ def _run_ours(artifacts, base_dir, run_id, confidence_entry):
     min_max_dir = os.path.join(base_dir, "minmax")
     for name in ("minmax", "ece_dice", "calib", "bnf_ue"):
         actions = act_lib.get_actions([name], min_max_dir, base_dir,
-                                      "foreground")
+                                      details)
         for action in actions:
             action.setup_eval(entry)
             action.start_eval()
@@ -304,4 +306,16 @@ class TestArtifactParity:
         ref_tree, got_tree = _csv_tree(ref_dir), _csv_tree(our_dir)
         names = set(ref_tree)
         assert any("globalrescale" in n for n in names)
+        _assert_tree_equal(ref_tree, got_tree)
+
+    def test_isic_style_details_match(self, ref_eval, artifacts, tmp_path):
+        """ISIC runs use ece_details='' (no fg mask, plain 'ece' dir,
+        eval_uncertainty.py:24-26); diff that family too."""
+        ref_dir = str(tmp_path / "ref_eval_isic")
+        our_dir = str(tmp_path / "our_eval_isic")
+        _run_reference(ref_eval, artifacts, ref_dir, "baseline",
+                       "probabilities", details="")
+        _run_ours(artifacts, our_dir, "baseline", "probabilities", details="")
+        ref_tree, got_tree = _csv_tree(ref_dir), _csv_tree(our_dir)
+        assert any(n.startswith("ece" + os.sep) for n in ref_tree)
         _assert_tree_equal(ref_tree, got_tree)

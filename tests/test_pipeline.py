@@ -94,3 +94,62 @@ class TestFusedVolumePipeline:
         np.testing.assert_allclose(
             np.asarray(ref["correction"]["corrected_dice"]),
             np.asarray(got["correction"]["corrected_dice"]), rtol=1e-5)
+
+
+class TestAuxPredictUnderMesh:
+    def test_aux_feat_sharded_matches_single_device(self):
+        segm = get_model("unet", dict(nb_classes=2, in_channels=CH, depth=2,
+                                      start_filters=4, dropout=0.1,
+                                      provide_features=True))
+        post = get_model("postnet", dict(in_channels=4, nb_classes=2))
+        opt = get_optimizer("adam", {"lr": 1e-3})
+        s_state = create_train_state(segm, opt, (1, HW, HW, CH),
+                                     jax.random.PRNGKey(0))
+        p_state = create_train_state(post, opt, (1, HW, HW, 4),
+                                     jax.random.PRNGKey(1))
+        batch = {"images": np.random.RandomState(2)
+                 .rand(8, HW, HW, CH).astype(np.float32)}
+
+        plain = steps_lib.make_auxiliary_feat_predict_fn(segm, post)
+        ref = plain(s_state.params, s_state.batch_stats,
+                    p_state.params, p_state.batch_stats, batch)
+
+        mesh = mesh_lib.make_mesh()
+        sharded = steps_lib.make_auxiliary_feat_predict_fn(segm, post,
+                                                           mesh=mesh)
+        got = sharded(s_state.params, s_state.batch_stats,
+                      p_state.params, p_state.batch_stats, batch)
+        for key in ("probabilities", "segm_probabilities", "confidence"):
+            np.testing.assert_allclose(np.asarray(ref[key]),
+                                       np.asarray(got[key]),
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestBf16EceParity:
+    def test_bf16_pipeline_ece_within_gate(self):
+        """bf16 compute dtype keeps the fused pipeline's ECE within the
+        BASELINE.json 1e-3 parity gate vs f32 on the same weights/keys."""
+        model_f32 = get_model("unet", dict(nb_classes=2, in_channels=CH,
+                                           depth=2, start_filters=4,
+                                           dropout=0.2))
+        model_bf16 = get_model("unet", dict(nb_classes=2, in_channels=CH,
+                                            depth=2, start_filters=4,
+                                            dropout=0.2, dtype="bfloat16"))
+        opt = get_optimizer("adam", {"lr": 1e-3})
+        state = create_train_state(model_f32, opt, (1, HW, HW, CH),
+                                   jax.random.PRNGKey(0))
+        rng = np.random.RandomState(7)
+        pad = (-VOL) % BATCH
+        volume = rng.rand(VOL + pad, HW, HW, CH).astype(np.float32)
+        batched = volume.reshape(-1, BATCH, HW, HW, CH)
+        target = (rng.rand(VOL, HW, HW) > 0.5).astype(np.uint8)
+        mask = rng.rand(VOL, HW, HW) > 0.2
+        key = jax.random.PRNGKey(3)
+
+        eces = {}
+        for name, model in (("f32", model_f32), ("bf16", model_bf16)):
+            fused = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL)
+            out = fused(state.params, state.batch_stats, batched, target,
+                        mask, THRESHOLDS, key)
+            eces[name] = float(out["ece"])
+        assert abs(eces["f32"] - eces["bf16"]) < 1e-3, eces
