@@ -19,7 +19,8 @@ if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
-def main(config_file, run_id=None, out_dir=None, devices=None):
+def main(config_file, run_id=None, out_dir=None, devices=None,
+         throughput=False):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -31,7 +32,8 @@ def main(config_file, run_id=None, out_dir=None, devices=None):
     run_id = run_id or config.test_name or "baseline"
     out_dir = out_dir or os.path.join(
         os.path.dirname(config.model_dir or "."), "eval_direct")
-    eces = evaluate_direct(config, out_dir, run_id=run_id, mesh=mesh)
+    eces = evaluate_direct(config, out_dir, run_id=run_id, mesh=mesh,
+                           subject_parallel=throughput)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -44,5 +46,10 @@ if __name__ == "__main__":
     parser.add_argument("-run_id", type=str, default=None)
     parser.add_argument("-out_dir", type=str, default=None)
     parser.add_argument("-devices", type=int, default=None)
+    parser.add_argument("-throughput", action="store_true",
+                        help="whole subjects round-robin across devices "
+                             "(fastest testset wall clock) instead of "
+                             "sharding each volume (fastest single answer)")
     args = parser.parse_args()
-    main(args.config_file, args.run_id, args.out_dir, args.devices)
+    main(args.config_file, args.run_id, args.out_dir, args.devices,
+         args.throughput)

@@ -24,9 +24,9 @@ def read_csv(path):
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("direct")
-    store = make_store(str(tmp_path / "ds.h5"), channels=4)
+    store = make_store(str(tmp_path / "ds.h5"), channels=4, nb_subjects=4)
     split_file = str(tmp_path / "split.json")
-    save_split(split_file, ["s00"], ["s01"], ["s02"])
+    save_split(split_file, ["s00"], ["s01"], ["s02", "s03"])
     cfg = base_train_cfg(tmp_path, store, split_file, name="direct_base",
                          model={"unet": {"depth": 2, "dropout": 0.2,
                                          "in_channels": 4, "nb_classes": 2,
@@ -48,7 +48,7 @@ class TestDirectEval:
         out_dir = str(tmp_path / "direct_out")
         eces = evaluate_direct(self._cfg(trained, "d1"), out_dir,
                                run_id="baseline", mc=3)
-        assert set(eces) == {"s02"}
+        assert set(eces) == {"s02", "s03"}
         files = sorted(os.listdir(out_dir))
         assert "eval_calibration_baseline.csv" in files
         assert sum(1 for f in files if f.startswith("eval_uncertainty")) == 11
@@ -56,28 +56,36 @@ class TestDirectEval:
         header, body = read_csv(os.path.join(out_dir,
                                              "eval_calibration_baseline.csv"))
         assert "bins_count_00" in header and header[-2:] == ["ece", "dice"]
-        assert len(body) == 1 and body[0][1] == "s02"
+        assert len(body) == 2 and body[0][1] == "s02"
 
         header, body = read_csv(os.path.join(
             out_dir, "eval_uncertainty_baseline_th050.csv"))
         assert list(header[2:]) == list(CORRECTION_KEYS)
-        assert len(body) == 1
+        assert len(body) == 2
 
-    def test_mesh_matches_single_device(self, trained, tmp_path):
+    def test_mesh_modes_match_single_device(self, trained, tmp_path):
+        """Latency (intra-volume sharding) AND throughput (subject-parallel)
+        modes produce the same CSVs as the single-device run."""
         single_dir = str(tmp_path / "direct_single")
-        mesh_dir = str(tmp_path / "direct_mesh")
         cfg = self._cfg(trained, "d2")
         evaluate_direct(cfg, single_dir, run_id="baseline", mc=3)
-        evaluate_direct(cfg, mesh_dir, run_id="baseline", mc=3,
-                        mesh=mesh_lib.make_mesh(n_devices=2))
-        for name in sorted(os.listdir(single_dir)):
-            h1, b1 = read_csv(os.path.join(single_dir, name))
-            h2, b2 = read_csv(os.path.join(mesh_dir, name))
-            assert h1 == h2, name
-            for r1, r2 in zip(b1, b2):
-                for v1, v2 in zip(r1, r2):
-                    try:
-                        np.testing.assert_allclose(float(v1), float(v2),
-                                                   rtol=1e-4, atol=1e-6)
-                    except ValueError:
-                        assert v1 == v2, (name, v1, v2)
+        modes = {
+            "latency": dict(mesh=mesh_lib.make_mesh(n_devices=2)),
+            "throughput": dict(mesh=mesh_lib.make_mesh(n_devices=2),
+                               subject_parallel=True),
+        }
+        for mode, kwargs in modes.items():
+            mode_dir = str(tmp_path / f"direct_{mode}")
+            evaluate_direct(cfg, mode_dir, run_id="baseline", mc=3, **kwargs)
+            for name in sorted(os.listdir(single_dir)):
+                h1, b1 = read_csv(os.path.join(single_dir, name))
+                h2, b2 = read_csv(os.path.join(mode_dir, name))
+                assert h1 == h2, (mode, name)
+                assert len(b1) == len(b2), (mode, name)
+                for r1, r2 in zip(b1, b2):
+                    for v1, v2 in zip(r1, r2):
+                        try:
+                            np.testing.assert_allclose(
+                                float(v1), float(v2), rtol=1e-4, atol=1e-6)
+                        except ValueError:
+                            assert v1 == v2, (mode, name, v1, v2)
