@@ -100,7 +100,8 @@ def _flops_per_volume(model, params, batch_stats):
         return None
 
 
-def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None):
+def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
+              need_flops: bool = True):
     """Returns (best_vox_per_sec, mean_vox_per_sec, flops_per_volume, ece)."""
     if n_timed_volumes is None:
         # tunnel throughput to the chip varies a lot; keep the default small
@@ -146,8 +147,8 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None):
         elapsed = time.perf_counter() - t0
         rates.append(VOL_SLICES * H * W / elapsed)
 
-    flops = _flops_per_volume(model, params, batch_stats) if mesh is None \
-        else None
+    flops = _flops_per_volume(model, params, batch_stats) \
+        if (need_flops and mesh is None) else None
     return max(rates), sum(rates) / len(rates), flops, float(ece)
 
 
@@ -196,7 +197,9 @@ def main():
 
     bf16_best = None
     try:
-        bf16_best, _, _, _ = bench_tpu(dtype="bfloat16")
+        # flops only matter for the f32 MFU figure; skipping the probe here
+        # saves a second 21-forward MC compile on a cold cache
+        bf16_best, _, _, _ = bench_tpu(dtype="bfloat16", need_flops=False)
     except Exception:
         pass
 

@@ -20,7 +20,7 @@ if REPO_ROOT not in sys.path:
 
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
-         throughput=False):
+         throughput=False, unmasked=False):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -33,7 +33,7 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
     out_dir = out_dir or os.path.join(
         os.path.dirname(config.model_dir or "."), "eval_direct")
     eces = evaluate_direct(config, out_dir, run_id=run_id, mesh=mesh,
-                           subject_parallel=throughput)
+                           subject_parallel=throughput, masked=not unmasked)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -50,6 +50,9 @@ if __name__ == "__main__":
                         help="whole subjects round-robin across devices "
                              "(fastest testset wall clock) instead of "
                              "sharding each volume (fastest single answer)")
+    parser.add_argument("-unmasked", action="store_true",
+                        help="skip the BraTS t2>0 foreground mask (the ISIC "
+                             "convention)")
     args = parser.parse_args()
     main(args.config_file, args.run_id, args.out_dir, args.devices,
-         args.throughput)
+         args.throughput, args.unmasked)

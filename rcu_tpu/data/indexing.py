@@ -64,11 +64,16 @@ class PatchWiseIndexing:
     ``(py + 2*pad_y, px + 2*pad_x)`` windows whose out-of-volume regions are
     zero-filled, while the patch *grid* (and thus the index count and the
     assembly layout) is unchanged — overlap lives only in the extracted data.
+    Like pymia (which wraps only the data extractor), the halo applies to the
+    ``pad_categories`` only — labels keep the bare ``patch_shape``, so the
+    consuming model must map the haloed input window back to the grid cell
+    (e.g. valid convolutions), exactly as with pymia's PadDataExtractor.
     """
 
-    def __init__(self, patch_shape, pad=(0, 0)):
+    def __init__(self, patch_shape, pad=(0, 0), pad_categories=("images",)):
         self.patch_shape = tuple(patch_shape)
         self.pad = tuple(pad)
+        self.pad_categories = tuple(pad_categories)
 
     def _grid(self, dataset, subject):
         z, y, x = dataset.shape(subject)[:3]
@@ -83,7 +88,7 @@ class PatchWiseIndexing:
     def extract(self, dataset, subject: str, index: int, category: str):
         _, grid_y, grid_x = self._grid(dataset, subject)
         py, px = self.patch_shape
-        hy, hx = self.pad
+        hy, hx = self.pad if category in self.pad_categories else (0, 0)
         zi, rest = divmod(index, grid_y * grid_x)
         gy, gx = divmod(rest, grid_x)
         plane = dataset.read_slice(subject, zi, category)
@@ -103,7 +108,7 @@ class PatchWiseIndexing:
 
     def __repr__(self):
         return (f"PatchWiseIndexing(patch_shape={self.patch_shape}, "
-                f"pad={self.pad})")
+                f"pad={self.pad}, pad_categories={self.pad_categories})")
 
 
 class NoneBlackSelection:

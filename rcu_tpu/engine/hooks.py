@@ -93,7 +93,9 @@ class TensorboardHook(TrainLoopHook):
         self._pending.append(dict(metrics))
 
     def on_training_end(self, loop, epoch, metrics_mean):
-        for metrics in self._pending:
+        import jax
+        fetched = jax.device_get(self._pending)  # ONE transfer for the epoch
+        for metrics in fetched:
             for k, v in metrics.items():
                 self.writer.add_scalar(f"train/{k}", float(v), self._step)
             self._step += 1

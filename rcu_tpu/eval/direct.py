@@ -56,14 +56,15 @@ def _load_model_state(model_dir: str, test_at, input_shape):
 def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     run_id: str = "baseline", mc: int = None,
                     thresholds=DEFAULT_THRESHOLDS, mesh=None,
-                    t2_channel: int = 3, subject_parallel: bool = False) -> dict:
+                    masked: bool = True, subject_parallel: bool = False) -> dict:
     """Run MC inference + eval for every test-split subject, one dispatch per
     volume; write the ``eval_calibration_*`` and ``eval_uncertainty_*_th*``
     CSV families into ``out_dir``. Returns the per-subject ECE dict.
 
-    ``t2_channel`` selects the image channel whose >0 support forms the
-    BraTS foreground mask (collector order flair/t1/t1ce/t2 -> 3); pass None
-    to evaluate unmasked (the ISIC convention).
+    ``masked=True`` applies the BraTS t2>0 head-support foreground mask,
+    derived from the RAW t2 source file recorded in the store's files
+    metadata (the stored channels are z-scored, so thresholding them would be
+    wrong); ``masked=False`` evaluates unmasked (the ISIC convention).
 
     Two multi-chip modes with a ``mesh``:
     - latency (default): each volume's work is sharded ACROSS the mesh —
@@ -72,6 +73,10 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
       individual mesh devices with params replicated per device; dispatches
       are async so all chips stay busy with zero cross-chip communication —
       fastest full-testset wall clock. Results are identical either way.
+
+    Native-2D datasets (image volume without a slice axis) run as one-slice
+    volumes. The config's transform pipeline is applied per subject, exactly
+    as the staged loader would.
     """
     mc = mc or int(config.others.get("mc") or 20)
     subjects = None
@@ -81,12 +86,14 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     data = databuild.build_data(config.test_data, subjects=subjects,
                                 seed=config.seed)
     dataset = data.dataset
+    transform = databuild.build_transform(config.test_data.transform)
 
-    first = dataset.subjects[0]
-    z, h, w = dataset.shape(first)[:3]
-    sample = dataset.read_slice(first, 0, "images")
-    in_ch = sample.shape[-1]
+    first_vol = np.asarray(dataset.read_volume(dataset.subjects[0], "images"))
+    is_2d = first_vol.ndim == 3  # (H, W, C) — no slice axis (ISIC)
+    h, w, in_ch = first_vol.shape[-3:]
     batch_size = config.test_data.batch_size
+    if is_2d:
+        batch_size = 1  # one image == one one-slice volume
 
     model, params, batch_stats = _load_model_state(
         config.model_dir, config.test_at or "best", (1, h, w, in_ch))
@@ -106,14 +113,39 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(run_id,
                                                          threshold_str)), None))
 
+    def foreground_mask(subject, shape):
+        """BraTS t2>0 head-support mask from the RAW source NIfTI recorded in
+        the store's files metadata (eval/analysis.py _get_t2_mask semantics).
+        The stored image channels are intensity-normalized, so thresholding
+        them would select 'above-mean' voxels, not the head region."""
+        from rcu_tpu.data import nifti
+        t2_path = (dataset.files(subject) or {}).get("images", {}).get("t2")
+        if not t2_path or not os.path.exists(t2_path):
+            raise ValueError(
+                f"subject '{subject}' has no raw t2 source file recorded in "
+                "the store, so the foreground mask cannot be derived (the "
+                "stored channels are z-scored). Pass masked=False to "
+                "evaluate unmasked, or rebuild the store with files metadata.")
+        arr, _ = nifti.read(t2_path)
+        return np.squeeze(np.asarray(arr)) > 0
+
     def load_subject(subject):
         volume = np.asarray(dataset.read_volume(subject, "images"), np.float32)
         labels = np.squeeze(np.asarray(dataset.read_volume(subject, "labels")))
+        if transform is not None:
+            out = transform({"images": volume, "labels": labels})
+            volume = np.asarray(out["images"], np.float32)
+            labels = np.squeeze(np.asarray(out["labels"]))
+        if is_2d:
+            volume = volume[None]  # (1, H, W, C)
+            if labels.ndim == 3 and labels.shape[-1] == 2:
+                labels = labels[..., 0]  # [gt, baseline-pred] channels
+            labels = labels[None] if labels.ndim == 2 else labels
         if labels.ndim > 3:
             labels = labels[..., 0]
         target = (labels > 0.5).astype(np.uint8)
-        mask = np.ones(target.shape, bool) if t2_channel is None \
-            else volume[..., t2_channel] > 0
+        mask = foreground_mask(subject, target.shape) if masked \
+            else np.ones(target.shape, bool)
         nz = volume.shape[0]
         pad = (-nz) % batch_size
         if pad:
@@ -208,4 +240,7 @@ def _dice(prediction, target):
     tp = float((p & t).sum())
     fp = float((p & ~t).sum())
     fn = float((~p & t).sum())
-    return 2 * tp / (2 * tp + fp + fn)
+    den = 2 * tp + fp + fn
+    # 0/0 -> NaN like the device-side dice_from_counts (a plain python
+    # ZeroDivisionError here would discard every buffered CSV row)
+    return 2 * tp / den if den else float("nan")

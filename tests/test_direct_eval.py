@@ -1,4 +1,4 @@
-"""Direct one-pass test+eval: CSV families, schema, and mesh equality."""
+"""Direct one-pass test+eval: CSV families, schema, masking, mesh equality."""
 import csv
 import os
 
@@ -6,13 +6,18 @@ import numpy as np
 import pytest
 
 from rcu_tpu import strategies
+from rcu_tpu.data import h5, nifti
+from rcu_tpu.data.nifti import ImageProperties
 from rcu_tpu.data.split import save_split
 from rcu_tpu.eval.actions import CORRECTION_KEYS
 from rcu_tpu.eval.direct import evaluate_direct
 from rcu_tpu.parallel import mesh as mesh_lib
-from tests.test_strategies import base_test_cfg, base_train_cfg, make_store
+from tests.test_strategies import base_test_cfg, base_train_cfg
 
 pytestmark = pytest.mark.slow
+
+HW = (16, 16)
+SLICES = 2
 
 
 def read_csv(path):
@@ -21,10 +26,34 @@ def read_csv(path):
     return rows[0], rows[1:]
 
 
+def make_store_with_files(tmp_path, nb_subjects=4):
+    """H5 store whose files metadata points at real raw t2 NIfTIs (the
+    foreground-mask source — stored channels are normalized in production)."""
+    rng = np.random.RandomState(3)
+    raw_dir = tmp_path / "raw"
+    raw_dir.mkdir(exist_ok=True)
+    path = str(tmp_path / "ds.h5")
+    with h5.DatasetWriter(path) as w:
+        for i in range(nb_subjects):
+            name = f"s{i:02d}"
+            gt = np.zeros((SLICES, *HW), np.uint8)
+            gt[:, 4:12, 4:12] = 1
+            images = rng.rand(SLICES, *HW, 4).astype(np.float32) * 0.1
+            images[..., 0] += gt
+            t2_raw = rng.rand(SLICES, *HW).astype(np.float32)
+            t2_raw[t2_raw < 0.3] = 0.0  # real zero background support
+            t2_path = str(raw_dir / f"{name}_t2.nii.gz")
+            nifti.write(t2_raw, t2_path)
+            w.add_subject(name, {"images": images, "labels": gt},
+                          props=ImageProperties(size=(HW[1], HW[0], SLICES)),
+                          files={"images": {"t2": t2_path}})
+    return path
+
+
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     tmp_path = tmp_path_factory.mktemp("direct")
-    store = make_store(str(tmp_path / "ds.h5"), channels=4, nb_subjects=4)
+    store = make_store_with_files(tmp_path)
     split_file = str(tmp_path / "split.json")
     save_split(split_file, ["s00"], ["s01"], ["s02", "s03"])
     cfg = base_train_cfg(tmp_path, store, split_file, name="direct_base",
@@ -47,7 +76,7 @@ class TestDirectEval:
     def test_csv_families_and_schema(self, trained, tmp_path):
         out_dir = str(tmp_path / "direct_out")
         eces = evaluate_direct(self._cfg(trained, "d1"), out_dir,
-                               run_id="baseline", mc=3)
+                               run_id="baseline", mc=3, masked=False)
         assert set(eces) == {"s02", "s03"}
         files = sorted(os.listdir(out_dir))
         assert "eval_calibration_baseline.csv" in files
@@ -63,12 +92,37 @@ class TestDirectEval:
         assert list(header[2:]) == list(CORRECTION_KEYS)
         assert len(body) == 2
 
+    def test_masked_uses_raw_t2_support(self, trained, tmp_path):
+        """masked=True must derive the fg mask from the RAW t2 file, not the
+        (normalized) stored channel — masked vs unmasked ECE differ when the
+        t2 support excludes voxels."""
+        out_m = str(tmp_path / "direct_masked")
+        out_u = str(tmp_path / "direct_unmasked")
+        cfg = self._cfg(trained, "dm")
+        em = evaluate_direct(cfg, out_m, run_id="baseline", mc=3, masked=True)
+        eu = evaluate_direct(cfg, out_u, run_id="baseline", mc=3, masked=False)
+        assert set(em) == set(eu)
+        assert any(abs(em[s] - eu[s]) > 1e-9 for s in em)
+
+    def test_masked_requires_files_metadata(self, trained, tmp_path):
+        from tests.test_strategies import make_store
+        store = make_store(str(tmp_path / "nofiles.h5"), channels=4)
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        _, _, _, loop = trained
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            loop.model_files.model_dir,
+                            others={"mc": 3}, name="nf")
+        cfg.test_data.batch_size = 2
+        with pytest.raises(ValueError, match="raw t2 source file"):
+            evaluate_direct(cfg, str(tmp_path / "nf_out"), mc=3, masked=True)
+
     def test_mesh_modes_match_single_device(self, trained, tmp_path):
         """Latency (intra-volume sharding) AND throughput (subject-parallel)
         modes produce the same CSVs as the single-device run."""
         single_dir = str(tmp_path / "direct_single")
         cfg = self._cfg(trained, "d2")
-        evaluate_direct(cfg, single_dir, run_id="baseline", mc=3)
+        evaluate_direct(cfg, single_dir, run_id="baseline", mc=3, masked=False)
         modes = {
             "latency": dict(mesh=mesh_lib.make_mesh(n_devices=2)),
             "throughput": dict(mesh=mesh_lib.make_mesh(n_devices=2),
@@ -76,7 +130,8 @@ class TestDirectEval:
         }
         for mode, kwargs in modes.items():
             mode_dir = str(tmp_path / f"direct_{mode}")
-            evaluate_direct(cfg, mode_dir, run_id="baseline", mc=3, **kwargs)
+            evaluate_direct(cfg, mode_dir, run_id="baseline", mc=3,
+                            masked=False, **kwargs)
             for name in sorted(os.listdir(single_dir)):
                 h1, b1 = read_csv(os.path.join(single_dir, name))
                 h2, b2 = read_csv(os.path.join(mode_dir, name))
@@ -89,3 +144,49 @@ class TestDirectEval:
                                 float(v1), float(v2), rtol=1e-4, atol=1e-6)
                         except ValueError:
                             assert v1 == v2, (mode, name, v1, v2)
+
+    def test_2d_dataset_runs(self, trained, tmp_path):
+        """Native-2D (ISIC-style) folder dataset: one-slice volumes, the
+        config transform applied, unmasked eval."""
+        from PIL import Image
+        tmp0, store, split_file, loop = trained
+        # collector layout: <root>_Data / <root>_Part1_GroundTruth siblings
+        data_root = tmp_path / "ISIC-2017_Test_v2"
+        img_dir = tmp_path / "ISIC-2017_Test_v2_Data"
+        gt_dir = tmp_path / "ISIC-2017_Test_v2_Part1_GroundTruth"
+        img_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        names = []
+        for i in range(2):
+            name = f"ISIC_{i:07d}"
+            names.append(name)
+            arr = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(str(img_dir / f"{name}.jpg"))
+            gt = (rng.rand(16, 16) > 0.5).astype(np.uint8) * 255
+            Image.fromarray(gt).save(
+                str(gt_dir / f"{name}_segmentation.png"))
+        split2 = str(tmp_path / "isic_split.json")
+        save_split(split2, [], [], names)
+        # model trained on 4 channels won't fit 3-channel ISIC images; train a
+        # tiny 3-channel model instead
+        from tests.test_strategies import make_store
+        store3 = make_store(str(tmp_path / "s3.h5"), channels=3)
+        split3 = str(tmp_path / "s3_split.json")
+        save_split(split3, ["s00"], ["s01"], ["s02"])
+        mloop = strategies.train_default(base_train_cfg(
+            tmp_path, store3, split3, name="m3",
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 3,
+                            "nb_classes": 2, "start_filters": 4}}))
+        cfg = base_test_cfg(tmp_path, str(data_root), split2,
+                            mloop.model_files.model_dir,
+                            others={"mc": 2}, name="isic_direct")
+        cfg.test_data.transform = [
+            {"rescale": {"lower": 0.0, "upper": 1.0, "entries": ["images"]}}]
+        out_dir = str(tmp_path / "isic_direct_out")
+        eces = evaluate_direct(cfg, out_dir, run_id="baseline", mc=2,
+                               masked=False)
+        assert set(eces) == set(names)
+        header, body = read_csv(os.path.join(out_dir,
+                                             "eval_calibration_baseline.csv"))
+        assert len(body) == 2
