@@ -69,8 +69,88 @@ class SubjectAssembler:
         return bufs
 
     def flush(self):
-        """Remaining partially-filled subjects (end-of-loop safety)."""
+        """Report and DROP partially-filled subjects (end-of-loop safety);
+        the assembler is empty afterwards."""
         remaining = list(self._buffers.keys())
+        self._buffers.clear()
+        self._filled.clear()
+        self._ready = []
+        return remaining
+
+
+class PatchAssembler:
+    """Grid-patch -> volume reassembly for :class:`PatchWiseIndexing`.
+
+    Model outputs are bare ``patch_shape`` windows (any extraction halo is
+    consumed by the model — see PatchWiseIndexing); each is scattered into
+    its (z, gy, gx) grid cell, cropped to the volume extent at edges. A
+    subject is ready when every grid cell has arrived.
+    """
+
+    def __init__(self, dataset, indexing, entries=("probabilities",)):
+        self.dataset = dataset
+        self.indexing = indexing
+        self.entries = tuple(entries)
+        self._buffers = {}
+        self._filled = {}
+        self._ready = []
+
+    def _ensure_buffers(self, subject_idx: int, outputs: dict):
+        if subject_idx in self._buffers:
+            return
+        subject = self.dataset.subjects[subject_idx]
+        z, y, x = self.dataset.shape(subject)[:3]
+        bufs = {}
+        for entry in self.entries:
+            tail = np.asarray(outputs[entry]).shape[3:]  # beyond (B, py, px)
+            bufs[entry] = np.zeros((z, y, x) + tail,
+                                   np.asarray(outputs[entry]).dtype)
+        self._buffers[subject_idx] = bufs
+        self._filled[subject_idx] = set()
+
+    def add_batch(self, outputs: dict, subject_indices, patch_indices,
+                  valid=None):
+        outputs = {e: np.asarray(outputs[e]) for e in self.entries}
+        subject_indices = np.asarray(subject_indices)
+        patch_indices = np.asarray(patch_indices)
+        py, px = self.indexing.patch_shape
+        for b in range(subject_indices.shape[0]):
+            if valid is not None and not valid[b]:
+                continue
+            si = int(subject_indices[b])
+            code = int(patch_indices[b])
+            self._ensure_buffers(si, outputs)
+            if code in self._filled[si]:
+                continue
+            subject = self.dataset.subjects[si]
+            z, grid_y, grid_x = self.indexing._grid(self.dataset, subject)
+            zi, rest = divmod(code, grid_y * grid_x)
+            gy, gx = divmod(rest, grid_x)
+            _, y_max, x_max = self.dataset.shape(subject)[:3]
+            ny = min(py, y_max - gy * py)
+            nx = min(px, x_max - gx * px)
+            for entry in self.entries:
+                self._buffers[si][entry][zi, gy * py:gy * py + ny,
+                                         gx * px:gx * px + nx] = \
+                    outputs[entry][b][:ny, :nx]
+            self._filled[si].add(code)
+            if len(self._filled[si]) == z * grid_y * grid_x:
+                self._ready.append(si)
+
+    def subjects_ready(self):
+        ready, self._ready = self._ready, []
+        return ready
+
+    def get_assembled_subject(self, subject_idx: int) -> dict:
+        bufs = self._buffers.pop(subject_idx)
+        self._filled.pop(subject_idx, None)
+        return bufs
+
+    def flush(self):
+        """Report and DROP partially-filled subjects (end-of-loop safety)."""
+        remaining = list(self._buffers.keys())
+        self._buffers.clear()
+        self._filled.clear()
         self._ready = []
         return remaining
 
@@ -102,7 +182,8 @@ class Subject2dAssembler:
         return self._store.pop(subject_idx)
 
     def flush(self):
-        """Subjects stored but never drained (end-of-loop safety)."""
+        """Report and DROP subjects stored but never drained."""
         remaining = list(self._store.keys())
+        self._store.clear()
         self._ready = []
         return remaining

@@ -50,7 +50,14 @@ class SliceBatchLoader:
         """P4 host read parallelism (reference DataLoader(num_workers),
         common/trainloop/data.py:65-66) as a persistent thread pool: threads
         overlap H5 decode + transform numpy work across the batch. Order is
-        preserved (Executor.map), so batches are bit-identical to serial."""
+        preserved (Executor.map), so batches are bit-identical to serial.
+
+        num_workers mapping: the reference's ``num_workers: 1`` (one
+        background worker process) corresponds to the prefetch thread that
+        always wraps this loader; pool threads only engage for >= 2. Measured
+        on this image the pool is neutral (h5py's global lock serializes raw
+        reads; scripts/bench_loader.py) — it pays off when per-item transform
+        work dominates."""
         if self._pool is None and self.num_workers > 1:
             import concurrent.futures
             self._pool = concurrent.futures.ThreadPoolExecutor(

@@ -94,13 +94,21 @@ def _resolve_counts(sizes: Sequence, total: int) -> List[int]:
 
 
 def split_subjects(subjects: list, sizes: Sequence) -> tuple:
-    """Partition an already-ordered subject list into consecutive groups."""
+    """Partition an already-ordered subject list into consecutive groups.
+
+    A three-way split's last group is anchored to the END of the list (so
+    fractional rounding drops middle subjects, never test ones); a two-way
+    split is purely consecutive — both matching the replaced implementation.
+    """
     counts = _resolve_counts(sizes, len(subjects))
     groups, cursor = [], 0
     for n in counts[:-1]:
         groups.append(subjects[cursor:cursor + n])
         cursor += n
-    groups.append(subjects[len(subjects) - counts[-1]:])
+    if len(counts) == 3:
+        groups.append(subjects[len(subjects) - counts[-1]:])
+    else:
+        groups.append(subjects[cursor:cursor + counts[-1]])
     return tuple(groups)
 
 

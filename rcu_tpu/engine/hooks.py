@@ -83,23 +83,32 @@ class TensorboardHook(TrainLoopHook):
     per epoch so logging never forces a device round-trip inside the hot loop.
     """
 
-    def __init__(self, log_dir: str):
+    def __init__(self, log_dir: str, flush_every: int = 64):
         import tensorboardX
         self.writer = tensorboardX.SummaryWriter(log_dir)
+        self.flush_every = flush_every
         self._step = 0
         self._pending: typing.List[dict] = []
 
-    def on_training_batch_end(self, loop, epoch, batch_index, nb_batches, metrics):
-        self._pending.append(dict(metrics))
-
-    def on_training_end(self, loop, epoch, metrics_mean):
+    def _flush(self):
         import jax
-        fetched = jax.device_get(self._pending)  # ONE transfer for the epoch
+        fetched = jax.device_get(self._pending)  # one transfer per window
         for metrics in fetched:
             for k, v in metrics.items():
                 self.writer.add_scalar(f"train/{k}", float(v), self._step)
             self._step += 1
         self._pending.clear()
+
+    def on_training_batch_end(self, loop, epoch, batch_index, nb_batches, metrics):
+        self._pending.append(dict(metrics))
+        # windowed flush: bounds both the scalars lost to a mid-epoch crash
+        # and the tiny device buffers pinned by the pending list, while
+        # keeping device round-trips ~flush_every x rarer than per-step
+        if len(self._pending) >= self.flush_every:
+            self._flush()
+
+    def on_training_end(self, loop, epoch, metrics_mean):
+        self._flush()
 
     def on_validation_end(self, loop, epoch, score, is_best, subject_results):
         self.writer.add_scalar("valid/score", float(score), epoch)

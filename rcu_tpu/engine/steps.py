@@ -13,9 +13,6 @@ loop, bin-dl/brats_test_ensemble.py:84-94) vmap over stacked member params.
 """
 from __future__ import annotations
 
-import functools
-import typing
-
 import jax
 import jax.numpy as jnp
 
@@ -37,6 +34,22 @@ def _jit_predict(fn, mesh=None, n_leading_rep: int = 2, has_rng: bool = False):
     data = NamedSharding(mesh, P(DATA_AXIS))
     in_shardings = (rep,) * n_leading_rep + (data,) + ((rep,) if has_rng else ())
     return jax.jit(fn, in_shardings=in_shardings, out_shardings=data)
+
+
+def _jit_train_step(fn, mesh=None, donate: bool = True, n_extra_rep: int = 0):
+    """jit a (state, [extra...], batch, rng) -> (state, metrics) step. With a
+    mesh: state/extras/rng replicated, batch data-sharded, outputs replicated
+    — XLA emits the gradient psum over ICI."""
+    donate_args = (0,) if donate else ()
+    if mesh is None:
+        return jax.jit(fn, donate_argnums=donate_args)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rcu_tpu.parallel.mesh import DATA_AXIS
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    in_shardings = (rep,) + (rep,) * n_extra_rep + (data, rep)
+    return jax.jit(fn, in_shardings=in_shardings, out_shardings=(rep, rep),
+                   donate_argnums=donate_args)
 
 
 def _masked_mean(per_px: jnp.ndarray, valid: jnp.ndarray):
@@ -67,9 +80,10 @@ def _batch_smooth_dice(logits, labels, valid):
 
 def make_train_step(model, optimizer, loss_kind: str = "ce",
                     is_log_sigma: bool = False, nb_samples: int = 10,
-                    donate: bool = True):
+                    donate: bool = True, mesh=None):
     """CE (reference TrainStep, steps.py:20-42) or aleatoric
-    (bin-dl/brats_train_aleatoric.py:52-74) training step."""
+    (bin-dl/brats_train_aleatoric.py:52-74) training step. With ``mesh`` the
+    step jits with replicated state and data-sharded batches."""
 
     def loss_fn(params, batch_stats, batch, rng):
         out, mutated = model.apply(
@@ -103,7 +117,7 @@ def make_train_step(model, optimizer, loss_kind: str = "ce",
                                   opt_state=new_opt_state)
         return new_state, {"loss": loss, "dice": score}
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return _jit_train_step(train_step, mesh, donate)
 
 
 def make_predict_fn(model, mesh=None):
@@ -246,7 +260,7 @@ def make_auxiliary_segm_predict_fn(model, mesh=None):
 
 
 def make_auxiliary_train_step(post_model, optimizer, segm_model=None,
-                              donate: bool = True):
+                              donate: bool = True, mesh=None):
     """Train a confidence net to predict the segmenter's error mask
     (reference bin-dl/brats_train_auxiliary_feat.py:67-95 /
     brats_train_auxiliary_segm.py:65-72).
@@ -294,4 +308,4 @@ def make_auxiliary_train_step(post_model, optimizer, segm_model=None,
                                   opt_state=new_opt_state)
         return new_state, {"loss": loss, "dice": score}
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return _jit_train_step(train_step, mesh, donate, n_extra_rep=1)

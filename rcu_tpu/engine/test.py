@@ -22,7 +22,8 @@ import jax
 import numpy as np
 
 from rcu_tpu.data import nifti
-from rcu_tpu.data.assembler import Subject2dAssembler, SubjectAssembler
+from rcu_tpu.data.assembler import (PatchAssembler, Subject2dAssembler,
+                                    SubjectAssembler)
 from rcu_tpu.data.indexing import SliceIndexing
 from rcu_tpu.data.loader import prefetch
 from rcu_tpu.engine import checkpoint as ckpt_lib
@@ -166,9 +167,12 @@ class TestLoop:
         logging.info("loaded checkpoint %s", path)
 
     def _make_assembler(self):
-        if isinstance(databuild.build_indexing(self.config.test_data.indexing),
-                      SliceIndexing):
+        indexing = databuild.build_indexing(self.config.test_data.indexing)
+        if isinstance(indexing, SliceIndexing):
             return SubjectAssembler(self.test_data.dataset, self.entries)
+        from rcu_tpu.data.indexing import PatchWiseIndexing
+        if isinstance(indexing, PatchWiseIndexing):
+            return PatchAssembler(self.test_data.dataset, indexing, self.entries)
         return Subject2dAssembler(self.test_data.dataset, self.entries)
 
     def run(self):

@@ -23,7 +23,8 @@ import typing
 import jax
 import numpy as np
 
-from rcu_tpu.data.assembler import Subject2dAssembler, SubjectAssembler
+from rcu_tpu.data.assembler import (PatchAssembler, Subject2dAssembler,
+                                    SubjectAssembler)
 from rcu_tpu.data.indexing import SliceIndexing
 from rcu_tpu.data.loader import prefetch
 from rcu_tpu.engine import checkpoint as ckpt_lib
@@ -78,17 +79,11 @@ class TrainLoop:
         self.model = model
         self.optimizer = optimizer
 
-        if train_step is None:
-            if mesh is not None:
-                # explicit shardings: state replicated, batch data-sharded;
-                # XLA emits the gradient psum over ICI (parallel/mesh.py)
-                inner = steps_lib.make_train_step(model, optimizer,
-                                                  donate=False)
-                inner = getattr(inner, "__wrapped__", inner)
-                train_step = mesh_lib.shard_train_step(inner, mesh)
-            else:
-                train_step = steps_lib.make_train_step(model, optimizer)
-        self.train_step = train_step
+        # with a mesh the factory jits with replicated-state / data-sharded-
+        # batch shardings; strategy-injected steps are built mesh-aware by
+        # their own factories (strategies.py passes mesh through)
+        self.train_step = train_step if train_step is not None else \
+            steps_lib.make_train_step(model, optimizer, mesh=mesh)
         self.predict_fn = predict_fn if predict_fn is not None else \
             steps_lib.make_predict_fn(model, mesh=mesh)
         self.eval_subject_fn = eval_subject_fn or default_eval_subject_fn
@@ -242,9 +237,12 @@ class TrainLoop:
         self.hook.on_training_end(self, epoch, means)
 
     def _make_assembler(self, data, entries):
-        if isinstance(databuild.build_indexing(self.config.valid_data.indexing),
-                      SliceIndexing):
+        indexing = databuild.build_indexing(self.config.valid_data.indexing)
+        if isinstance(indexing, SliceIndexing):
             return SubjectAssembler(data.dataset, entries)
+        from rcu_tpu.data.indexing import PatchWiseIndexing
+        if isinstance(indexing, PatchWiseIndexing):
+            return PatchAssembler(data.dataset, indexing, entries)
         return Subject2dAssembler(data.dataset, entries)
 
     def _validate(self, epoch: int, sharding):

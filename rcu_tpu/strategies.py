@@ -145,7 +145,8 @@ def train_aleatoric(config: cfg_lib.TrainConfiguration, mesh=None,
     optimizer = get_optimizer(config.optimizer.type, config.optimizer.params)
     train_step = steps_lib.make_train_step(model, optimizer,
                                            loss_kind="aleatoric",
-                                           is_log_sigma=is_log_sigma)
+                                           is_log_sigma=is_log_sigma,
+                                           mesh=mesh)
     # reference validates aleatoric runs with dice only (brats_train_aleatoric
     # .py:43 uses the stock EvalSubjectStep)
     return TrainLoop(config, model=model, optimizer=optimizer,
@@ -269,7 +270,8 @@ def train_auxiliary_feat(config: cfg_lib.TrainConfiguration, mesh=None) -> Train
     post_model = get_model(config.model.type, config.model.params)
     optimizer = get_optimizer(config.optimizer.type, config.optimizer.params)
     train_step = steps_lib.make_auxiliary_train_step(post_model, optimizer,
-                                                     segm_model=segm_model)
+                                                     segm_model=segm_model,
+                                                     mesh=mesh)
     aux_predict = steps_lib.make_auxiliary_feat_predict_fn(segm_model, post_model, mesh=mesh)
 
     def predict(params, batch_stats, batch):
@@ -338,7 +340,8 @@ def train_auxiliary_segm(config: cfg_lib.TrainConfiguration, mesh=None) -> Train
     model = get_model(config.model.type, config.model.params)
     optimizer = get_optimizer(config.optimizer.type, config.optimizer.params)
     train_step = steps_lib.make_auxiliary_train_step(model, optimizer,
-                                                     segm_model=None)
+                                                     segm_model=None,
+                                                     mesh=mesh)
     predict = steps_lib.make_auxiliary_segm_predict_fn(model, mesh=mesh)
     return TrainLoop(config, model=model, optimizer=optimizer,
                      train_step=train_step, predict_fn=predict,

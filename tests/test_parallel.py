@@ -87,6 +87,32 @@ class TestMeshTraining:
         assert loop.best_score is not None
         assert ckpt_lib.find_best_checkpoint_epoch(loop.model_files) is not None
 
+    def test_strategy_injected_train_steps_work_under_mesh(self, tmp_path):
+        """Aleatoric and aux-segm inject their own train steps; their
+        factories must jit with the mesh shardings or the first step dies
+        with incompatible-devices (regression: review r2)."""
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        mesh = mesh_lib.make_mesh()
+
+        store = make_store(str(tmp_path / "ale.h5"))
+        cfg = base_train_cfg(
+            tmp_path, store, split_file, name="mesh_ale",
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 2,
+                            "nb_classes": 2, "start_filters": 4,
+                            "sigma_out": True}},
+            others={"is_log_sigma": False})
+        loop = strategies.train_aleatoric(cfg, mesh=mesh)
+        assert loop.best_score is not None
+
+        store2 = make_store(str(tmp_path / "seg.h5"), label_channels=2)
+        cfg2 = base_train_cfg(
+            tmp_path, store2, split_file, name="mesh_seg",
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 3,
+                            "nb_classes": 2, "start_filters": 4}})
+        loop2 = strategies.train_auxiliary_segm(cfg2, mesh=mesh)
+        assert loop2.best_score is not None
+
 
 class TestMeshInference:
     def test_test_loop_with_mesh(self, tmp_path):

@@ -106,3 +106,38 @@ class TestPatchHalo:
         ld = loader.SliceBatchLoader(ds, items, batch_size=5, indexing=idx)
         for b in ld:
             assert b["images"].shape == (5, 6, 12, 1)
+
+
+import glob
+import os
+
+import pytest
+
+
+@pytest.mark.slow
+class TestPatchEndToEnd:
+    def test_patch_indexed_test_loop_assembles_volumes(self, tmp_path):
+        """Train slice-indexed, test patch-indexed: PatchAssembler rebuilds
+        full volumes and artifacts appear (regression: review r2 found
+        Subject2dAssembler was silently picked for patches)."""
+        from rcu_tpu import strategies
+        from rcu_tpu.data import nifti
+        from rcu_tpu.data.split import save_split
+        from tests.test_strategies import (base_test_cfg, base_train_cfg,
+                                           make_store)
+
+        store = make_store(str(tmp_path / "ds.h5"))
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        baseline = strategies.train_default(
+            base_train_cfg(tmp_path, store, split_file, name="patch_base"))
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            baseline.model_files.model_dir, name="patch_test")
+        cfg.test_data.indexing = __import__(
+            "rcu_tpu.engine.config", fromlist=["ParametricNode"]
+        ).ParametricNode.parse({"patch": {"patch_shape": [8, 8]}})
+        loop = strategies.test_default(cfg)
+        probs = glob.glob(os.path.join(loop.run_dir, "*_probabilities.nii.gz"))
+        assert len(probs) == 1
+        fg, _ = nifti.read(probs[0])
+        assert fg.shape == (2, 16, 16)  # full volume reassembled from patches

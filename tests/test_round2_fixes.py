@@ -154,3 +154,76 @@ class TestTrainTestCsvSchemas:
         lines = path.read_text().strip().splitlines()
         assert lines[0] == "subject,dice"
         assert lines[1] == "s02,0.9"
+
+
+class TestSplitTailAnchoring:
+    def test_two_way_fractional_is_consecutive(self):
+        from rcu_tpu.data import split as split_lib
+        subjects = list("abcdefg")  # 7 subjects, 0.5/0.5 -> 3/3, 'g' dropped
+        train, valid = split_lib.split_subjects(subjects, (0.5, 0.5))
+        assert train == ["a", "b", "c"]
+        assert valid == ["d", "e", "f"]  # consecutive, tail dropped
+
+    def test_three_way_test_group_end_anchored(self):
+        from rcu_tpu.data import split as split_lib
+        subjects = list("abcdefgh")
+        train, valid, test = split_lib.split_subjects(subjects, (4, 2, 2))
+        assert (train, valid, test) == (["a", "b", "c", "d"],
+                                        ["e", "f"], ["g", "h"])
+
+
+class TestPatchAssembler:
+    def _setup(self, tmp_path, y=10, x=13, z=2):
+        from rcu_tpu.data import h5 as h5_mod, indexing
+        from rcu_tpu.data.nifti import ImageProperties
+        path = str(tmp_path / "p.h5")
+        rng = np.random.RandomState(0)
+        with h5_mod.DatasetWriter(path) as w:
+            w.add_subject("s0", {
+                "images": rng.rand(z, y, x, 1).astype(np.float32),
+                "labels": (rng.rand(z, y, x) > 0.5).astype(np.uint8)},
+                props=ImageProperties(size=(x, y, z)))
+        ds = h5_mod.SubjectDataset(path)
+        idx = indexing.PatchWiseIndexing((4, 8))
+        return ds, idx
+
+    def test_scatter_reassembles_volume(self, tmp_path):
+        from rcu_tpu.data.assembler import PatchAssembler
+        ds, idx = self._setup(tmp_path)
+        items = idx.indices_for(ds, 0)  # 2 slices x 3 x 2 grid = 12
+        asm = PatchAssembler(ds, idx, entries=("probabilities",))
+        # feed every patch of a known volume through in shuffled order
+        vol = np.arange(2 * 10 * 13, dtype=np.float32).reshape(2, 10, 13)
+        order = np.random.RandomState(1).permutation(len(items))
+        for i in order:
+            _, code = items[i]
+            patch = idx.extract(ds, "s0", code, "images")[..., 0] * 0  # shape
+            # craft the patch payload from the known volume (cropped cells
+            # padded with zeros exactly like extraction does)
+            py, px = idx.patch_shape
+            _, gy_n, gx_n = idx._grid(ds, "s0")
+            zi, rest = divmod(code, gy_n * gx_n)
+            gy, gx = divmod(rest, gx_n)
+            cell = vol[zi, gy * py:(gy + 1) * py, gx * px:(gx + 1) * px]
+            patch[:cell.shape[0], :cell.shape[1]] = cell
+            asm.add_batch({"probabilities": patch[None]}, [0], [code])
+        assert asm.subjects_ready() == [0]
+        out = asm.get_assembled_subject(0)["probabilities"]
+        np.testing.assert_array_equal(out, vol)
+        assert asm.flush() == []
+
+    def test_partial_and_flush_clears(self, tmp_path):
+        from rcu_tpu.data.assembler import PatchAssembler
+        ds, idx = self._setup(tmp_path)
+        asm = PatchAssembler(ds, idx, entries=("probabilities",))
+        asm.add_batch({"probabilities": np.zeros((1, 4, 8))}, [0], [0])
+        assert asm.subjects_ready() == []
+        assert asm.flush() == [0]
+        assert asm.flush() == []  # state dropped
+
+    def test_subject_assembler_flush_clears(self):
+        ds = _FakeDataset({"s0": (3, 4, 4)})
+        asm = SubjectAssembler(ds, entries=("probabilities",))
+        asm.add_batch({"probabilities": np.zeros((1, 4, 4, 2))}, [0], [0])
+        assert asm.flush() == [0]
+        assert asm.flush() == []
