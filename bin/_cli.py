@@ -13,6 +13,15 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+if os.environ.get("RCU_PLATFORM"):
+    # backend override for the entry scripts, e.g. RCU_PLATFORM=cpu with
+    # XLA_FLAGS=--xla_force_host_platform_device_count=8 to exercise
+    # `-devices N` sharding on a virtual CPU mesh without N real chips
+    # (a plain JAX_PLATFORMS env var is ignored when a sitecustomize has
+    # already pinned the platform, so set the jax config explicitly)
+    import jax
+    jax.config.update("jax_platforms", os.environ["RCU_PLATFORM"])
+
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.engine import config as cfg_lib  # noqa: E402
 

@@ -25,10 +25,7 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
     from rcu_tpu.eval.direct import evaluate_direct
 
     config = _cli.load_test_config(config_file)
-    mesh = None
-    if devices and devices > 1:
-        from rcu_tpu.parallel import mesh as mesh_lib
-        mesh = mesh_lib.make_mesh(n_devices=devices)
+    mesh = _cli.mesh_from_devices(devices)
     run_id = run_id or config.test_name or "baseline"
     out_dir = out_dir or os.path.join(
         os.path.dirname(config.model_dir or "."), "eval_direct")

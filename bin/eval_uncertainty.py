@@ -13,6 +13,9 @@ import time
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+BIN_DIR = os.path.dirname(os.path.abspath(__file__))
+if BIN_DIR not in sys.path:
+    sys.path.insert(0, BIN_DIR)
 
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.eval import actions as act_lib  # noqa: E402
@@ -27,10 +30,8 @@ def main(dataset, to_eval, action_names, n_devices=None):
     if dataset not in ("brats", "isic"):
         raise ValueError('chose "brats" or "isic" as dataset')
 
-    mesh = None
-    if n_devices and n_devices > 1:
-        from rcu_tpu.parallel import mesh as mesh_lib
-        mesh = mesh_lib.make_mesh(n_devices=n_devices)
+    import _cli
+    mesh = _cli.mesh_from_devices(n_devices)
 
     if dataset == "brats":
         eval_data_list = evdata.get_brats_eval_data(to_eval)

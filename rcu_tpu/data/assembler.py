@@ -129,10 +129,23 @@ class PatchAssembler:
             _, y_max, x_max = self.dataset.shape(subject)[:3]
             ny = min(py, y_max - gy * py)
             nx = min(px, x_max - gx * px)
+            hy, hx = getattr(self.indexing, "pad", (0, 0))
             for entry in self.entries:
+                out_b = outputs[entry][b]
+                oy, ox = out_b.shape[:2]
+                if (oy, ox) == (py + 2 * hy, px + 2 * hx) and (hy or hx):
+                    # model kept the halo (same-padding nets): the grid cell
+                    # is the centered (py, px) window of the haloed output
+                    out_b = out_b[hy:hy + py, hx:hx + px]
+                elif (oy, ox) != (py, px):
+                    raise ValueError(
+                        f"patch output for '{entry}' is {(oy, ox)} but the "
+                        f"grid expects {(py, px)} (or the haloed "
+                        f"{(py + 2 * hy, px + 2 * hx)}); assembling it would "
+                        "silently misalign the volume")
                 self._buffers[si][entry][zi, gy * py:gy * py + ny,
                                          gx * px:gx * px + nx] = \
-                    outputs[entry][b][:ny, :nx]
+                    out_b[:ny, :nx]
             self._filled[si].add(code)
             if len(self._filled[si]) == z * grid_y * grid_x:
                 self._ready.append(si)

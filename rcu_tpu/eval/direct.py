@@ -94,6 +94,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     batch_size = config.test_data.batch_size
     if is_2d:
         batch_size = 1  # one image == one one-slice volume
+    if mesh is not None and not subject_parallel:
+        # latency mode shards each step's batch axis over the mesh, so it
+        # must divide the device count (throughput mode dispatches whole
+        # subjects to single devices and needs no padding)
+        from rcu_tpu.parallel.mesh import pad_batch_size_to_mesh
+        batch_size = pad_batch_size_to_mesh(batch_size, mesh)
 
     model, params, batch_stats = _load_model_state(
         config.model_dir, config.test_at or "best", (1, h, w, in_ch))
@@ -127,15 +133,33 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                 "stored channels are z-scored). Pass masked=False to "
                 "evaluate unmasked, or rebuild the store with files metadata.")
         arr, _ = nifti.read(t2_path)
-        return np.squeeze(np.asarray(arr)) > 0
+        fg = np.squeeze(np.asarray(arr)) > 0
+        if fg.shape != tuple(shape):
+            raise ValueError(
+                f"subject '{subject}': raw-t2 mask shape {fg.shape} does not "
+                f"match the target shape {tuple(shape)} — the store (or the "
+                "config's transform pipeline) changed the geometry relative "
+                "to the raw source. Pass masked=False or align geometries.")
+        return fg
 
     def load_subject(subject):
         volume = np.asarray(dataset.read_volume(subject, "images"), np.float32)
         labels = np.squeeze(np.asarray(dataset.read_volume(subject, "labels")))
         if transform is not None:
-            out = transform({"images": volume, "labels": labels})
-            volume = np.asarray(out["images"], np.float32)
-            labels = np.squeeze(np.asarray(out["labels"]))
+            if is_2d:
+                out = transform({"images": volume, "labels": labels})
+                volume = np.asarray(out["images"], np.float32)
+                labels = np.squeeze(np.asarray(out["labels"]))
+            else:
+                # the staged loader applies transforms per slice item (H,W,C),
+                # so spatial transforms (e.g. size) must see slices here too —
+                # a whole-volume call would treat Z as the first spatial axis
+                outs = [transform({"images": volume[z], "labels": labels[z]})
+                        for z in range(volume.shape[0])]
+                volume = np.stack(
+                    [np.asarray(o["images"], np.float32) for o in outs])
+                labels = np.squeeze(np.stack(
+                    [np.asarray(o["labels"]) for o in outs]))
         if is_2d:
             volume = volume[None]  # (1, H, W, C)
             if labels.ndim == 3 and labels.shape[-1] == 2:
@@ -190,19 +214,21 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         else:
             out = fn(params, batch_stats, batched, target, mask,
                      thresholds_arr, step_rng)
-        return out, target
+        return out
 
-    def fetch(subject, out, target, t0):
+    def fetch(subject, out, t0):
+        corr = {k: np.asarray(v) for k, v in out["correction"].items()}
         calib_hook.on_subject({
             "bins_count": np.asarray(out["bins_count"]).astype(np.int64),
             "bins_avg_confidence": np.asarray(out["bins_avg_confidence"]),
             "bins_positive_fraction": np.asarray(out["bins_positive_fraction"]),
             "bins_non_zero": np.asarray(out["bins_non_zero"]),
             "ece": float(out["ece"]),
-            "dice": float(np.asarray(  # dice of thresholded fg vs target
-                _dice(np.asarray(out["fg"]) > 0.5, target))),
+            # dice of the thresholded fg vs target: already in the fused
+            # program's correction counts (threshold-independent entry), so no
+            # 20+ MB fg volume needs to cross the tunnel for it
+            "dice": float(corr["dice"][0]),
         }, subject, run_id)
-        corr = {k: np.asarray(v) for k, v in out["correction"].items()}
         for ti, hook in enumerate(corr_hooks):
             hook.on_subject({k: _pyval(k, corr[k][ti])
                              for k in CORRECTION_KEYS}, subject, run_id)
@@ -220,8 +246,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         subject_inputs = future.result()
         if si + 1 < len(names):
             future = pool.submit(load_subject, names[si + 1])
-        out, target = dispatch(si, subject_inputs)
-        pending.append((subject, out, target, t0))
+        out = dispatch(si, subject_inputs)
+        pending.append((subject, out, t0))
         while len(pending) > window:
             fetch(*pending.popleft())
     while pending:
@@ -232,15 +258,3 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     for hook in corr_hooks:
         hook.on_run_end({}, run_id)
     return eces
-
-
-def _dice(prediction, target):
-    p = prediction.astype(bool)
-    t = target.astype(bool)
-    tp = float((p & t).sum())
-    fp = float((p & ~t).sum())
-    fn = float((~p & t).sum())
-    den = 2 * tp + fp + fn
-    # 0/0 -> NaN like the device-side dice_from_counts (a plain python
-    # ZeroDivisionError here would discard every buffered CSV row)
-    return 2 * tp / den if den else float("nan")

@@ -145,6 +145,62 @@ class TestDirectEval:
                         except ValueError:
                             assert v1 == v2, (mode, name, v1, v2)
 
+    def test_latency_mesh_pads_indivisible_batch(self, trained, tmp_path):
+        """Latency mode shards the batch axis, so an indivisible batch size
+        (e.g. the forced batch of 1 on native-2D datasets) must be rounded up
+        to the mesh, not crash with a divisibility error. Padding changes the
+        per-slice RNG schedule, so only schema/finiteness are asserted."""
+        cfg = self._cfg(trained, "d3")
+        cfg.test_data.batch_size = 1
+        out_dir = str(tmp_path / "direct_pad")
+        eces = evaluate_direct(cfg, out_dir, run_id="baseline", mc=3,
+                               masked=False,
+                               mesh=mesh_lib.make_mesh(n_devices=2))
+        assert set(eces) == {"s02", "s03"}
+        assert all(np.isfinite(v) for v in eces.values())
+        files = sorted(os.listdir(out_dir))
+        assert sum(1 for f in files if f.startswith("eval_uncertainty")) == 11
+
+    def test_3d_size_transform_applies_per_slice(self, trained, tmp_path):
+        """A spatial `size` transform must see (H,W,C) slice items exactly as
+        the staged loader does. Size([16,16]) is a no-op per slice, but
+        applied to the whole (Z,H,W,C) volume it would pad the SLICE axis
+        2 -> 16 and corrupt every result."""
+        plain = evaluate_direct(self._cfg(trained, "d4"),
+                                str(tmp_path / "direct_plain"),
+                                run_id="baseline", mc=3, masked=False)
+        cfg = self._cfg(trained, "d5")
+        cfg.test_data.transform = [{"size": {"size": list(HW)}}]
+        sized = evaluate_direct(cfg, str(tmp_path / "direct_sized"),
+                                run_id="baseline", mc=3, masked=False)
+        assert sized == plain
+
+    def test_masked_shape_mismatch_raises(self, trained, tmp_path):
+        """A raw-t2 mask whose geometry disagrees with the target must fail
+        with a per-subject message, not an opaque jit shape error."""
+        rng = np.random.RandomState(5)
+        store = str(tmp_path / "badmask.h5")
+        bad_t2 = str(tmp_path / "bad_t2.nii.gz")
+        nifti.write(rng.rand(SLICES, 8, 8).astype(np.float32), bad_t2)
+        with h5.DatasetWriter(store) as w:
+            for name in ("s00", "s01", "s02"):
+                gt = (rng.rand(SLICES, *HW) > 0.7).astype(np.uint8)
+                w.add_subject(
+                    name,
+                    {"images": rng.rand(SLICES, *HW, 4).astype(np.float32),
+                     "labels": gt},
+                    props=ImageProperties(size=(HW[1], HW[0], SLICES)),
+                    files={"images": {"t2": bad_t2}})
+        split_file = str(tmp_path / "bad_split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        _, _, _, loop = trained
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            loop.model_files.model_dir,
+                            others={"mc": 3}, name="badmask")
+        cfg.test_data.batch_size = 2
+        with pytest.raises(ValueError, match="does not match the target"):
+            evaluate_direct(cfg, str(tmp_path / "bad_out"), mc=3, masked=True)
+
     def test_2d_dataset_runs(self, trained, tmp_path):
         """Native-2D (ISIC-style) folder dataset: one-slice volumes, the
         config transform applied, unmasked eval."""

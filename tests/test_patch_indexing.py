@@ -108,6 +108,42 @@ class TestPatchHalo:
             assert b["images"].shape == (5, 6, 12, 1)
 
 
+class TestPatchAssemblerHalo:
+    """Assembly of model outputs that kept the extraction halo (same-padding
+    nets return (py+2hy, px+2hx) windows): the grid cell is the centered
+    (py, px) crop; anything else must fail loudly, not misalign silently."""
+
+    def _assemble(self, tmp_path, out_shape_fn):
+        from rcu_tpu.data.assembler import PatchAssembler
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8), pad=(2, 3))
+        n = len(idx.indices_for(ds, 0))
+        outputs = {"probabilities": np.stack(
+            [out_shape_fn(idx.extract(ds, "s0", i, "images"))
+             for i in range(n)])}
+        asm = PatchAssembler(ds, idx, entries=("probabilities",))
+        asm.add_batch(outputs, np.zeros(n, np.int64), np.arange(n))
+        return ds, asm
+
+    def test_haloed_outputs_center_cropped(self, tmp_path):
+        ds, asm = self._assemble(tmp_path, lambda p: p)  # keep the halo
+        assert asm.subjects_ready() == [0]
+        out = asm.get_assembled_subject(0)["probabilities"]
+        vol = np.asarray(ds.read_volume("s0", "images"))
+        np.testing.assert_array_equal(out, vol)
+
+    def test_bare_outputs_pass_through(self, tmp_path):
+        # a valid-conv net that strips the halo returns the bare patch shape
+        ds, asm = self._assemble(tmp_path, lambda p: p[2:6, 3:11])
+        out = asm.get_assembled_subject(0)["probabilities"]
+        np.testing.assert_array_equal(out, np.asarray(
+            ds.read_volume("s0", "images")))
+
+    def test_unexpected_shape_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="misalign"):
+            self._assemble(tmp_path, lambda p: p[:5, :9])
+
+
 import glob
 import os
 
