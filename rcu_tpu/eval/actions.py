@@ -1,13 +1,21 @@
-"""Evaluation actions (reference bin-eval/eval_uncertainty.py:58-244).
+"""Offline-eval metric passes (parity surface: bin-eval/eval_uncertainty.py).
 
-Same action/case framework and CSV outputs; the per-subject metric pass runs
-as fused jitted kernels on device instead of numpy. The CorrectionAction's 11
-thresholds are one vmapped program producing all 11 CSV rows per subject in a
-single device pass (reference runs 11 sequential numpy evaluations).
+Each pass is ONE load-prepare-reduce unit over a run's subjects: a NIfTI load
+spec, an optional prepare pipeline (rescales/entropy folding), a fused device
+reduction, and the CSV sink(s) it feeds. The reference composes these from an
+action/case class hierarchy with one numpy evaluation object per metric and
+per threshold; here a single :class:`MetricPass` is configured by plain
+builder functions and the threshold axis is vmapped on device — the
+correction pass computes all 11 thresholds' CSV rows in one dispatch.
+
+The four-step driver protocol (``setup_eval``/``start_eval``/``eval_subject``/
+``finish_eval``) keeps the reference runner's method names so scripts ported
+from it keep working; everything else is this project's own shape. CSV
+filenames, column orders, and the ``_rescale``/``_globalrescale`` result-id
+suffixes are frozen artifact contracts.
 """
 from __future__ import annotations
 
-import abc
 import os
 
 import jax.numpy as jnp
@@ -17,7 +25,7 @@ from rcu_tpu import directories as dirs
 from rcu_tpu.eval import analysis, hooks as ev_hooks, kernels
 from rcu_tpu.eval.evaldata import EvalData
 
-# CSV column order of the reference UncertaintyAndCorrectionEvalNumpy results
+# CSV column order of the reference's correction result rows
 CORRECTION_KEYS = (
     "tpu", "tnu", "fpu", "fnu", "tp", "tn", "fp", "fn",
     "dice_benefit", "accuracy_benefit", "dice", "accuracy",
@@ -29,9 +37,11 @@ _COUNT_KEYS = {"tpu", "tnu", "fpu", "fnu", "tp", "tn", "fp", "fn", "n"}
 _BOOL_KEYS = {"dice_benefit", "accuracy_benefit", "dice_benefit_correct",
               "accuracy_benefit_correct"}
 
+ALL_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
-def _pyval(key: str, value):
-    """Device scalar -> the python type the reference CSVs carry."""
+
+def csv_value(key: str, value):
+    """Device scalar -> the python type the CSV column carries."""
     v = np.asarray(value)
     if key in _COUNT_KEYS:
         return int(v)
@@ -40,272 +50,203 @@ def _pyval(key: str, value):
     return float(v)
 
 
-def _make_dir_if_not_exists(directory):
-    os.makedirs(directory, exist_ok=True)
+class MetricPass:
+    """A configurable eval pass. ``configure(pass_, eval_data, kern)`` is
+    called once per run (after the run's confidence entry and result id are
+    known) and must set ``id_``, ``load_spec``, ``prepare``, ``sinks`` and
+    ``measure`` (sample dict -> one row dict per sink). ``kern`` is the fused
+    single-device kernel suite, or its mesh-sharded twin when the pass was
+    built with a device mesh.
+    """
 
-
-class EvalCase:
-    def __init__(self, metric_fn, hook, id_: str = ""):
-        self.result_history = {}
-        self.metric_fn = metric_fn
-        self.hook = hook
-        self.id_ = id_
-
-    def do_eval(self, to_eval: dict, subject_name: str, id_: str):
-        results = self.metric_fn(to_eval)
-        self.hook.on_subject(results, subject_name, id_)
-        for k, v in results.items():
-            self.result_history.setdefault(k, []).append(v)
-
-
-class EvalAction(abc.ABC):
-    def __init__(self, mesh=None):
+    def __init__(self, configure, mesh=None):
+        self._configure = configure
+        self.mesh = mesh
+        self.id_ = ""
         self.load_spec = {}
         self.prepare = None
-        self.eval_cases = []
-        self.id_ = ""
-        self.mesh = mesh
+        self.sinks = ()
+        self.measure = None
+        self._history = {}
 
-    def _kernels(self):
-        """Single-device fused kernels, or the mesh-sharded equivalents (same
-        method names/signatures; rcu_tpu.parallel.inference)."""
+    def _kernel_suite(self):
         if self.mesh is None:
             return kernels
         from rcu_tpu.parallel.inference import ShardedSubjectEval
         return ShardedSubjectEval(self.mesh)
 
-    @abc.abstractmethod
-    def _setup_eval(self, eval_data: EvalData):
-        ...
-
+    # ------ driver protocol (method names shared with the reference runner)
     def setup_eval(self, eval_data: EvalData):
-        self._setup_eval(eval_data)
+        self._configure(self, eval_data, self._kernel_suite())
 
     def start_eval(self):
-        sub_ids = ", ".join(c.id_ for c in self.eval_cases if c.id_)
-        print(self.id_ + sub_ids)
-        for case in self.eval_cases:
-            case.hook.on_run_start(self.id_)
+        print(self.id_)
+        for sink in self.sinks:
+            sink.on_run_start(self.id_)
 
     def eval_subject(self, sf, loader: analysis.Loader):
-        to_eval = loader.get_data(sf, **self.load_spec)
+        sample = loader.get_data(sf, **self.load_spec)
         if self.prepare:
-            to_eval = self.prepare(to_eval)
-        for case in self.eval_cases:
-            case.do_eval(to_eval, sf.subject, self.id_)
+            sample = self.prepare(sample)
+        rows = self.measure(sample)
+        for sink, row in zip(self.sinks, rows):
+            sink.on_subject(row, sf.subject, self.id_)
+            for key, value in row.items():
+                self._history.setdefault(key, []).append(value)
 
     def finish_eval(self):
-        for case in self.eval_cases:
-            case.hook.on_run_end(case.result_history, self.id_)
+        for sink in self.sinks:
+            sink.on_run_end(self._history, self.id_)
 
 
-class SaveMinMaxAction(EvalAction):
-    """Global min/max of the confidence entry (reference :205-223)."""
+def minmax_pass(min_max_dir: str, mesh=None) -> MetricPass:
+    """Global min/max of the run's confidence entry; the summary CSV it
+    writes is the prerequisite of every ``global`` rescale pass."""
+    os.makedirs(min_max_dir, exist_ok=True)
 
-    def __init__(self, min_max_dir: str, mesh=None):
-        super().__init__(mesh)
-        self.min_max_dir = min_max_dir
-        _make_dir_if_not_exists(min_max_dir)
-
-    def _setup_eval(self, eval_data: EvalData):
-        self.prepare, self.id_ = analysis.get_confidence_entry_preparation(
+    def configure(p, eval_data, kern):
+        prep, p.id_ = analysis.get_confidence_entry_preparation(
             eval_data, "probabilities")
-        self.prepare = analysis.ComposePreparation([self.prepare])
-        self.load_spec = {"entry": eval_data.confidence_entry}
+        p.prepare = analysis.ComposePreparation([prep])
+        p.load_spec = {"entry": eval_data.confidence_entry}
+        p.sinks = (ev_hooks.WriteSummaryCsvHook(
+            os.path.join(min_max_dir, dirs.MINMAX_PLACEHOLDER.format(p.id_)),
+            confidence_entry=eval_data.confidence_entry),)
 
-        kern = self._kernels()
+        def measure(sample):
+            out = kern.min_max(jnp.asarray(sample["probabilities"]))
+            return [{"min": float(np.asarray(out["min"])),
+                     "max": float(np.asarray(out["max"]))}]
+        p.measure = measure
 
-        def metric(to_eval):
-            out = kern.min_max(jnp.asarray(to_eval["probabilities"]))
-            return {"min": float(np.asarray(out["min"])),
-                    "max": float(np.asarray(out["max"]))}
-
-        hook = ev_hooks.WriteSummaryCsvHook(
-            os.path.join(self.min_max_dir,
-                         dirs.MINMAX_PLACEHOLDER.format(self.id_)),
-            confidence_entry=eval_data.confidence_entry)
-        self.eval_cases = [EvalCase(metric, hook)]
+    return MetricPass(configure, mesh)
 
 
-class EceAction(EvalAction):
-    """ECE (+fg mask for brats) + dice + confusion (reference :141-173)."""
+def ece_pass(base_dir: str, details: str, rescale_confidence="subject",
+             rescale_sigma="subject", min_max_dir: str = None,
+             mesh=None) -> MetricPass:
+    """ECE (+t2-foreground mask for brats) + dice + confusion counts."""
+    masked = details == "foreground"
+    out_dir = os.path.join(
+        base_dir, dirs.ECE_FOREGROUND_NAME if masked else dirs.ECE_NAME)
+    os.makedirs(out_dir, exist_ok=True)
+    columns = ("ece", "dice", "tp", "tn", "fp", "fn", "n")
 
-    def __init__(self, base_dir: str, details: str, rescale_confidence="subject",
-                 rescale_sigma="subject", min_max_dir: str = None, mesh=None):
-        super().__init__(mesh)
-        self.rescale_confidence = rescale_confidence
-        self.rescale_sigma = rescale_sigma
-        self.min_max_dir = min_max_dir
-        self.need_t2_mask = details == "foreground"
-        self.out_dir = os.path.join(
-            base_dir, dirs.ECE_FOREGROUND_NAME if self.need_t2_mask else dirs.ECE_NAME)
-        _make_dir_if_not_exists(self.out_dir)
+    def configure(p, eval_data, kern):
+        p.prepare, p.id_ = analysis.get_probability_preparation(
+            eval_data, rescale_confidence=rescale_confidence,
+            rescale_sigma=rescale_sigma, min_max_dir=min_max_dir)
+        p.load_spec = {"entry": eval_data.confidence_entry, "t2_mask": masked}
+        p.sinks = (ev_hooks.WriteCsvHook(
+            os.path.join(out_dir, dirs.ECE_PLACEHOLDER.format(p.id_)),
+            entries=columns),)
 
-    def _setup_eval(self, eval_data: EvalData):
-        self.prepare, self.id_ = analysis.get_probability_preparation(
-            eval_data, rescale_confidence=self.rescale_confidence,
-            rescale_sigma=self.rescale_sigma, min_max_dir=self.min_max_dir)
-        self.load_spec = {"entry": eval_data.confidence_entry,
-                          "t2_mask": self.need_t2_mask}
-
-        need_mask = self.need_t2_mask
-        kern = self._kernels()
-
-        def metric(to_eval):
-            mask = jnp.asarray(to_eval["mask"]) if need_mask else None
+        def measure(sample):
             out = kern.ece_dice_confusion(
-                jnp.asarray(to_eval["probabilities"]),
-                jnp.asarray(to_eval["target"]),
-                jnp.asarray(to_eval["prediction"]), mask)
-            ordered = {}
-            for k in ("ece", "dice", "tp", "tn", "fp", "fn", "n"):
-                ordered[k] = _pyval(k, out[k])
-            return ordered
+                jnp.asarray(sample["probabilities"]),
+                jnp.asarray(sample["target"]),
+                jnp.asarray(sample["prediction"]),
+                jnp.asarray(sample["mask"]) if masked else None)
+            return [{k: csv_value(k, out[k]) for k in columns}]
+        p.measure = measure
 
-        hook = ev_hooks.ComposeEvalHook([ev_hooks.WriteCsvHook(
-            os.path.join(self.out_dir, dirs.ECE_PLACEHOLDER.format(self.id_)),
-            entries=("ece", "dice", "tp", "tn", "fp", "fn", "n"))])
-        self.eval_cases = [EvalCase(metric, hook)]
+    return MetricPass(configure, mesh)
 
 
-class EceCalibrationAction(EvalAction):
-    """ECE + 4x10 reliability bins + dice (reference :112-138)."""
+def calibration_pass(base_dir: str, details: str = "",
+                     rescale_confidence="subject", rescale_sigma="subject",
+                     min_max_dir: str = None, mesh=None) -> MetricPass:
+    """ECE + the 4x10 reliability-bin vectors + dice; bins unfold to the
+    ``bins_*_00..09`` CSV columns in the sink."""
+    masked = details == "foreground"
+    out_dir = os.path.join(base_dir, dirs.CALIB_NAME)
+    os.makedirs(out_dir, exist_ok=True)
 
-    def __init__(self, base_dir: str, details: str = "",
-                 rescale_confidence="subject", rescale_sigma="subject",
-                 min_max_dir: str = None, mesh=None):
-        super().__init__(mesh)
-        self.need_mask = details == "foreground"
-        self.rescale_confidence = rescale_confidence
-        self.rescale_sigma = rescale_sigma
-        self.min_max_dir = min_max_dir
-        self.out_dir = os.path.join(base_dir, dirs.CALIB_NAME)
-        _make_dir_if_not_exists(self.out_dir)
+    def configure(p, eval_data, kern):
+        p.prepare, p.id_ = analysis.get_probability_preparation(
+            eval_data, rescale_confidence=rescale_confidence,
+            rescale_sigma=rescale_sigma, min_max_dir=min_max_dir)
+        p.load_spec = {"entry": eval_data.confidence_entry, "t2_mask": masked}
+        p.sinks = (ev_hooks.WriteBinsCsvHook(os.path.join(
+            out_dir, dirs.CALIBRATION_PLACEHOLDER.format(p.id_))),)
 
-    def _setup_eval(self, eval_data: EvalData):
-        self.prepare, self.id_ = analysis.get_probability_preparation(
-            eval_data, rescale_confidence=self.rescale_confidence,
-            rescale_sigma=self.rescale_sigma, min_max_dir=self.min_max_dir)
-        self.load_spec = {"entry": eval_data.confidence_entry,
-                          "t2_mask": self.need_mask}
-
-        need_mask = self.need_mask
-        kern = self._kernels()
-
-        def metric(to_eval):
-            mask = jnp.asarray(to_eval["mask"]) if need_mask else None
+        def measure(sample):
             out = kern.calibration_bins(
-                jnp.asarray(to_eval["probabilities"]),
-                jnp.asarray(to_eval["target"]),
-                jnp.asarray(to_eval["prediction"]), mask)
-            # reference insertion order: bins first (out_bins side effect),
-            # then ece, then dice (numpyfunctions.py:16-20, eval.py:118-142)
-            return {
+                jnp.asarray(sample["probabilities"]),
+                jnp.asarray(sample["target"]),
+                jnp.asarray(sample["prediction"]),
+                jnp.asarray(sample["mask"]) if masked else None)
+            # column order: bin vectors first, then ece, then dice (the
+            # reference's result-insertion order — a frozen CSV contract)
+            return [{
                 "bins_count": np.asarray(out["bins_count"]).astype(np.int64),
                 "bins_avg_confidence": np.asarray(out["bins_avg_confidence"]),
-                "bins_positive_fraction": np.asarray(out["bins_positive_fraction"]),
+                "bins_positive_fraction":
+                    np.asarray(out["bins_positive_fraction"]),
                 "bins_non_zero": np.asarray(out["bins_non_zero"]),
                 "ece": float(np.asarray(out["ece"])),
                 "dice": float(np.asarray(out["dice"])),
-            }
+            }]
+        p.measure = measure
 
-        hook = ev_hooks.ComposeEvalHook([ev_hooks.WriteBinsCsvHook(
-            os.path.join(self.out_dir,
-                         dirs.CALIBRATION_PLACEHOLDER.format(self.id_)))])
-        self.eval_cases = [EvalCase(metric, hook)]
+    return MetricPass(configure, mesh)
 
 
-class CorrectionAction(EvalAction):
-    """Uncertainty/correction analysis at all thresholds in ONE device pass
-    (reference :176-202 runs one python object per threshold)."""
+def correction_pass(thresholds, base_dir: str, rescale_confidence="",
+                    rescale_sigma="global", min_max_dir: str = None,
+                    mesh=None) -> MetricPass:
+    """Uncertainty/correction analysis: the whole threshold vector is one
+    vmapped device reduction whose rows fan out to one CSV sink per
+    threshold (the reference runs one numpy evaluation per threshold)."""
+    thresholds = tuple(thresholds)
+    out_dir = os.path.join(base_dir, dirs.UNCERTAINTY_NAME)
+    os.makedirs(out_dir, exist_ok=True)
+    threshold_arr = np.asarray(thresholds, np.float32)
 
-    def __init__(self, thresholds: list, base_dir: str, rescale_confidence="",
-                 rescale_sigma="global", min_max_dir: str = None, mesh=None):
-        super().__init__(mesh)
-        self.thresholds = list(thresholds)
-        self.rescale_confidence = rescale_confidence
-        self.rescale_sigma = rescale_sigma
-        self.min_max_dir = min_max_dir
-        self.out_dir = os.path.join(base_dir, dirs.UNCERTAINTY_NAME)
-        _make_dir_if_not_exists(self.out_dir)
+    def configure(p, eval_data, kern):
+        p.prepare, p.id_ = analysis.get_uncertainty_preparation(
+            eval_data, rescale_confidence=rescale_confidence,
+            rescale_sigma=rescale_sigma, min_max_dir=min_max_dir)
+        p.load_spec = {"entry": eval_data.confidence_entry}
+        p.sinks = tuple(
+            ev_hooks.WriteCsvHook(
+                os.path.join(out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(
+                    p.id_, f"{t:.2f}".replace(".", ""))), None)
+            for t in thresholds)
 
-    def _setup_eval(self, eval_data: EvalData):
-        self.prepare, self.id_ = analysis.get_uncertainty_preparation(
-            eval_data, rescale_confidence=self.rescale_confidence,
-            rescale_sigma=self.rescale_sigma, min_max_dir=self.min_max_dir)
-        self.load_spec = {"entry": eval_data.confidence_entry}
+        def measure(sample):
+            out = kern.correction_eval(
+                jnp.asarray(sample["prediction"]),
+                jnp.asarray(sample["target"]),
+                jnp.asarray(sample["uncertainty"]), threshold_arr)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            return [{k: csv_value(k, out[k][ti]) for k in CORRECTION_KEYS}
+                    for ti in range(len(thresholds))]
+        p.measure = measure
 
-        thresholds = np.asarray(self.thresholds, np.float32)
-        kern = self._kernels()
-        hooks_per_th = []
-        for threshold in self.thresholds:
-            threshold_str = f"{threshold:.2f}".replace(".", "")
-            out_csv = os.path.join(self.out_dir, dirs.UNCERTAINTY_PLACEHOLDER
-                                   .format(self.id_, threshold_str))
-            hooks_per_th.append(ev_hooks.WriteCsvHook(out_csv, None))
+    return MetricPass(configure, mesh)
 
-        action = self
 
-        class _FusedCase:
-            """One device pass, fanned out to the per-threshold CSV hooks."""
-
-            def __init__(self):
-                self.id_ = ""
-                self.hooks = hooks_per_th
-                self.result_history = {}
-
-            @property
-            def hook(self):  # for start/finish fan-out
-                outer = self
-
-                class _H:
-                    def on_run_start(self, run_id):
-                        for h in outer.hooks:
-                            h.on_run_start(run_id)
-
-                    def on_run_end(self, history, run_id):
-                        for h in outer.hooks:
-                            h.on_run_end(history, run_id)
-                return _H()
-
-            def do_eval(self, to_eval, subject_name, id_):
-                out = kern.correction_eval(
-                    jnp.asarray(to_eval["prediction"]),
-                    jnp.asarray(to_eval["target"]),
-                    jnp.asarray(to_eval["uncertainty"]),
-                    thresholds)
-                out = {k: np.asarray(v) for k, v in out.items()}
-                for ti, h in enumerate(self.hooks):
-                    row = {k: _pyval(k, out[k][ti]) for k in CORRECTION_KEYS}
-                    h.on_subject(row, subject_name, id_)
-                    for k, v in row.items():
-                        self.result_history.setdefault(k, []).append(v)
-
-        self.eval_cases = [_FusedCase()]
+_PASS_BUILDERS = {
+    "minmax": lambda min_max_dir, base_dir, details, mesh:
+        minmax_pass(min_max_dir, mesh=mesh),
+    "ece_dice": lambda min_max_dir, base_dir, details, mesh:
+        ece_pass(base_dir, details, rescale_confidence="subject",
+                 rescale_sigma="global", min_max_dir=min_max_dir, mesh=mesh),
+    "calib": lambda min_max_dir, base_dir, details, mesh:
+        calibration_pass(base_dir, details, rescale_confidence="subject",
+                         rescale_sigma="global", min_max_dir=min_max_dir,
+                         mesh=mesh),
+    "bnf_ue": lambda min_max_dir, base_dir, details, mesh:
+        correction_pass(ALL_THRESHOLDS, base_dir,
+                        rescale_confidence="subject", rescale_sigma="global",
+                        min_max_dir=min_max_dir, mesh=mesh),
+}
 
 
 def get_actions(action_names, min_max_dir, base_dir, ece_details, mesh=None):
-    """Reference :226-244 — same names, same default rescale wiring. With a
-    ``mesh`` every action's reduction pass shards subject volumes over it."""
-    actions = []
-    for action_name in action_names:
-        action = None
-        if action_name == "minmax":
-            action = SaveMinMaxAction(min_max_dir, mesh=mesh)
-        elif action_name == "ece_dice":
-            action = EceAction(base_dir, ece_details, rescale_confidence="subject",
-                               rescale_sigma="global", min_max_dir=min_max_dir,
-                               mesh=mesh)
-        elif action_name == "calib":
-            action = EceCalibrationAction(base_dir, ece_details,
-                                          rescale_confidence="subject",
-                                          rescale_sigma="global",
-                                          min_max_dir=min_max_dir, mesh=mesh)
-        elif action_name == "bnf_ue":
-            action = CorrectionAction(
-                [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95],
-                base_dir, rescale_confidence="subject", rescale_sigma="global",
-                min_max_dir=min_max_dir, mesh=mesh)
-        if action is not None:
-            actions.append(action)
-    return actions
+    """Action-name registry (CLI surface parity; same names and default
+    rescale wiring as the reference's runner). With a ``mesh`` every pass's
+    reduction shards subject volumes over it."""
+    return [_PASS_BUILDERS[name](min_max_dir, base_dir, ece_details, mesh)
+            for name in action_names if name in _PASS_BUILDERS]

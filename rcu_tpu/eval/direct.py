@@ -29,7 +29,7 @@ from rcu_tpu.engine import config as cfg_lib
 from rcu_tpu.engine import databuild
 from rcu_tpu.engine.state import create_train_state
 from rcu_tpu.eval import hooks as ev_hooks
-from rcu_tpu.eval.actions import CORRECTION_KEYS, _pyval
+from rcu_tpu.eval.actions import CORRECTION_KEYS, csv_value
 from rcu_tpu.eval.pipeline import make_volume_mc_eval_fn
 from rcu_tpu.models import get_model, get_optimizer
 
@@ -230,7 +230,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             "dice": float(corr["dice"][0]),
         }, subject, run_id)
         for ti, hook in enumerate(corr_hooks):
-            hook.on_subject({k: _pyval(k, corr[k][ti])
+            hook.on_subject({k: csv_value(k, corr[k][ti])
                              for k in CORRECTION_KEYS}, subject, run_id)
         eces[subject] = float(out["ece"])
         logging.info("direct eval %s ece=%.5f (%.2fs)", subject,

@@ -171,6 +171,6 @@ class UncertaintyAndCorrectionEval(EvaluationStrategy):
             jnp.asarray(to_evaluate["target"]),
             jnp.asarray(to_evaluate["uncertainty"]),
             np.asarray([self.uncertainty_threshold], np.float32))
-        from rcu_tpu.eval.actions import CORRECTION_KEYS, _pyval
+        from rcu_tpu.eval.actions import CORRECTION_KEYS, csv_value
         for key in CORRECTION_KEYS:
-            results[key] = _pyval(key, np.asarray(out[key])[0])
+            results[key] = csv_value(key, np.asarray(out[key])[0])
