@@ -1,0 +1,64 @@
+"""Model-serving CLI (no reference counterpart — the reference is offline
+scripts only; this is the deployment surface for the fused TPU programs).
+
+Loads a checkpoint once and serves volume inference over HTTP:
+
+  python bin/serve.py -model_dir out/.../model_x [-test_at best] [-mc 20]
+      [-batch_size 32] [-devices N] [-host 0.0.0.0] [-port 8475]
+
+  POST /v1/predict  .npz{images[,target,mask]} -> .npz{prediction,
+                    probabilities, entropy[, ece, correction_*]}
+  GET  /v1/health   JSON status + warm compiled shapes
+
+Client example (stdlib only):
+  import io, urllib.request, numpy as np
+  buf = io.BytesIO(); np.savez_compressed(buf, images=volume)
+  req = urllib.request.Request("http://host:8475/v1/predict",
+                               data=buf.getvalue(), method="POST")
+  out = np.load(io.BytesIO(urllib.request.urlopen(req).read()))
+"""
+import argparse
+import logging
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+BIN_DIR = os.path.dirname(os.path.abspath(__file__))
+if BIN_DIR not in sys.path:
+    sys.path.insert(0, BIN_DIR)
+
+
+def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
+         host="0.0.0.0", port=8475):
+    import _cli
+    from rcu_tpu.serve import VolumeInferenceService, make_http_server
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    mesh = _cli.mesh_from_devices(devices)
+    service = VolumeInferenceService(model_dir, test_at=test_at, mc=mc,
+                                     batch_size=batch_size, mesh=mesh)
+    server = make_http_server(service, host, port)
+    logging.info("serving %s (mc=%d, batch=%d%s) on http://%s:%d",
+                 model_dir, service.mc, service.batch_size,
+                 f", {devices}-device mesh" if mesh is not None else "",
+                 host, port)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="MC-dropout inference server")
+    parser.add_argument("-model_dir", type=str, required=True)
+    parser.add_argument("-test_at", type=str, default="best",
+                        help="checkpoint selector: best | last | epoch int")
+    parser.add_argument("-mc", type=int, default=20)
+    parser.add_argument("-batch_size", type=int, default=32)
+    parser.add_argument("-devices", type=int, default=None,
+                        help="shard each volume over an N-device mesh")
+    parser.add_argument("-host", type=str, default="0.0.0.0")
+    parser.add_argument("-port", type=int, default=8475)
+    args = parser.parse_args()
+    main(args.model_dir, args.test_at, args.mc, args.batch_size,
+         args.devices, args.host, args.port)

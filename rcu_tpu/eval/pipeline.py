@@ -24,6 +24,69 @@ from rcu_tpu.ops import metrics as metrics_ops
 from rcu_tpu.ops import uncertainty as u_ops
 
 
+def _mc_scan(model, mc_steps, params, batch_stats, batched, rng):
+    """lax.scan of the 21-forward MC protocol over a volume's slice batches.
+    Returns per-slice (fg_prob, normalized_entropy, weight_scaling_fg), each
+    (n_batches, batch, H, W)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def one_batch(_, inp):
+        images, batch_index = inp
+        key = jax.random.fold_in(rng, batch_index)
+
+        # weight-scaling forward (the reference protocol's 21st forward,
+        # customsteps.py:23-25; kept so the workload stays comparable)
+        ws_out = model.apply(variables, images, train=False)
+        ws_fg = jax.nn.softmax(ws_out.logits, axis=-1)[..., 1]
+
+        def one_sample(sample_key):
+            out = model.apply(variables, images, train=False,
+                              mc_dropout=True, rngs={"dropout": sample_key})
+            return jax.nn.softmax(out.logits, axis=-1)
+
+        mc_probs = jax.vmap(one_sample)(jax.random.split(key, mc_steps))
+        probabilities = jnp.mean(mc_probs, axis=0)
+        ent = metrics_ops.entropy(probabilities, axis=-1)
+        return None, (probabilities[..., 1], ent, ws_fg)
+
+    n_batches = batched.shape[0]
+    _, out = jax.lax.scan(one_batch, None, (batched, jnp.arange(n_batches)))
+    return out
+
+
+def _volume_shardings(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rcu_tpu.parallel.mesh import DATA_AXIS
+    rep = NamedSharding(mesh, P())
+    # scan axis unsharded, each step's batch axis sharded over the data axis
+    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    return rep, data
+
+
+def make_volume_mc_fn(model, mc_steps: int, batch_size: int,
+                      vol_slices: int, mesh=None):
+    """Inference-only variant of :func:`make_volume_mc_eval_fn` — one
+    dispatch (params, batch_stats, batched_volume, rng) -> the per-voxel
+    serving artifacts {fg, entropy, ws_fg, prediction} with no eval
+    reductions (no ground truth required). Same PRNG schedule as the eval
+    variant, so fg/entropy match it bitwise."""
+
+    def run(params, batch_stats, batched, rng):
+        fg, ent, ws_fg = _mc_scan(model, mc_steps, params, batch_stats,
+                                  batched, rng)
+        fg = fg.reshape((-1,) + fg.shape[2:])[:vol_slices]
+        ent = ent.reshape((-1,) + ent.shape[2:])[:vol_slices] / jnp.log(2.0)
+        ws_fg = ws_fg.reshape((-1,) + ws_fg.shape[2:])[:vol_slices]
+        return {"fg": fg, "entropy": ent, "ws_fg": ws_fg,
+                "prediction": fg > 0.5}
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep, rep, data, rep),
+                   out_shardings=rep)
+
+
 def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
                            vol_slices: int, mesh=None):
     """One-dispatch (params, batch_stats, batched_volume, target, mask,
@@ -41,30 +104,8 @@ def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
     """
 
     def run(params, batch_stats, batched, target, mask, thresholds, rng):
-        n_batches = batched.shape[0]
-        variables = {"params": params, "batch_stats": batch_stats}
-
-        def one_batch(_, inp):
-            images, batch_index = inp
-            key = jax.random.fold_in(rng, batch_index)
-
-            # weight-scaling forward (the reference protocol's 21st forward,
-            # customsteps.py:23-25; kept so the workload stays comparable)
-            ws_out = model.apply(variables, images, train=False)
-            ws_fg = jax.nn.softmax(ws_out.logits, axis=-1)[..., 1]
-
-            def one_sample(sample_key):
-                out = model.apply(variables, images, train=False,
-                                  mc_dropout=True, rngs={"dropout": sample_key})
-                return jax.nn.softmax(out.logits, axis=-1)
-
-            mc_probs = jax.vmap(one_sample)(jax.random.split(key, mc_steps))
-            probabilities = jnp.mean(mc_probs, axis=0)
-            ent = metrics_ops.entropy(probabilities, axis=-1)
-            return None, (probabilities[..., 1], ent, ws_fg)
-
-        _, (fg, ent, ws_fg) = jax.lax.scan(
-            one_batch, None, (batched, jnp.arange(n_batches)))
+        fg, ent, ws_fg = _mc_scan(model, mc_steps, params, batch_stats,
+                                  batched, rng)
         fg = fg.reshape((-1,) + fg.shape[2:])[:vol_slices]
         ent = ent.reshape((-1,) + ent.shape[2:])[:vol_slices] / jnp.log(2.0)
         ws_fg = ws_fg.reshape((-1,) + ws_fg.shape[2:])[:vol_slices]
@@ -77,10 +118,6 @@ def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
 
     if mesh is None:
         return jax.jit(run)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from rcu_tpu.parallel.mesh import DATA_AXIS
-    rep = NamedSharding(mesh, P())
-    # scan axis unsharded, each step's batch axis sharded over the data axis
-    data = NamedSharding(mesh, P(None, DATA_AXIS))
+    rep, data = _volume_shardings(mesh)
     return jax.jit(run, in_shardings=(rep, rep, data, rep, rep, rep, rep),
                    out_shardings=rep)

@@ -1,0 +1,112 @@
+"""Serving surface: persistent inference service + HTTP round trip."""
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rcu_tpu import strategies
+from rcu_tpu.data.split import save_split
+from rcu_tpu.serve import VolumeInferenceService, make_http_server
+from tests.test_strategies import base_train_cfg, make_store
+
+pytestmark = pytest.mark.slow
+
+HW = (16, 16)
+
+
+@pytest.fixture(scope="module")
+def service(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serve")
+    store = make_store(str(tmp_path / "ds.h5"), channels=4)
+    split_file = str(tmp_path / "split.json")
+    save_split(split_file, ["s00"], ["s01"], ["s02"])
+    loop = strategies.train_default(base_train_cfg(
+        tmp_path, store, split_file, name="srv",
+        model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                        "nb_classes": 2, "start_filters": 4}}))
+    return VolumeInferenceService(loop.model_files.model_dir, mc=3,
+                                  batch_size=2)
+
+
+class TestService:
+    def test_predict_without_target(self, service):
+        volume = np.random.RandomState(0).rand(3, *HW, 4).astype(np.float32)
+        out = service.predict(volume)
+        assert out["prediction"].shape == (3, *HW)
+        assert out["probabilities"].shape == (3, *HW)
+        assert out["entropy"].shape == (3, *HW)
+        assert out["prediction"].dtype == np.uint8
+        np.testing.assert_array_equal(out["prediction"],
+                                      out["probabilities"] > 0.5)
+        assert float(out["entropy"].max()) <= 1.0 + 1e-5  # normalized
+        assert "ece" not in out
+
+    def test_predict_single_image(self, service):
+        image = np.random.RandomState(1).rand(*HW, 4).astype(np.float32)
+        out = service.predict(image)
+        assert out["prediction"].shape == (1, *HW)
+
+    def test_predict_scored(self, service):
+        rng = np.random.RandomState(2)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+        target = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        out = service.predict(volume, target=target)
+        assert np.isfinite(float(out["ece"]))
+        assert out["correction_corrected_dice"].shape == (11,)
+        assert out["correction_tp"].shape == (11,)
+
+    def test_target_shape_mismatch(self, service):
+        volume = np.zeros((2, *HW, 4), np.float32)
+        with pytest.raises(ValueError, match="does not match"):
+            service.predict(volume, target=np.zeros((2, 4, 4)))
+
+    def test_programs_are_shape_cached(self, service):
+        volume = np.zeros((3, *HW, 4), np.float32)
+        service.predict(volume)
+        n = len(service.compiled_shapes())
+        service.predict(volume)  # same shape -> no new program
+        assert len(service.compiled_shapes()) == n
+
+
+class TestHttp:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        httpd = make_http_server(service, "127.0.0.1", 0)  # ephemeral port
+        thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+        thread.start()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+        httpd.shutdown()
+
+    def _post(self, url, **arrays):
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **arrays)
+        req = urllib.request.Request(url + "/v1/predict", data=buf.getvalue(),
+                                     method="POST")
+        return urllib.request.urlopen(req)
+
+    def test_health(self, server):
+        with urllib.request.urlopen(server + "/v1/health") as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "ok" and body["mc"] == 3
+
+    def test_predict_round_trip(self, server):
+        rng = np.random.RandomState(3)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+        target = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        with self._post(server, images=volume, target=target) as resp:
+            out = np.load(io.BytesIO(resp.read()))
+        assert out["prediction"].shape == (2, *HW)
+        assert np.isfinite(float(out["ece"]))
+
+    def test_bad_request_is_json_400(self, server):
+        buf = io.BytesIO()
+        np.savez_compressed(buf, wrong=np.zeros(3))
+        req = urllib.request.Request(server + "/v1/predict",
+                                     data=buf.getvalue(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+        assert "images" in json.loads(err.value.read())["error"]
