@@ -70,6 +70,23 @@ class TestService:
         service.predict(volume)  # same shape -> no new program
         assert len(service.compiled_shapes()) == n
 
+    def test_mesh_service_matches_single_device(self, service):
+        """Sharding each request over a mesh must not change the artifacts.
+        Two FRESH services (same seed, same batch size -> same per-request
+        RNG schedule), one sharded, one not, must agree bitwise-ish."""
+        from rcu_tpu.parallel import mesh as mesh_lib
+        sharded = VolumeInferenceService(
+            service.model_dir, mc=3, batch_size=2,
+            mesh=mesh_lib.make_mesh(n_devices=2), seed=0)
+        single = VolumeInferenceService(service.model_dir, mc=3,
+                                        batch_size=2, seed=0)
+        volume = np.random.RandomState(4).rand(2, *HW, 4).astype(np.float32)
+        a = single.predict(volume)
+        b = sharded.predict(volume)
+        np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(a["prediction"], b["prediction"])
+
 
 class TestHttp:
     @pytest.fixture(scope="class")
