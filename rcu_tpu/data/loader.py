@@ -126,27 +126,52 @@ def prefetch(iterator, size: int = 2, device_put: bool = True, sharding=None):
 
     With a NamedSharding, batches land pre-sharded across the mesh (the
     multi-chip feed path). Exceptions in the worker propagate to the consumer.
+    Abandoning the generator mid-iteration (consumer raised / broke out)
+    releases the worker: puts poll a stop flag, so neither the thread nor its
+    queued device batches outlive the loop that consumed them.
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
+
+    def offer(item) -> bool:
+        """put() that gives up once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
+                if stop.is_set():
+                    return
                 if device_put:
                     item = jax.device_put(item, sharding) if sharding is not None \
                         else jax.device_put(item)
-                q.put(item)
-            q.put(_END)
+                if not offer(item):
+                    return
+            offer(_END)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            offer(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # unpin any device batches parked in the queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

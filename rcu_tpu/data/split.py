@@ -71,8 +71,10 @@ def load_split(file: str, k: int = None) -> Tuple[list, list, list]:
 def _resolve_counts(sizes: Sequence, total: int) -> List[int]:
     """Turn ``sizes`` (absolute ints or fractions) into absolute counts.
 
-    A trailing third entry is treated as "the remainder" so that rounding of
-    fractional sizes never loses subjects.
+    Only a three-way split treats its trailing entry as "the remainder"; a
+    two-way FRACTIONAL split floors both counts and may leave rounding
+    leftovers in neither group — deliberately identical to the replaced
+    implementation (use absolute sizes for exact two-way coverage).
     """
     if all(isinstance(s, int) for s in sizes):
         if sum(sizes) != total:

@@ -85,9 +85,13 @@ def save_checkpoint(model_files: ModelFiles, state: dict, epoch: int,
     os.makedirs(model_files.weight_checkpoint_dir, exist_ok=True)
     path = model_files.build_checkpoint_path(epoch, best, postfix)
     state = jax.device_get(state)
-    with open(path, "wb") as f:
+    # write-then-rename: a crash mid-write must never leave a truncated
+    # checkpoint at the final path (test_at: best would then fail to restore)
+    tmp_path = path + ".tmp"
+    with open(tmp_path, "wb") as f:
         f.write(serialization.msgpack_serialize(
             serialization.to_state_dict(state)))
+    os.replace(tmp_path, path)
     return path
 
 
@@ -117,13 +121,19 @@ def find_best_checkpoint_epoch(model_files: ModelFiles, postfix: str = ""):
     return None
 
 
-def find_last_checkpoint_epoch(model_files: ModelFiles, postfix: str = ""):
+def find_epoch_checkpoints(model_files: ModelFiles, postfix: str = ""):
+    """Sorted list of epochs with a plain (non-best) checkpoint on disk."""
     epochs = []
     for path in find_checkpoint_files(model_files, postfix):
         m = _EPOCH_RE.search(path)
         if m and not m.group(2):
             epochs.append(int(m.group(1)))
-    return max(epochs) if epochs else None
+    return sorted(epochs)
+
+
+def find_last_checkpoint_epoch(model_files: ModelFiles, postfix: str = ""):
+    epochs = find_epoch_checkpoints(model_files, postfix)
+    return epochs[-1] if epochs else None
 
 
 def find_checkpoint_file(model_files: ModelFiles, at, postfix: str = ""):

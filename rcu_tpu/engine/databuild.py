@@ -45,9 +45,12 @@ def build_transform(nodes: typing.Optional[list]):
         if node.type == "rescale":
             p = dict(node.params)
             entries = p.pop("entries", None)
-            transforms.append(tfm_lib.Rescale(lower=p.get("lower", 0.0),
-                                              upper=p.get("upper", 1.0),
-                                              entries=entries))
+            kwargs = {k: p.pop(k)
+                      for k in ("lower", "upper", "old_min", "old_max")
+                      if k in p}
+            if p:  # a typo'd/unsupported param must not silently no-op
+                raise ValueError(f"unknown rescale params: {sorted(p)}")
+            transforms.append(tfm_lib.Rescale(entries=entries, **kwargs))
         elif node.type == "size":
             transforms.append(tfm_lib.Size(node.params["size"],
                                            entries=node.params.get("entries")))
@@ -72,6 +75,19 @@ def build_indexing(node: typing.Optional[ParametricNode]):
             node.params.get("patch_shape", (128, 128)),
             pad=node.params.get("pad", (0, 0)))
     raise ValueError(f'unknown indexing "{node.type}"')
+
+
+def build_assembler(dataset, indexing_node, entries):
+    """Assembler matched to the indexing strategy (shared by the train
+    validation loop and the test loop so the mapping cannot drift)."""
+    from rcu_tpu.data.assembler import (PatchAssembler, Subject2dAssembler,
+                                        SubjectAssembler)
+    indexing = build_indexing(indexing_node)
+    if isinstance(indexing, idx_lib.SliceIndexing):
+        return SubjectAssembler(dataset, entries)
+    if isinstance(indexing, idx_lib.PatchWiseIndexing):
+        return PatchAssembler(dataset, indexing, entries)
+    return Subject2dAssembler(dataset, entries)
 
 
 def build_selection(node: typing.Optional[ParametricNode],

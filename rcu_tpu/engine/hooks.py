@@ -87,20 +87,20 @@ class TensorboardHook(TrainLoopHook):
         import tensorboardX
         self.writer = tensorboardX.SummaryWriter(log_dir)
         self.flush_every = flush_every
-        self._step = 0
-        self._pending: typing.List[dict] = []
+        self._pending: typing.List[tuple] = []
 
     def _flush(self):
         import jax
         fetched = jax.device_get(self._pending)  # one transfer per window
-        for metrics in fetched:
+        for step, metrics in fetched:
             for k, v in metrics.items():
-                self.writer.add_scalar(f"train/{k}", float(v), self._step)
-            self._step += 1
+                self.writer.add_scalar(f"train/{k}", float(v), step)
         self._pending.clear()
 
     def on_training_batch_end(self, loop, epoch, batch_index, nb_batches, metrics):
-        self._pending.append(dict(metrics))
+        # global step derives from (epoch, batch) — not a session counter —
+        # so a resumed run continues its curves instead of re-logging from 0
+        self._pending.append((epoch * nb_batches + batch_index, dict(metrics)))
         # windowed flush: bounds both the scalars lost to a mid-epoch crash
         # and the tiny device buffers pinned by the pending list, while
         # keeping device round-trips ~flush_every x rarer than per-step
@@ -131,9 +131,11 @@ class SaveBestModelHook(TrainLoopHook):
         if not is_best:
             return
         prev = ckpt_lib.find_best_checkpoint_epoch(loop.model_files)
-        if prev is not None:
-            ckpt_lib.delete_checkpoint(loop.model_files, prev, best=True)
+        # save the new best BEFORE deleting the old one: a crash between the
+        # two must never leave the run without any -best checkpoint
         loop.save_checkpoint(epoch, best=True)
+        if prev is not None and prev != epoch:
+            ckpt_lib.delete_checkpoint(loop.model_files, prev, best=True)
 
 
 class SaveNLastModelHook(TrainLoopHook):
@@ -142,6 +144,11 @@ class SaveNLastModelHook(TrainLoopHook):
     def __init__(self, keep_nb: int = 3):
         self.keep_nb = keep_nb
         self._saved: typing.List[int] = []
+
+    def on_startup(self, loop):
+        # resume: adopt the epoch checkpoints already on disk so the keep-n
+        # window keeps rolling instead of accumulating pre-resume files
+        self._saved = ckpt_lib.find_epoch_checkpoints(loop.model_files)
 
     def on_epoch_end(self, loop, epoch):
         loop.save_checkpoint(epoch, best=False)
@@ -157,6 +164,14 @@ class WriteValidationMetricsCsvHook(TrainLoopHook):
         self.file_path = file_path
         self._rows = []
         self._header = None
+        # resume: keep the pre-resume epochs' rows — the file is rewritten
+        # whole on every validation, so starting empty would erase them
+        if os.path.exists(file_path):
+            with open(file_path, newline="") as f:
+                existing = list(csv.reader(f))
+            if existing:
+                self._header = existing[0]
+                self._rows = existing[1:]
 
     def on_validation_subject_end(self, loop, epoch, subject, results):
         if self._header is None:

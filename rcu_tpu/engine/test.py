@@ -16,15 +16,13 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 import typing
 
 import jax
 import numpy as np
 
 from rcu_tpu.data import nifti
-from rcu_tpu.data.assembler import (PatchAssembler, Subject2dAssembler,
-                                    SubjectAssembler)
-from rcu_tpu.data.indexing import SliceIndexing
 from rcu_tpu.data.loader import prefetch
 from rcu_tpu.engine import checkpoint as ckpt_lib
 from rcu_tpu.engine import config as cfg_lib
@@ -122,6 +120,15 @@ class TestLoop:
         if not test_dir:
             raise ValueError("one of config.test_dir, config.model_dir or "
                              "run_dir_base must locate the test run dir")
+        # ids have 1-second resolution: don't let two runs in the same second
+        # share a run dir (artifacts/metrics would interleave)
+        for _ in range(5):
+            candidate = os.path.join(test_dir,
+                                     f"{self.test_id}_{config.test_name}")
+            if not os.path.exists(candidate):
+                break
+            time.sleep(1.0)
+            self.test_id = ids_lib.unique_identifier()
         self.run_dir = os.path.join(test_dir, f"{self.test_id}_{config.test_name}")
 
         self.hook = hooks_lib.ComposeTestHook(
@@ -151,7 +158,10 @@ class TestLoop:
         input_shape = (1, h, w, in_ch)
         optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
         self.state = create_train_state(self.model, optimizer, input_shape)
-        at = self.config.test_at or "best"
+        # NOT `or "best"`: epoch 0 is a valid integer selector
+        at = self.config.test_at
+        if at is None or at == "":
+            at = "best"
         path = ckpt_lib.find_checkpoint_file(self.model_files, at)
         if path is None:
             raise FileNotFoundError(
@@ -167,13 +177,9 @@ class TestLoop:
         logging.info("loaded checkpoint %s", path)
 
     def _make_assembler(self):
-        indexing = databuild.build_indexing(self.config.test_data.indexing)
-        if isinstance(indexing, SliceIndexing):
-            return SubjectAssembler(self.test_data.dataset, self.entries)
-        from rcu_tpu.data.indexing import PatchWiseIndexing
-        if isinstance(indexing, PatchWiseIndexing):
-            return PatchAssembler(self.test_data.dataset, indexing, self.entries)
-        return Subject2dAssembler(self.test_data.dataset, self.entries)
+        return databuild.build_assembler(self.test_data.dataset,
+                                         self.config.test_data.indexing,
+                                         self.entries)
 
     def run(self):
         os.makedirs(self.run_dir, exist_ok=True)

@@ -18,14 +18,12 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 import typing
 
 import jax
 import numpy as np
 
-from rcu_tpu.data.assembler import (PatchAssembler, Subject2dAssembler,
-                                    SubjectAssembler)
-from rcu_tpu.data.indexing import SliceIndexing
 from rcu_tpu.data.loader import prefetch
 from rcu_tpu.engine import checkpoint as ckpt_lib
 from rcu_tpu.engine import config as cfg_lib
@@ -92,6 +90,16 @@ class TrainLoop:
         leading = ids_lib.extract_leading_identifier(config.train_name)
         self.resume = bool(leading)
         self.run_id = leading or ids_lib.unique_identifier()
+        if not self.resume:
+            # ids have 1-second resolution: two fresh runs in the same second
+            # must not silently share one run dir (checkpoints/CSVs would
+            # interleave) — wait for the next second instead
+            for _ in range(5):
+                if not os.path.exists(os.path.join(
+                        config.train_dir, f"{self.run_id}_{config.train_name}")):
+                    break
+                time.sleep(1.0)
+                self.run_id = ids_lib.unique_identifier()
         run_name = config.train_name if self.resume \
             else f"{self.run_id}_{config.train_name}"
         self.run_dir = os.path.join(config.train_dir, run_name)
@@ -236,17 +244,10 @@ class TrainLoop:
         means = {k: float(v) / max(nb, 1) for k, v in metric_sums.items()}
         self.hook.on_training_end(self, epoch, means)
 
-    def _make_assembler(self, data, entries):
-        indexing = databuild.build_indexing(self.config.valid_data.indexing)
-        if isinstance(indexing, SliceIndexing):
-            return SubjectAssembler(data.dataset, entries)
-        from rcu_tpu.data.indexing import PatchWiseIndexing
-        if isinstance(indexing, PatchWiseIndexing):
-            return PatchAssembler(data.dataset, indexing, entries)
-        return Subject2dAssembler(data.dataset, entries)
-
     def _validate(self, epoch: int, sharding):
-        asm = self._make_assembler(self.valid_data, self.validation_entries)
+        asm = databuild.build_assembler(self.valid_data.dataset,
+                                        self.config.valid_data.indexing,
+                                        self.validation_entries)
         dataset = self.valid_data.dataset
         scores, subject_results = [], []
         for batch in prefetch(iter(self.valid_data.loader), sharding=sharding):
@@ -265,7 +266,21 @@ class TrainLoop:
                 subject_results.append(results)
                 self.hook.on_validation_subject_end(self, epoch, info["subject"],
                                                     results)
-        score = float(np.mean(scores)) if scores else float("-inf")
+        leftover = asm.flush()
+        if leftover:
+            logging.warning(
+                "validation epoch %d: %d subject(s) were only partially "
+                "assembled and were dropped: %s — check that valid_data has "
+                "no slice-dropping selection strategy", epoch, len(leftover),
+                [dataset.subjects[i] for i in leftover])
+        if not scores:
+            # never let an empty validation freeze a bogus 'best' checkpoint
+            logging.warning("validation epoch %d produced no assembled "
+                            "subjects; epoch not scored", epoch)
+            self.hook.on_validation_end(self, epoch, float("nan"), False,
+                                        subject_results)
+            return
+        score = float(np.mean(scores))
         is_best = self.best_score is None or score > self.best_score
         if is_best:
             self.best_score = score

@@ -102,7 +102,9 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         batch_size = pad_batch_size_to_mesh(batch_size, mesh)
 
     model, params, batch_stats = _load_model_state(
-        config.model_dir, config.test_at or "best", (1, h, w, in_ch))
+        config.model_dir,
+        "best" if config.test_at in (None, "") else config.test_at,
+        (1, h, w, in_ch))
     if mesh is not None:
         from rcu_tpu.parallel.inference import replicate_tree
         params = replicate_tree(params, mesh)

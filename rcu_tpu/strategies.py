@@ -180,7 +180,7 @@ def test_ensemble(config: cfg_lib.TestConfiguration, mesh=None,
         model_dirs = [model_dirs]
     # the primary model loads at config.test_at; additional members at
     # others.test_at (reference loops.py:188 vs brats_test_ensemble.py:44-50)
-    primary_at = config.test_at or "best"
+    primary_at = "best" if config.test_at in (None, "") else config.test_at
     member_at = config.others["test_at"]
     all_dirs = ([(config.model_dir, primary_at)] if config.model_dir else []) \
         + [(d, member_at) for d in model_dirs]
