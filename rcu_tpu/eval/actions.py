@@ -77,6 +77,10 @@ class MetricPass:
 
     # ------ driver protocol (method names shared with the reference runner)
     def setup_eval(self, eval_data: EvalData):
+        # passes are reused across runs (the runner loops EvalData entries):
+        # history must start empty or run N's summary (e.g. the minmax
+        # bounds) would aggregate every earlier run's subjects too
+        self._history = {}
         self._configure(self, eval_data, self._kernel_suite())
 
     def start_eval(self):

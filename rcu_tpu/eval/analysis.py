@@ -157,6 +157,8 @@ class ComposePreparation:
 
 class AddBackgroundProbabilities:
     def __call__(self, to_eval):
+        # reference helper.py:25-28 refuses out-of-range inputs loudly
+        prep_ops.check_min_max(to_eval["probabilities"])
         to_eval["probabilities"] = np.asarray(
             prep_ops.add_background_probability(to_eval["probabilities"]))
         return to_eval
@@ -184,9 +186,20 @@ class RescaleSubjectMinMax:
 
 class ToForegroundProbabilities:
     def __call__(self, to_eval):
+        # reference helper.py:7-16: mis-scaled uncertainty (e.g. an un-rescaled
+        # sigma map) must fail loudly, not fold into garbage probabilities
+        uncertainty = np.asarray(to_eval["probabilities"])
+        prediction = np.asarray(to_eval["prediction"])
+        if uncertainty.shape != prediction.shape:
+            raise ValueError(f"shapes must agree. Found {uncertainty.shape} "
+                             f"and {prediction.shape}")
+        prep_ops.check_min_max(uncertainty)
+        if prediction.max() > 1:
+            raise ValueError("Found class larger than 1. Only works for "
+                             "binary problems")
         to_eval["probabilities"] = np.asarray(
             prep_ops.uncertainty_to_foreground_probabilities(
-                to_eval["probabilities"], to_eval["prediction"]))
+                uncertainty, prediction))
         return to_eval
 
 
@@ -197,6 +210,9 @@ class ToEntropy:
     def __call__(self, to_eval):
         to_eval[self.entropy_entry] = np.asarray(
             prep_ops.normalized_entropy(to_eval["probabilities"], 2))
+        # float noise can push entropy a hair past 1 — warn, don't fail
+        # (reference analysis.py:202)
+        prep_ops.check_min_max(to_eval[self.entropy_entry], only_warn=True)
         return to_eval
 
 

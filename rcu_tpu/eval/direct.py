@@ -203,8 +203,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         batched, target, mask, nz = subject_inputs
         key = (nz, batched.shape[0])
         if key not in fused_cache:
+            # artifacts=False: only the eval reductions come back, so no dead
+            # per-voxel volumes are held by the async window (or all-gathered
+            # across the mesh in latency mode)
             fused_cache[key] = make_volume_mc_eval_fn(
-                model, mc, batch_size, nz, mesh=None if devices else mesh)
+                model, mc, batch_size, nz, mesh=None if devices else mesh,
+                artifacts=False)
         fn = fused_cache[key]
         step_rng = jax.random.fold_in(rng, si)
         if devices:

@@ -88,9 +88,15 @@ def make_volume_mc_fn(model, mc_steps: int, batch_size: int,
 
 
 def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
-                           vol_slices: int, mesh=None):
+                           vol_slices: int, mesh=None,
+                           artifacts: bool = True):
     """One-dispatch (params, batch_stats, batched_volume, target, mask,
     thresholds, rng) -> eval dict for a padded volume.
+
+    ``artifacts=False`` drops the per-voxel outputs (fg/entropy/ws_fg) from
+    the program's results — callers that only consume the eval reductions
+    (the direct CSV path) then don't hold ~100 MB of dead volume buffers per
+    in-flight subject, and under a mesh XLA skips their output all-gather.
 
     ``batched_volume`` is (n_batches, batch_size, H, W, C) — the true
     ``vol_slices`` slices in row-major order followed by padding; target/mask
@@ -113,8 +119,10 @@ def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
 
         ece, bins = cal_ops.ece_binary_with_bins(fg, target, mask)
         correction = u_ops.correction_eval(prediction, target, ent, thresholds)
-        return {"ece": ece, **bins, "correction": correction,
-                "fg": fg, "entropy": ent, "ws_fg": ws_fg}
+        out = {"ece": ece, **bins, "correction": correction}
+        if artifacts:
+            out.update(fg=fg, entropy=ent, ws_fg=ws_fg)
+        return out
 
     if mesh is None:
         return jax.jit(run)

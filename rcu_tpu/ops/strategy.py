@@ -121,10 +121,14 @@ class EceBinary(EvaluationStrategy):
         target = jnp.asarray(to_evaluate["target"])
         mask = jnp.asarray(to_evaluate["mask"]) if self.with_mask else None
         if self.threshold_range is not None:
-            results[self.result_entry] = float(np.asarray(cal_ops.ece_binary(
-                probs, target, mask, self.n_bins, self.bin_weighting,
-                self.threshold_range)))
-            return
+            # expressed as a mask so bins stay available (the reference fills
+            # out_bins regardless of threshold_range, numpyfunctions.py:6-23)
+            p = probs
+            if p.ndim > target.ndim:
+                p = p[..., 1] if p.shape[-1] == 2 else jnp.squeeze(p, -1)
+            low, up = self.threshold_range
+            in_range = jnp.logical_and(p < up, p > low)
+            mask = in_range if mask is None else jnp.logical_and(mask, in_range)
         ece, bins = cal_ops.ece_binary_with_bins(probs, target, mask,
                                                  self.n_bins, self.bin_weighting)
         if self.return_bins:

@@ -113,6 +113,14 @@ def train_ensemble_fused(configs, mesh: Mesh = None):
     for cfg in configs[1:]:
         if cfg.model.params != first.model.params:
             raise ValueError("fused ensemble members must share the model config")
+    names = [(cfg.train_dir, cfg.train_name) for cfg in configs]
+    if len(set(names)) != len(names):
+        # all members are created within the same second, so the run id does
+        # not disambiguate — identical names would interleave checkpoints in
+        # ONE directory and silently corrupt every member involved
+        raise ValueError("fused ensemble members must have distinct "
+                         "train_name values per train_dir; got "
+                         f"{[n for _, n in names]}")
 
     model = get_model(first.model.type, first.model.params)
     optimizer = get_optimizer(first.optimizer.type, first.optimizer.params)

@@ -15,10 +15,12 @@ def to_one_hot(labels: np.ndarray, nb_classes: int = None) -> np.ndarray:
 def border_mask(mask: np.ndarray, distance_in: float = 1, distance_out: float = 1):
     """(distance_map, border_mask): voxels within ``distance_in`` inside or
     ``distance_out`` outside the object boundary, via Euclidean distance
-    transforms (reference labelhelper.py `boarder_mask`)."""
+    transforms. The distance map is the UNSIGNED ``dist_in + dist_out`` (one
+    term is zero at every voxel), exactly like the reference labelhelper.py
+    `boarder_mask` — ported band filters like ``distance <= d`` rely on it
+    being positive on both sides of the boundary."""
     mask = mask.astype(bool)
     dist_out = ndimage.distance_transform_edt(~mask)
     dist_in = ndimage.distance_transform_edt(mask)
-    distance = np.where(mask, dist_in, -dist_out)
     border = (dist_out <= distance_out) & (dist_in <= distance_in)
-    return distance, border
+    return dist_in + dist_out, border

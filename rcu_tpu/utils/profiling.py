@@ -42,10 +42,19 @@ class ProfilerHook:
             jax.profiler.start_trace(self.log_dir)
             self._active = True
             logging.info("profiler trace started (%s)", self.log_dir)
-        elif batch_index + 1 == self.stop_step and self._active:
-            jax.profiler.stop_trace()
-            self._active = False
-            logging.info("profiler trace stopped")
+        elif batch_index + 1 >= self.stop_step and self._active:
+            self._stop()
+
+    def on_training_end(self, loop, epoch, metrics_mean):
+        # an epoch shorter than stop_step must still end the trace — a trace
+        # left running profiles the whole run at sustained overhead
+        if self._active:
+            self._stop()
+
+    def _stop(self):
+        jax.profiler.stop_trace()
+        self._active = False
+        logging.info("profiler trace stopped")
 
     def on_termination(self, loop):
         if self._active:

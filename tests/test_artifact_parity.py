@@ -135,8 +135,16 @@ def _install_stubs():
         "pymia.config.configuration": config_mod,
         "pymia.deeplearning": _dummy_attr_module("pymia.deeplearning"),
     }
+    # FORCE-install: another test module (test_reference_parity) may have
+    # already registered thinner pymia stubs; ours are a superset and the
+    # reference's eval stack needs the richer ones (e.g. DiceCoefficient)
     for name, mod in modules.items():
-        sys.modules.setdefault(name, mod)
+        sys.modules[name] = mod
+    # drop any cached reference modules that captured the older stubs at
+    # import time — the next import must re-bind against ours
+    for name in [n for n in sys.modules
+                 if n == "common" or n.startswith("common.")]:
+        del sys.modules[name]
     # `import a.b.c as x` binds via getattr on the parent, so parents must
     # carry their submodules as real attributes (not the dummy fallback)
     for name in modules:

@@ -122,6 +122,92 @@ class TestTransformParams:
             databuild.build_transform([{"rescale": {"lowr": 0.0}}])
 
 
+class TestBorderMaskParity:
+    def test_distance_is_unsigned_sum(self):
+        """border_mask's distance map is dist_in + dist_out (positive on both
+        sides of the boundary), exactly like reference labelhelper.py:12-20."""
+        from scipy import ndimage
+        from rcu_tpu.utils.labels import border_mask
+        mask = np.zeros((7, 7), bool)
+        mask[2:5, 2:5] = True
+        distance, border = border_mask(mask, 1, 1)
+        expected = (ndimage.distance_transform_edt(mask)
+                    + ndimage.distance_transform_edt(~mask))
+        np.testing.assert_array_equal(distance, expected)
+        assert (distance >= 0).all()
+        np.testing.assert_array_equal(
+            border, (ndimage.distance_transform_edt(mask) <= 1)
+            & (ndimage.distance_transform_edt(~mask) <= 1))
+
+
+class TestEceBinaryStrategy:
+    def test_threshold_range_keeps_bins(self):
+        """threshold_range + return_bins must fill the bins_* entries (the
+        reference fills out_bins regardless of threshold_range)."""
+        from rcu_tpu.ops.strategy import EceBinary
+        rng = np.random.RandomState(0)
+        probs = rng.rand(50).astype(np.float32)
+        target = (rng.rand(50) > 0.5).astype(np.uint8)
+        results = {}
+        EceBinary(threshold_range=(0.2, 0.8), return_bins=True)(
+            {"probabilities": probs, "target": target}, results)
+        assert {"ece", "bins_count", "bins_avg_confidence",
+                "bins_positive_fraction", "bins_non_zero"} <= set(results)
+        # only in-range voxels are counted
+        in_range = ((probs > 0.2) & (probs < 0.8)).sum()
+        assert results["bins_count"].sum() == in_range
+
+
+class TestPrepareRangeChecks:
+    def test_unrescaled_uncertainty_fails_loudly(self):
+        from rcu_tpu.eval.analysis import ToForegroundProbabilities
+        with pytest.raises(ValueError, match="larger than 1"):
+            ToForegroundProbabilities()(
+                {"probabilities": np.asarray([0.0, 37.2], np.float32),
+                 "prediction": np.asarray([0, 1], np.uint8)})
+
+    def test_out_of_range_probability_fails_loudly(self):
+        from rcu_tpu.eval.analysis import AddBackgroundProbabilities
+        with pytest.raises(ValueError, match="smaller than 0"):
+            AddBackgroundProbabilities()(
+                {"probabilities": np.asarray([-0.5, 0.5], np.float32)})
+
+    def test_entropy_noise_only_warns(self):
+        from rcu_tpu.eval.analysis import ToEntropy
+        probs = np.stack([np.asarray([0.5]), np.asarray([0.5])], -1)
+        out = ToEntropy()( {"probabilities": probs})
+        assert float(out["uncertainty"][0]) == pytest.approx(1.0)
+
+
+class TestProfilerHookBounds:
+    def test_short_epoch_still_stops_trace(self, tmp_path, monkeypatch):
+        import rcu_tpu.utils.profiling as prof
+        calls = []
+        monkeypatch.setattr(prof.jax.profiler, "start_trace",
+                            lambda d: calls.append("start"))
+        monkeypatch.setattr(prof.jax.profiler, "stop_trace",
+                            lambda: calls.append("stop"))
+        hook = prof.ProfilerHook(str(tmp_path), start_step=2, stop_step=5)
+        for i in range(3):  # epoch shorter than stop_step
+            hook.on_training_batch_end(None, 0, i, 3, {})
+        hook.on_training_end(None, 0, {})
+        assert calls == ["start", "stop"]
+
+
+class TestFusedEnsembleNames:
+    def test_duplicate_member_names_rejected(self, tmp_path):
+        from rcu_tpu.parallel.ensemble import train_ensemble_fused
+        from tests.test_strategies import base_train_cfg, make_store
+        from rcu_tpu.data.split import save_split
+        store = make_store(str(tmp_path / "d.h5"))
+        split = str(tmp_path / "s.json")
+        save_split(split, ["s00"], ["s01"], ["s02"])
+        configs = [base_train_cfg(tmp_path, store, split, name="member")
+                   for _ in range(2)]
+        with pytest.raises(ValueError, match="distinct"):
+            train_ensemble_fused(configs)
+
+
 @pytest.mark.slow
 class TestTrainTestIntegration:
     def test_test_at_epoch_zero_loads_epoch_zero(self, tmp_path, caplog):

@@ -149,6 +149,37 @@ class TestEvalPipeline:
                 expected["corrected_dice"], rtol=1e-5)
             assert row[header.index("dice_benefit")] == str(expected["dice_benefit"])
 
+    def test_actions_reusable_across_runs(self, eval_env, tmp_path):
+        """The runner reuses ONE action list over every EvalData entry; a
+        pass's history must reset per run or run N's summary (e.g. the
+        minmax bounds) aggregates every earlier run's subjects."""
+        tmp, gt_dir, pred_dir, split_file, data = eval_env
+        # second run whose probabilities live in [0, 0.5]
+        pred2 = tmp_path / "pred2"
+        pred2.mkdir()
+        for subject in SUBJECTS:
+            probs = (RNG.rand(*SHAPE) * 0.5).astype(np.float32)
+            nifti.write(probs, str(pred2 / f"{subject}_probabilities.nii.gz"))
+            nifti.write((probs > 0.25).astype(np.uint8),
+                        str(pred2 / f"{subject}_prediction.nii.gz"))
+        base_dir = str(tmp_path / "eval_reuse")
+        actions = act_lib.get_actions(["minmax"],
+                                      os.path.join(base_dir, "minmax"),
+                                      base_dir, "foreground")
+        for id_, directory in (("baseline", pred_dir), ("half", str(pred2))):
+            entry = evaldata.get_brats_data(evaldata.EvalData(id_, directory),
+                                            in_dir=gt_dir,
+                                            split_file=split_file)
+            for a in actions:
+                a.setup_eval(entry)
+                a.start_eval()
+                for sf in entry.subject_files:
+                    a.eval_subject(sf, analysis.Loader())
+                a.finish_eval()
+        _, body = read_csv(os.path.join(
+            base_dir, "minmax", "eval_summary_minmax_half.csv"))
+        assert float(body[0][2]) <= 0.5  # run 1's ~1.0 values must not leak
+
     def test_sigma_entry_with_global_rescale(self, eval_env, tmp_path):
         """sigma confidence entry: minmax first, then global-rescale pipelines
         produce the _globalrescale result-id suffix."""

@@ -96,6 +96,44 @@ class TestFusedVolumePipeline:
             np.asarray(got["correction"]["corrected_dice"]), rtol=1e-5)
 
 
+class TestArtifactFreeProgram:
+    def test_reductions_match_and_volumes_dropped(self):
+        """artifacts=False returns identical eval reductions with none of the
+        per-voxel volume outputs (the direct CSV path's memory shape)."""
+        model, state, volume, target, mask = setup()
+        key = jax.random.PRNGKey(5)
+        batched = volume.reshape(-1, BATCH, HW, HW, CH)
+        full = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL)(
+            state.params, state.batch_stats, batched, target, mask,
+            THRESHOLDS, key)
+        lean = pipeline.make_volume_mc_eval_fn(
+            model, MC_T, BATCH, VOL, artifacts=False)(
+            state.params, state.batch_stats, batched, target, mask,
+            THRESHOLDS, key)
+        assert set(lean) == set(full) - {"fg", "entropy", "ws_fg"}
+        np.testing.assert_allclose(np.asarray(lean["ece"]),
+                                   np.asarray(full["ece"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(lean["correction"]["corrected_dice"]),
+            np.asarray(full["correction"]["corrected_dice"]), rtol=1e-6)
+
+    def test_inference_only_program_matches_eval_variant(self):
+        """make_volume_mc_fn (the serving path) shares the MC scan with the
+        eval variant bitwise — same PRNG schedule, same fg/entropy."""
+        model, state, volume, target, mask = setup()
+        key = jax.random.PRNGKey(6)
+        batched = volume.reshape(-1, BATCH, HW, HW, CH)
+        evald = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL)(
+            state.params, state.batch_stats, batched, target, mask,
+            THRESHOLDS, key)
+        plain = pipeline.make_volume_mc_fn(model, MC_T, BATCH, VOL)(
+            state.params, state.batch_stats, batched, key)
+        np.testing.assert_array_equal(np.asarray(plain["fg"]),
+                                      np.asarray(evald["fg"]))
+        np.testing.assert_array_equal(np.asarray(plain["entropy"]),
+                                      np.asarray(evald["entropy"]))
+
+
 class TestAuxPredictUnderMesh:
     def test_aux_feat_sharded_matches_single_device(self):
         segm = get_model("unet", dict(nb_classes=2, in_channels=CH, depth=2,
