@@ -104,9 +104,10 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
               need_flops: bool = True):
     """Returns (best_vox_per_sec, mean_vox_per_sec, flops_per_volume, ece)."""
     if n_timed_volumes is None:
-        # tunnel throughput to the chip varies a lot; keep the default small
-        # so the bench completes even under congestion (override via env)
-        n_timed_volumes = int(os.environ.get("BENCH_VOLUMES", "1"))
+        # default 3 volumes: enough for a meaningful best/mean split, small
+        # enough to finish under tunnel congestion. An explicit BENCH_VOLUMES
+        # is honored exactly (even 1).
+        n_timed_volumes = int(os.environ.get("BENCH_VOLUMES", "3"))
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -140,7 +141,7 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
     float(jnp.sum(cd))
 
     rates = []
-    for v in range(max(n_timed_volumes, 3)):
+    for v in range(n_timed_volumes):
         t0 = time.perf_counter()
         ece, cd = one_volume(jax.random.PRNGKey(v))
         float(jnp.sum(cd) + ece)  # forces completion

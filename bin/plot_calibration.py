@@ -114,8 +114,9 @@ def miscalibration_percentage(df, ids_names, task):
                 continue
             conf, frac, _ = frames.get_bins(group.loc[run_id])
             run_errors.append((frac - conf).mean())
-        subjectwise.append(run_errors)
-    calib_mean = np.asarray(subjectwise).mean(axis=1)
+        if run_errors:  # a subject can miss runs (partial eval) — keep the
+            subjectwise.append(np.mean(run_errors))  # rows ragged-safe
+    calib_mean = np.asarray(subjectwise)
 
     under = (calib_mean > threshold).mean()
     over = (calib_mean < -threshold).mean()

@@ -53,7 +53,8 @@ def gather_information(task: str) -> pd.DataFrame:
             "run bin/eval_uncertainty.py first (see rcu_tpu/directories.py)")
     df = pd.concat(frames_, keys=run_ids, names=["run_id"])
     df["threshold"] = pd.Series(
-        [float(s[-3:]) / 100 for s in df.index.get_level_values(0)],
+        [frames.threshold_from_run_id(s)
+         for s in df.index.get_level_values(0)],
         index=df.index)
     df["dice_diff"] = df["corrected_dice"] - df["dice"]
     df["benefit"] = df["dice_diff"] > 0

@@ -24,8 +24,9 @@ def dataset_vs_mean_subject_ece(df: pd.DataFrame, ids_names) -> pd.DataFrame:
         ds_ece = (np.abs(avg_conf - pos_frac) * bin_sum / bin_sum.sum()).sum()
         return pd.Series({"ece": ece.mean(), "ds_ece": float(ds_ece)})
 
+    pd_version = tuple(int(p) for p in pd.__version__.split(".")[:2])
     out = df.groupby("test_id").apply(per_run, include_groups=False) \
-        if pd.__version__ >= "2.2" else df.groupby("test_id").apply(per_run)
+        if pd_version >= (2, 2) else df.groupby("test_id").apply(per_run)
     return out.reindex(list(ids_names)).rename(index=ids_names)
 
 

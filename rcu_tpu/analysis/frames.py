@@ -44,6 +44,13 @@ def pandas_error_precision(tpu, tnu, fpu, fnu):
     return result
 
 
+def threshold_from_run_id(run_id: str) -> float:
+    """Decode the trailing 3-digit threshold code of a ``<id>_thXXX`` run id
+    (the eval passes format thresholds as ``f"{t:.2f}".replace(".", "")`` —
+    the ONE place this filename contract is decoded)."""
+    return float(run_id[-3:]) / 100
+
+
 def concat_threshold_frames(data):
     """data: iterable of (id_, file_path, threshold-str) -> one df with a
     run_id index level '<id>_th<threshold>' and a float 'threshold' column."""
@@ -52,7 +59,8 @@ def concat_threshold_frames(data):
         frames.append(pd.read_csv(file_path))
         run_ids.append(f"{id_}_th{threshold}")
     df = pd.concat(frames, keys=run_ids, names=["run_id"])
-    thresholds = [float(s[-3:]) / 100 for s in df.index.get_level_values(0)]
+    thresholds = [threshold_from_run_id(s)
+                  for s in df.index.get_level_values(0)]
     df["threshold"] = pd.Series(thresholds, index=df.index)
     return df
 

@@ -173,11 +173,15 @@ def test_ensemble(config: cfg_lib.TestConfiguration, mesh=None,
     """Primary model (config.model_dir) + others.model_dir members, stacked on
     a leading axis and vmapped (reference brats_test_ensemble.py:40-94)."""
     model_dirs = config.others.get("model_dir")
-    if model_dirs is None or "test_at" not in config.others:
-        raise ValueError('missing "model_dir" or "test_at" entry in the '
-                         'configuration (others)')
     if isinstance(model_dirs, str):
         model_dirs = [model_dirs]
+    if not model_dirs or "test_at" not in config.others:
+        # an empty member list (the generated configs ship model_dir: [] as a
+        # fill-me-in placeholder) must fail with this message, not a tree_map
+        # crash further down
+        raise ValueError('missing "model_dir" or "test_at" entry in the '
+                         'configuration (others): fill others.model_dir with '
+                         'the trained member model dirs')
     # the primary model loads at config.test_at; additional members at
     # others.test_at (reference loops.py:188 vs brats_test_ensemble.py:44-50)
     primary_at = "best" if config.test_at in (None, "") else config.test_at

@@ -194,11 +194,10 @@ def main():
             f"isic_test_baseline_cv{k}", {"split_k": k}, split=SPLIT_ISIC_CV,
             dataset=ISIC_TRAIN))
 
-    count = sum(len(files) for _, _, files in os.walk(CONFIG_DIR)
-                if True) - len(os.listdir(os.path.join(CONFIG_DIR, "splits"))
-                               if os.path.isdir(os.path.join(CONFIG_DIR, "splits"))
-                               else [])
-    print(f"wrote configs under {CONFIG_DIR}")
+    count = sum(len([f for f in files if f.endswith(".yaml")])
+                for root, _, files in os.walk(CONFIG_DIR)
+                if not root.endswith("splits"))
+    print(f"wrote {count} config yamls under {CONFIG_DIR}")
 
 
 if __name__ == "__main__":

@@ -194,6 +194,24 @@ class TestProfilerHookBounds:
         assert calls == ["start", "stop"]
 
 
+class TestEnsemblePlaceholderConfig:
+    def test_empty_member_list_fails_with_message(self, tmp_path):
+        """The generated ensemble configs ship others.model_dir: [] as a
+        fill-me-in placeholder; running them unmodified must raise the
+        friendly error, not a tree_map crash."""
+        from rcu_tpu import strategies
+        from tests.test_strategies import base_test_cfg, make_store
+        from rcu_tpu.data.split import save_split
+        store = make_store(str(tmp_path / "d.h5"))
+        split = str(tmp_path / "s.json")
+        save_split(split, ["s00"], ["s01"], ["s02"])
+        cfg = base_test_cfg(tmp_path, store, split, model_dir=None,
+                            others={"model_dir": [], "test_at": "best"})
+        cfg.model_dir = None
+        with pytest.raises(ValueError, match="model_dir"):
+            strategies.test_ensemble(cfg)
+
+
 class TestFusedEnsembleNames:
     def test_duplicate_member_names_rejected(self, tmp_path):
         from rcu_tpu.parallel.ensemble import train_ensemble_fused
