@@ -42,6 +42,15 @@ def make_mesh(devices=None, n_devices: int = None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # silently truncating would run "-devices 8" on one chip while
+            # the user believes they're sharding over eight
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} {devices[0].platform} device(s) are "
+                "available (for CPU-mesh testing set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+                "RCU_PLATFORM=cpu)")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

@@ -212,6 +212,15 @@ class TestEnsemblePlaceholderConfig:
             strategies.test_ensemble(cfg)
 
 
+class TestMeshOverSubscription:
+    def test_requesting_more_devices_than_available_raises(self):
+        from rcu_tpu.parallel import mesh as mesh_lib
+        import jax
+        available = len(jax.devices())
+        with pytest.raises(ValueError, match="available"):
+            mesh_lib.make_mesh(n_devices=available + 1)
+
+
 class TestFusedEnsembleNames:
     def test_duplicate_member_names_rejected(self, tmp_path):
         from rcu_tpu.parallel.ensemble import train_ensemble_fused
