@@ -33,6 +33,12 @@ if BIN_DIR not in sys.path:
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          host="0.0.0.0", port=8475):
     import _cli
+    import jax
+    # persistent compile cache: server restarts must not re-pay the 20-300s
+    # remote compile per volume shape (same setup as bench.py / conftest)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO_ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from rcu_tpu.serve import VolumeInferenceService, make_http_server
 
     logging.basicConfig(level=logging.INFO,

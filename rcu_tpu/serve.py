@@ -10,10 +10,12 @@ uses (rcu_tpu.eval.pipeline).
 
 Wire protocol (stdlib-only on both ends; arrays ride npz):
   POST /v1/predict  body: ``.npz`` with ``images`` [Z,H,W,C] (or [H,W,C])
-                    float32, optional ``target`` and ``mask`` [Z,H,W]
-                    -> ``.npz`` with prediction (uint8), probabilities,
-                    entropy (float32) and, when a target was sent, ``ece``
-                    plus the per-threshold ``correction_*`` vectors.
+                    float32, optional ``target`` [Z,H,W] and — only together
+                    with a target — ``mask`` [Z,H,W] (masks gate the eval
+                    reductions, never the artifacts). Returns ``.npz`` with
+                    prediction (uint8), probabilities, entropy (float32)
+                    and, when a target was sent, ``ece`` plus the
+                    per-threshold ``correction_*`` vectors.
   GET  /v1/health   -> JSON {status, model_dir, mc, compiled_shapes}
 
 Device work is serialized through a lock (one XLA stream), while request
@@ -67,17 +69,19 @@ class VolumeInferenceService:
         self._requests = 0
         self._lock = threading.Lock()
 
-    def _program(self, nz: int, with_eval: bool):
-        key = (nz, with_eval)
+    def _program(self, vol_slices: int, with_eval: bool):
+        key = (vol_slices, with_eval)
         if key not in self._programs:
             factory = make_volume_mc_eval_fn if with_eval else make_volume_mc_fn
             self._programs[key] = factory(self.model, self.mc,
-                                          self.batch_size, nz, mesh=self.mesh)
+                                          self.batch_size, vol_slices,
+                                          mesh=self.mesh)
         return self._programs[key]
 
     def compiled_shapes(self):
+        # snapshot: a concurrent predict() may be inserting a new program
         return sorted(f"{nz}-slices{'-scored' if ev else ''}"
-                      for nz, ev in self._programs)
+                      for nz, ev in list(self._programs))
 
     def predict(self, images: np.ndarray, target: np.ndarray = None,
                 mask: np.ndarray = None) -> dict:
@@ -100,11 +104,21 @@ class VolumeInferenceService:
             batched = jax.device_put(
                 batched, NamedSharding(self.mesh, P(None, DATA_AXIS)))
 
+        if target is None and mask is not None:
+            raise ValueError(
+                "a mask without a target has no effect: masks only gate the "
+                "eval reductions (ece), never the prediction artifacts — "
+                "send a target to score, or drop the mask")
+
         with self._lock:
             self._requests += 1
             rng = jax.random.fold_in(self._rng, self._requests)
             if target is None:
-                fn = self._program(nz, with_eval=False)
+                # key the program on the PADDED slice count: near-identical
+                # volumes (e.g. 150-160 slices at batch 32) then share one
+                # compiled program, and the padded tail is trimmed host-side
+                fn = self._program(batched.shape[0] * self.batch_size,
+                                   with_eval=False)
                 out = fn(self.params, self.batch_stats, batched, rng)
             else:
                 target = (np.asarray(target) > 0.5).astype(np.uint8)
@@ -122,9 +136,9 @@ class VolumeInferenceService:
 
         result = {
             "prediction": np.asarray(out["prediction"] if target is None
-                                     else out["fg"] > 0.5).astype(np.uint8),
-            "probabilities": np.asarray(out["fg"], np.float32),
-            "entropy": np.asarray(out["entropy"], np.float32),
+                                     else out["fg"] > 0.5)[:nz].astype(np.uint8),
+            "probabilities": np.asarray(out["fg"], np.float32)[:nz],
+            "entropy": np.asarray(out["entropy"], np.float32)[:nz],
         }
         if target is not None:
             result["ece"] = np.float32(out["ece"])
@@ -182,9 +196,16 @@ def make_http_server(service: VolumeInferenceService, host: str = "0.0.0.0",
                     payload["images"],
                     target=payload["target"] if "target" in payload else None,
                     mask=payload["mask"] if "mask" in payload else None)
-            except Exception as exc:  # client errors come back as JSON
-                logging.exception("serve: request failed")
+            except (ValueError, KeyError, OSError) as exc:
+                # malformed payloads / bad shapes -> the client's fault
+                logging.exception("serve: bad request")
                 return self._send(400, json.dumps(
+                    {"error": str(exc)}).encode(), "application/json")
+            except Exception as exc:
+                # device OOM, compile/tunnel failures, bugs -> server fault,
+                # so retry logic and monitoring see a 5xx, not a 400
+                logging.exception("serve: internal failure")
+                return self._send(500, json.dumps(
                     {"error": str(exc)}).encode(), "application/json")
             self._send(200, _npz_bytes(result), "application/octet-stream")
 

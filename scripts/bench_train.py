@@ -42,7 +42,6 @@ def bench(dtype=None):
     model = get_model("unet", kwargs)
     optimizer = get_optimizer("adam", {"lr": 1e-4})
     state = create_train_state(model, optimizer, (1, H, W, C))
-    state = jax.device_put(state, jax.devices()[0])
     train_step = steps_lib.make_train_step(model, optimizer)
 
     rng = np.random.RandomState(0)

@@ -11,9 +11,9 @@ BatchNorm weight/bias/running stats -> scale/bias/mean/var, module paths ->
 the flax U-Net/PostNet tree (reference common/model/unet.py:123-186,
 postnet.py:6-17).
 
-Optimizer state is NOT converted (torch Adam moments don't map onto optax
-pytrees) — imported checkpoints serve testing/inference and best/last
-selection; to continue training, resume re-initializes the optimizer.
+The torch Adam moments are not mapped onto optax; instead a freshly
+initialized optax state is written with each checkpoint, so imported runs
+are RESUMABLE — continued training simply restarts the moments cold.
 
 Usage:
   python scripts/import_torch_checkpoint.py -ref_model_dir <.../model_xxx> \
@@ -61,8 +61,14 @@ def _cbr(sd, prefix):
 
 
 def _block(sd, prefix):
-    """torch ConvBlock (at ``<prefix>.block.{j}``) -> flax ConvBlock."""
+    """torch ConvBlock / ConvResidualBlock -> (flax class name, params,
+    batch_stats). Residual blocks carry a ``<prefix>.residual`` 1x1 conv,
+    which flax names ``Conv_0`` inside ``ConvResidualBlock_*``."""
     params, stats = {}, {}
+    name = "ConvBlock"
+    if f"{prefix}.residual.weight" in sd:
+        name = "ConvResidualBlock"
+        params["Conv_0"] = _conv(sd, f"{prefix}.residual")
     j = 0
     while f"{prefix}.block.{j}.conv2d_batch_relu.conv.weight" in sd:
         p, s = _cbr(sd, f"{prefix}.block.{j}")
@@ -73,7 +79,7 @@ def _block(sd, prefix):
     if j == 0:
         raise ValueError(f"no Conv2dBnRelu children under '{prefix}.block' — "
                          "not a reference ConvBlock state_dict")
-    return params, stats
+    return name, params, stats
 
 
 def unet_state_dict_to_trees(sd):
@@ -81,25 +87,24 @@ def unet_state_dict_to_trees(sd):
     layout mirrors tests/test_model_weight_parity.py::transplant, but works
     from the serialized keys alone (no torch model instantiation)."""
     params, stats = {}, {}
-    nb_blocks = 0
+    counters = {}
+
+    def add_block(prefix):
+        name, p, s = _block(sd, prefix)
+        n = counters.get(name, 0)
+        counters[name] = n + 1
+        params[f"{name}_{n}"] = p
+        stats[f"{name}_{n}"] = s
+
     i = 0
     while f"down_convs.{i}.block.block.0.conv2d_batch_relu.conv.weight" in sd:
-        p, s = _block(sd, f"down_convs.{i}.block")
-        params[f"ConvBlock_{nb_blocks}"] = p
-        stats[f"ConvBlock_{nb_blocks}"] = s
-        nb_blocks += 1
+        add_block(f"down_convs.{i}.block")
         i += 1
-    p, s = _block(sd, "bottom_convs")
-    params[f"ConvBlock_{nb_blocks}"] = p
-    stats[f"ConvBlock_{nb_blocks}"] = s
-    nb_blocks += 1
+    add_block("bottom_convs")
     k = 0
     while f"up_convs.{k}.upconv.1.weight" in sd:
         params[f"Conv_{k}"] = _conv(sd, f"up_convs.{k}.upconv.1")
-        p, s = _block(sd, f"up_convs.{k}.block")
-        params[f"ConvBlock_{nb_blocks}"] = p
-        stats[f"ConvBlock_{nb_blocks}"] = s
-        nb_blocks += 1
+        add_block(f"up_convs.{k}.block")
         k += 1
     depth = k  # head's 1x1 conv takes the next index after the k upconvs
     p, s = _cbr(sd, "conv_cls.0")
@@ -136,41 +141,78 @@ _CKPT_RE = re.compile(
     r"checkpoint(?:-(?P<postfix>[^_]+))?_ep(?P<epoch>\d+)(?P<best>-best)?\.pth$")
 
 
-def import_model_dir(ref_model_dir: str, out_model_dir: str) -> list:
-    """Convert model.json + every checkpoint; returns the written paths."""
-    import torch
+def _load_model_doc(ref_model_dir: str, postfix: str) -> dict:
+    """model.json for the main model, model-<postfix>.json for additional
+    models of a multi-model run (reference multimodelcontext.py)."""
+    name = f"model-{postfix}.json" if postfix else "model.json"
+    path = os.path.join(ref_model_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"checkpoint postfix '{postfix}' has no matching {name} in "
+            f"{ref_model_dir} — cannot determine its architecture")
+    with open(path) as f:
+        return json.load(f)
 
-    with open(os.path.join(ref_model_dir, "model.json")) as f:
-        doc = json.load(f)
+
+def _converter_for(doc: dict):
     model_type = doc["model"]["type"]
     if model_type not in _CONVERTERS:
         raise ValueError(f'cannot convert model type "{model_type}" '
                          f"(supported: {sorted(_CONVERTERS)})")
-    convert = _CONVERTERS[model_type]
+    return _CONVERTERS[model_type]
+
+
+def import_model_dir(ref_model_dir: str, out_model_dir: str) -> list:
+    """Convert model.json(s) + every checkpoint; returns the written paths.
+    Postfixed checkpoints (multi-model runs) are converted with the
+    architecture recorded in their own model-<postfix>.json."""
+    import torch
+
+    main_doc = _load_model_doc(ref_model_dir, "")
+    _converter_for(main_doc)  # validate the main type upfront
 
     out_files = ckpt_lib.ModelFiles.from_model_dir(out_model_dir)
     ckpt_lib.backup_model_parameters(
         out_files,
-        ParametricNode(model_type, doc["model"].get("params", {})),
-        ParametricNode(doc["optimizer"]["type"],
-                       doc["optimizer"].get("params", {}))
-        if doc.get("optimizer") else None)
+        ParametricNode(main_doc["model"]["type"],
+                       main_doc["model"].get("params", {})),
+        ParametricNode(main_doc["optimizer"]["type"],
+                       main_doc["optimizer"].get("params", {}))
+        if main_doc.get("optimizer") else None)
 
+    from rcu_tpu.models import get_model, get_optimizer  # noqa: F401
     written = []
+    docs = {"": main_doc}
     pattern = os.path.join(ref_model_dir, "checkpoints", "checkpoint*.pth")
     for path in sorted(glob.glob(pattern)):
         m = _CKPT_RE.search(os.path.basename(path))
         if not m:
             print(f"skipping unrecognized checkpoint name: {path}")
             continue
+        postfix = m["postfix"] or ""
+        if postfix not in docs:
+            docs[postfix] = _load_model_doc(ref_model_dir, postfix)
+        doc = docs[postfix]
+        convert = _converter_for(doc)
         payload = torch.load(path, map_location="cpu")
         params, batch_stats = convert(payload["state_dict"])
+        # a fresh optimizer state makes the checkpoint RESUMABLE (the torch
+        # Adam moments don't map onto optax); training continues with
+        # re-initialized moments, exactly like a cold optimizer start
+        opt_state = None
+        if doc.get("optimizer"):
+            optimizer = get_optimizer(doc["optimizer"]["type"],
+                                      doc["optimizer"].get("params", {}))
+            opt_state = optimizer.init(params)
+        best_score = payload.get("best_score")  # None pre-first-validation
         state = {"params": params, "batch_stats": batch_stats,
+                 "opt_state": opt_state,
                  "epoch": np.int32(payload.get("epoch", int(m["epoch"]))),
-                 "best_score": np.float32(payload.get("best_score", 0.0))}
+                 "best_score": np.float32(
+                     0.0 if best_score is None else best_score)}
         written.append(ckpt_lib.save_checkpoint(
             out_files, state, int(m["epoch"]), best=bool(m["best"]),
-            postfix=m["postfix"] or ""))
+            postfix=postfix))
     if not written:
         raise FileNotFoundError(f"no checkpoints matched {pattern}")
     return written

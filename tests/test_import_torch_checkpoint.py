@@ -110,6 +110,96 @@ class TestUNetImport:
             rtol=1e-4, atol=1e-4)
 
 
+class TestResidualImport:
+    def test_residual_blocks_convert_and_match(self, tmp_path):
+        import torch
+        if REFERENCE not in sys.path:
+            sys.path.insert(0, REFERENCE)
+        from common.model.unet import UNet as TorchUNet
+        from rcu_tpu.engine import checkpoint as ckpt_lib
+        from rcu_tpu.models import get_model
+
+        params_cfg = {"nb_classes": 2, "in_channels": 2, "depth": 2,
+                      "start_filters": 4, "dropout": None, "residual": True}
+        tmodel = TorchUNet(nb_classes=2, in_channels=2, depth=2,
+                           start_filters=4, dropout=None, residual=True)
+        tmodel.eval()
+        ref_dir = make_ref_model_dir(tmp_path, tmodel, "unet", params_cfg,
+                                     epochs=(0,), best_epoch=0)
+        tool = load_tool()
+        out_dir = str(tmp_path / "model_tpu")
+        tool.import_model_dir(ref_dir, out_dir)
+        mf = ckpt_lib.ModelFiles.from_model_dir(out_dir)
+        raw = ckpt_lib.load_checkpoint(ckpt_lib.find_checkpoint_file(mf, "best"))
+        assert any(k.startswith("ConvResidualBlock") for k in raw["params"])
+        model_node, _ = ckpt_lib.load_model_parameters(mf)
+        model = get_model(model_node.type, model_node.params)
+        x = np.random.RandomState(3).rand(1, 16, 16, 2).astype(np.float32)
+        with torch.no_grad():
+            expected = tmodel(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+        got = model.apply({"params": raw["params"],
+                           "batch_stats": raw["batch_stats"]},
+                          x, train=False).logits
+        np.testing.assert_allclose(np.asarray(got), expected,
+                                   rtol=1e-4, atol=1e-4)
+
+
+class TestMultiModelImport:
+    def test_postfixed_checkpoints_use_their_own_model_json(self, tmp_path):
+        """Multi-model run dirs carry checkpoint-<name>_ep*.pth converted
+        with model-<name>.json, not the main model's architecture."""
+        import torch
+        from tests.test_model_weight_parity import torch_unet
+        from rcu_tpu.engine import checkpoint as ckpt_lib
+        if REFERENCE not in sys.path:
+            sys.path.insert(0, REFERENCE)
+        from common.model.postnet import PostNet as TorchPostNet
+
+        tmodel = torch_unet(2, 4, 3, 2)
+        ref_dir = make_ref_model_dir(
+            tmp_path, tmodel, "unet",
+            {"nb_classes": 2, "in_channels": 3, "depth": 2,
+             "start_filters": 4, "dropout": None}, epochs=(0,), best_epoch=-1)
+        aux = TorchPostNet(in_channels=4, nb_classes=2, nb_convs=2)
+        with open(os.path.join(ref_dir, "model-post.json"), "w") as f:
+            json.dump({"model": {"type": "postnet",
+                                 "params": {"in_channels": 4, "nb_classes": 2,
+                                            "nb_convs": 2}},
+                       "optimizer": {"type": "adam", "params": {"lr": 1e-4}}},
+                      f)
+        torch.save({"state_dict": aux.state_dict(), "epoch": 0,
+                    "optimizer": {}, "best_score": None},
+                   os.path.join(ref_dir, "checkpoints",
+                                "checkpoint-post_ep000.pth"))
+        tool = load_tool()
+        out_dir = str(tmp_path / "model_tpu")
+        written = tool.import_model_dir(ref_dir, out_dir)
+        names = sorted(os.path.basename(p) for p in written)
+        assert names == ["checkpoint-post_ep000.ckpt", "checkpoint_ep000.ckpt"]
+        mf = ckpt_lib.ModelFiles.from_model_dir(out_dir)
+        raw = ckpt_lib.load_checkpoint(
+            ckpt_lib.find_checkpoint_file(mf, 0, postfix="post"))
+        assert "ConvBnRelu_1" in raw["params"]  # postnet tree, not unet
+
+    def test_imported_checkpoint_is_resumable(self, tmp_path):
+        """Imported payloads carry a fresh opt_state, so resume's template
+        restore finds every key (torch moments are not mapped)."""
+        from tests.test_model_weight_parity import torch_unet
+        from rcu_tpu.engine import checkpoint as ckpt_lib
+        tmodel = torch_unet(2, 4, 3, 2)
+        ref_dir = make_ref_model_dir(
+            tmp_path, tmodel, "unet",
+            {"nb_classes": 2, "in_channels": 3, "depth": 2,
+             "start_filters": 4, "dropout": None}, epochs=(0,), best_epoch=0)
+        tool = load_tool()
+        out_dir = str(tmp_path / "model_tpu")
+        tool.import_model_dir(ref_dir, out_dir)
+        mf = ckpt_lib.ModelFiles.from_model_dir(out_dir)
+        raw = ckpt_lib.load_checkpoint(ckpt_lib.find_checkpoint_file(mf, "best"))
+        assert "opt_state" in raw and raw["opt_state"] is not None
+
+
 class TestPostNetImport:
     def test_postnet_matches_torch(self, tmp_path):
         import torch

@@ -69,6 +69,15 @@ class TestService:
         n = len(service.compiled_shapes())
         service.predict(volume)  # same shape -> no new program
         assert len(service.compiled_shapes()) == n
+        # unscored programs key on the PADDED slice count: 3 and 4 slices at
+        # batch 2 both pad to 4 and share one compiled program
+        service.predict(np.zeros((4, *HW, 4), np.float32))
+        assert len(service.compiled_shapes()) == n
+
+    def test_mask_without_target_rejected(self, service):
+        volume = np.zeros((2, *HW, 4), np.float32)
+        with pytest.raises(ValueError, match="mask without a target"):
+            service.predict(volume, mask=np.ones((2, *HW), np.uint8))
 
     def test_mesh_service_matches_single_device(self, service):
         """Sharding each request over a mesh must not change the artifacts.
