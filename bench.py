@@ -15,6 +15,11 @@ plus methodology fields:
     included in the wall clock — conservative);
   - "bf16_voxels_per_sec": same pipeline with the model's bfloat16 compute
     dtype (params stay f32);
+  - "direct_eval[_bf16]_voxels_per_sec": the PRODUCTION direct-eval path
+    (eval/direct.py, artifacts=False): same eval reductions, but without the
+    per-voxel artifact outputs XLA also drops the artifact-only
+    weight-scaling forward (20 forwards instead of 21) — the honest rate for
+    checkpoint -> eval-CSV workloads;
   - "per_chip_count": {n: best voxels/s} for every power-of-two chip count
     available (single entry on this 1-chip image; the multi-chip path itself
     is proven on the virtual CPU mesh by tests/test_parallel.py);
@@ -48,7 +53,7 @@ THRESHOLDS = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def _build(dtype: str = None, mesh=None):
+def _build(dtype: str = None, mesh=None, artifacts: bool = True):
     """Model + (replicated) params + the one-dispatch fused volume program
     (rcu_tpu.eval.pipeline: scan over slice batches + eval reductions)."""
     import jax.numpy as jnp
@@ -76,7 +81,7 @@ def _build(dtype: str = None, mesh=None):
         params = jax.device_put(variables["params"], device)
         batch_stats = jax.device_put(variables.get("batch_stats", {}), device)
     fused = pipeline.make_volume_mc_eval_fn(model, MC_T, BATCH, VOL_SLICES,
-                                            mesh=mesh)
+                                            mesh=mesh, artifacts=artifacts)
     return fused, params, batch_stats, model
 
 
@@ -101,7 +106,7 @@ def _flops_per_volume(model, params, batch_stats):
 
 
 def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
-              need_flops: bool = True):
+              need_flops: bool = True, artifacts: bool = True):
     """Returns (best_vox_per_sec, mean_vox_per_sec, flops_per_volume, ece)."""
     if n_timed_volumes is None:
         # default 3 volumes: enough for a meaningful best/mean split, small
@@ -112,7 +117,7 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
     import jax.numpy as jnp
     import numpy as np
 
-    fused, params, batch_stats, model = _build(dtype, mesh)
+    fused, params, batch_stats, model = _build(dtype, mesh, artifacts)
 
     rng = np.random.RandomState(0)
     batched = rng.rand(PAD_SLICES // BATCH, BATCH, H, W, C).astype(np.float32)
@@ -204,6 +209,18 @@ def main():
     except Exception:
         pass
 
+    direct_best = direct_bf16_best = None
+    try:
+        # the production direct-eval path (eval/direct.py): same reductions,
+        # no per-voxel artifact outputs — XLA drops the weight-scaling
+        # forward (dead without artifacts) and the volume output buffers
+        direct_best, _, _, _ = bench_tpu(need_flops=False, artifacts=False)
+        direct_bf16_best, _, _, _ = bench_tpu(dtype="bfloat16",
+                                              need_flops=False,
+                                              artifacts=False)
+    except Exception:
+        pass
+
     per_chip = {}
     for n in _chip_counts():
         if n == 1:
@@ -230,6 +247,10 @@ def main():
         "mean": round(mean, 1),
         "mfu": round(mfu, 4) if mfu else None,
         "bf16_voxels_per_sec": round(bf16_best, 1) if bf16_best else None,
+        "direct_eval_voxels_per_sec": round(direct_best, 1)
+        if direct_best else None,
+        "direct_eval_bf16_voxels_per_sec": round(direct_bf16_best, 1)
+        if direct_bf16_best else None,
         "per_chip_count": per_chip,
         "baseline_chain": "vs reference torch U-Net on host CPU; see "
                           "BASELINE.md for the CPU->GPU inference chain",
