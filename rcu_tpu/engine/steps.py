@@ -148,6 +148,40 @@ def multi_prediction_summary(multi_probabilities: jnp.ndarray,
     return out
 
 
+def mc_forward(model, variables, images, rng, mc_steps: int):
+    """The T stochastic forwards of the MC protocol as one vmapped program.
+
+    When the model exposes an MC-deterministic encoder prefix
+    (``UNet.mc_shared_blocks`` > 0, i.e. ``dropout_center < depth`` models),
+    that prefix runs ONCE and only the stochastic tail fans out over the T
+    samples — identical outputs (the flax rng folding is path-based and the
+    split reuses the same modules), up to ~1.5x fewer conv FLOPs at T=20.
+    Note the paper's shipped center config sets ``dropout_center == depth``
+    (dropout on every level), whose prefix is empty — the fast path then
+    falls through to the plain T-way vmap at zero cost.
+    Returns (T, ...) stacked class probabilities."""
+    shared = getattr(model, "mc_shared_blocks", 0)
+    keys = jax.random.split(rng, mc_steps)
+    if shared:
+        h, skips = model.apply(variables, images, train=False,
+                               method=type(model).encode_shared)
+
+        def one_tail(key):
+            out = model.apply(variables, h, skips, train=False,
+                              mc_dropout=True, rngs={"dropout": key},
+                              method=type(model).decode_rest)
+            return jax.nn.softmax(out.logits, axis=-1)
+
+        return jax.vmap(one_tail)(keys)
+
+    def one(key):
+        out = model.apply(variables, images, train=False, mc_dropout=True,
+                          rngs={"dropout": key})
+        return jax.nn.softmax(out.logits, axis=-1)
+
+    return jax.vmap(one)(keys)
+
+
 def make_mc_predict_fn(model, mc_steps: int, do_mi: bool = False,
                        do_var: bool = False, mesh=None):
     """T stochastic forwards as one vmapped program + weight-scaling forward
@@ -161,12 +195,7 @@ def make_mc_predict_fn(model, mc_steps: int, do_mi: bool = False,
         ws_out = model.apply(variables, images, train=False)
         ws_probabilities = jax.nn.softmax(ws_out.logits, axis=-1)
 
-        def one(key):
-            out = model.apply(variables, images, train=False, mc_dropout=True,
-                              rngs={"dropout": key})
-            return jax.nn.softmax(out.logits, axis=-1)
-
-        mc_probs = jax.vmap(one)(jax.random.split(rng, mc_steps))
+        mc_probs = mc_forward(model, variables, images, rng, mc_steps)
         out = multi_prediction_summary(mc_probs, do_mi, do_var)
         out["ws_probabilities"] = ws_probabilities
         return out

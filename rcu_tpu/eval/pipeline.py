@@ -30,6 +30,8 @@ def _mc_scan(model, mc_steps, params, batch_stats, batched, rng):
     (n_batches, batch, H, W)."""
     variables = {"params": params, "batch_stats": batch_stats}
 
+    from rcu_tpu.engine.steps import mc_forward
+
     def one_batch(_, inp):
         images, batch_index = inp
         key = jax.random.fold_in(rng, batch_index)
@@ -39,12 +41,9 @@ def _mc_scan(model, mc_steps, params, batch_stats, batched, rng):
         ws_out = model.apply(variables, images, train=False)
         ws_fg = jax.nn.softmax(ws_out.logits, axis=-1)[..., 1]
 
-        def one_sample(sample_key):
-            out = model.apply(variables, images, train=False,
-                              mc_dropout=True, rngs={"dropout": sample_key})
-            return jax.nn.softmax(out.logits, axis=-1)
-
-        mc_probs = jax.vmap(one_sample)(jax.random.split(key, mc_steps))
+        # shares the MC-deterministic encoder prefix across the T samples
+        # for dropout_center models (steps.mc_forward)
+        mc_probs = mc_forward(model, variables, images, key, mc_steps)
         probabilities = jnp.mean(mc_probs, axis=0)
         ent = metrics_ops.entropy(probabilities, axis=-1)
         return None, (probabilities[..., 1], ent, ws_fg)

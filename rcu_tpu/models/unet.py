@@ -156,6 +156,15 @@ class UNet(nn.Module):
     """Configurable 2D encoder-decoder (reference unet.py:123-186).
 
     Call with NHWC input; returns :class:`UNetOutput`.
+
+    Built with ``setup()`` and explicit submodule names that reproduce the
+    historical ``nn.compact`` auto-names exactly (``ConvBlock_0..2d``,
+    ``Conv_0..d-1`` upconvs, ``ConvBnRelu_0/1`` heads, ``Conv_d``/``Conv_d+1``
+    1x1 convs), so checkpoints and torch-weight transplants are unchanged.
+    The split structure exists for :meth:`encode_shared`/:meth:`decode_rest`:
+    under ``dropout_center`` the leading encoder blocks carry no dropout, so
+    MC-dropout inference can run them ONCE and fan out only the stochastic
+    tail T times (``mc_shared_blocks``).
     """
     nb_classes: int
     in_channels: int  # kept for config/registry parity; inferred by flax convs
@@ -169,53 +178,115 @@ class UNet(nn.Module):
     bn: bool = True
     dtype: typing.Any = None  # compute dtype, e.g. jnp.bfloat16 (params stay f32)
 
-    @nn.compact
-    def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
+    def setup(self):
         block_cls = ConvResidualBlock if self.residual else ConvBlock
-        kw = dict(train=train, mc_dropout=mc_dropout)
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-
-        skips = []
-        out_ch = self.start_filters
+        prefix = block_cls.__name__
+        down, ch = [], self.start_filters
         for i in range(self.depth):
             mode = _block_dropout_mode(self.dropout_center, i, self.depth, True)
-            skip = block_cls(out_ch, self.dropout, mode, self.bn,
-                             dtype=self.dtype)(x, **kw)
+            down.append(block_cls(ch, self.dropout, mode, self.bn,
+                                  dtype=self.dtype, name=f"{prefix}_{i}"))
+            ch *= 2
+        self.down_blocks = tuple(down)
+        mode = _block_dropout_mode(self.dropout_center, self.depth,
+                                   self.depth, True)
+        self.bottom_block = block_cls(ch, self.dropout, mode, self.bn,
+                                      dtype=self.dtype,
+                                      name=f"{prefix}_{self.depth}")
+        up_convs, up_blocks = [], []
+        for k in range(self.depth):
+            ch //= 2
+            up_convs.append(nn.Conv(ch, (3, 3), padding=1,
+                                    kernel_init=conv_init, dtype=self.dtype,
+                                    name=f"Conv_{k}"))
+            i = self.depth - 1 - k
+            mode = _block_dropout_mode(self.dropout_center, i, self.depth,
+                                       False)
+            up_blocks.append(block_cls(
+                ch, self.dropout, mode, self.bn, dtype=self.dtype,
+                name=f"{prefix}_{self.depth + 1 + k}"))
+        self.up_convs = tuple(up_convs)
+        self.up_blocks = tuple(up_blocks)
+        self.head_cbr = ConvBnRelu(self.start_filters, self.dropout, self.bn,
+                                   dtype=self.dtype, name="ConvBnRelu_0")
+        self.cls_conv = nn.Conv(self.nb_classes, (1, 1),
+                                kernel_init=conv_init,
+                                name=f"Conv_{self.depth}")
+        if self.sigma_out:
+            self.sigma_cbr = ConvBnRelu(self.start_filters, self.dropout,
+                                        self.bn, dtype=self.dtype,
+                                        name="ConvBnRelu_1")
+            self.sigma_conv = nn.Conv(self.nb_classes, (1, 1),
+                                      kernel_init=conv_init,
+                                      name=f"Conv_{self.depth + 1}")
+
+    @property
+    def mc_shared_blocks(self) -> int:
+        """Leading encoder blocks that are DETERMINISTIC under MC dropout
+        (dropout_center=c leaves the outer depth-c down blocks dropout-free,
+        _block_dropout_mode above); 0 when every block is stochastic."""
+        if self.dropout is None or not self.dropout_center:
+            return 0
+        return max(0, self.depth - self.dropout_center)
+
+    def _down(self, x, skips, start: int, train: bool, mc_dropout: bool):
+        """Down blocks ``start..depth-1``, appending skip tensors."""
+        skips = list(skips)
+        for i in range(start, self.depth):
+            skip = self.down_blocks[i](x, train=train, mc_dropout=mc_dropout)
             skips.append(skip)
             x = nn.max_pool(skip, (2, 2), strides=(2, 2))
-            out_ch *= 2
+        return x, skips
 
-        mode = _block_dropout_mode(self.dropout_center, self.depth, self.depth, True)
-        x = block_cls(out_ch, self.dropout, mode, self.bn, dtype=self.dtype)(x, **kw)
-
-        for i in range(self.depth - 1, -1, -1):
-            out_ch //= 2
-            skip = skips[i]
+    def _finish(self, x, skips, train: bool, mc_dropout: bool):
+        """Bottom + decoder + heads from pooled features and all skips."""
+        kw = dict(train=train, mc_dropout=mc_dropout)
+        x = self.bottom_block(x, **kw)
+        for k in range(self.depth):
+            skip = skips[self.depth - 1 - k]
             up = _upsample_nearest_2x(x)
-            up = nn.Conv(out_ch, (3, 3), padding=1, kernel_init=conv_init,
-                         dtype=self.dtype)(up)
+            up = self.up_convs[k](up)
             up = _pad_to(up, (skip.shape[1], skip.shape[2]))
             x = jnp.concatenate([up, skip], axis=-1)
-            mode = _block_dropout_mode(self.dropout_center, i, self.depth, False)
-            x = block_cls(out_ch, self.dropout, mode, self.bn,
-                          dtype=self.dtype)(x, **kw)
+            x = self.up_blocks[k](x, **kw)
 
         features = x if self.provide_features else None
-
-        head = ConvBnRelu(out_ch, self.dropout, self.bn, dtype=self.dtype)(x, **kw)
+        head = self.head_cbr(x, **kw)
         # heads emit float32 logits regardless of compute dtype
-        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
-            head.astype(jnp.float32))
-
+        logits = self.cls_conv(head.astype(jnp.float32))
         sigma = None
         if self.sigma_out:
-            sig_head = ConvBnRelu(out_ch, self.dropout, self.bn,
-                                  dtype=self.dtype)(x, **kw)
-            sigma = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
-                sig_head.astype(jnp.float32))
-
+            sigma = self.sigma_conv(self.sigma_cbr(x, **kw).astype(jnp.float32))
         return UNetOutput(logits=logits, sigma=sigma, features=features)
+
+    def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x, skips = self._down(x, [], 0, train, mc_dropout)
+        return self._finish(x, skips, train, mc_dropout)
+
+    def encode_shared(self, x, *, train: bool = False):
+        """The MC-deterministic encoder prefix (``mc_shared_blocks`` down
+        blocks): run ONCE per batch, then fan :meth:`decode_rest` out over
+        the T dropout samples. Returns ``(pooled, skips_tuple)``."""
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        split = self.mc_shared_blocks
+        skips = []
+        for i in range(split):
+            skip = self.down_blocks[i](x, train=train, mc_dropout=False)
+            skips.append(skip)
+            x = nn.max_pool(skip, (2, 2), strides=(2, 2))
+        return x, tuple(skips)
+
+    def decode_rest(self, x, skips, *, train: bool = False,
+                    mc_dropout: bool = False):
+        """Continue from :meth:`encode_shared`: the remaining (stochastic)
+        down blocks, bottom, decoder, and heads. Module paths — and thus the
+        flax dropout-rng folding — are identical to a full ``__call__``, so
+        outputs match the monolithic forward bitwise."""
+        x, skips = self._down(x, skips, len(skips), train, mc_dropout)
+        return self._finish(x, skips, train, mc_dropout)
 
 
 class PostNet(nn.Module):
