@@ -49,6 +49,12 @@ class ModelFiles:
     def model_path(self) -> str:
         return os.path.join(self.model_dir, "model.json")
 
+    def model_path_for(self, postfix: str = "") -> str:
+        """model.json, or model-<postfix>.json for a multi-model run's
+        additional models (reference multimodelcontext.py postfixes)."""
+        name = f"model-{postfix}.json" if postfix else "model.json"
+        return os.path.join(self.model_dir, name)
+
     def build_checkpoint_path(self, epoch: int, best: bool = False,
                               postfix: str = "") -> str:
         name = CHECKPOINT_PLACEHOLDER.format(
@@ -68,8 +74,8 @@ def backup_model_parameters(model_files: ModelFiles, model_node, optimizer_node)
                    if optimizer_node is not None else None}, f, indent=2)
 
 
-def load_model_parameters(model_files: ModelFiles):
-    with open(model_files.model_path, "r") as f:
+def load_model_parameters(model_files: ModelFiles, postfix: str = ""):
+    with open(model_files.model_path_for(postfix), "r") as f:
         d = json.load(f)
     from rcu_tpu.engine.config import ParametricNode
     model = ParametricNode(d["model"]["type"], d["model"]["params"])

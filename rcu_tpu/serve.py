@@ -27,6 +27,7 @@ import io
 import json
 import logging
 import threading
+import zipfile
 
 import jax
 import numpy as np
@@ -86,6 +87,13 @@ class VolumeInferenceService:
     def predict(self, images: np.ndarray, target: np.ndarray = None,
                 mask: np.ndarray = None) -> dict:
         """One volume in, serving artifacts out (numpy). Thread-safe."""
+        if target is None and mask is not None:
+            # checked before any padding/device transfer: a rejected request
+            # must not ship a 30+ MB volume across the tunnel first
+            raise ValueError(
+                "a mask without a target has no effect: masks only gate the "
+                "eval reductions (ece), never the prediction artifacts — "
+                "send a target to score, or drop the mask")
         volume = np.asarray(images, np.float32)
         if volume.ndim == 3:          # single image -> one-slice volume
             volume = volume[None]
@@ -103,12 +111,6 @@ class VolumeInferenceService:
             from rcu_tpu.parallel.mesh import DATA_AXIS
             batched = jax.device_put(
                 batched, NamedSharding(self.mesh, P(None, DATA_AXIS)))
-
-        if target is None and mask is not None:
-            raise ValueError(
-                "a mask without a target has no effect: masks only gate the "
-                "eval reductions (ece), never the prediction artifacts — "
-                "send a target to score, or drop the mask")
 
         with self._lock:
             self._requests += 1
@@ -196,7 +198,8 @@ def make_http_server(service: VolumeInferenceService, host: str = "0.0.0.0",
                     payload["images"],
                     target=payload["target"] if "target" in payload else None,
                     mask=payload["mask"] if "mask" in payload else None)
-            except (ValueError, KeyError, OSError) as exc:
+            except (ValueError, KeyError, OSError,
+                    zipfile.BadZipFile) as exc:
                 # malformed payloads / bad shapes -> the client's fault
                 logging.exception("serve: bad request")
                 return self._send(400, json.dumps(

@@ -138,7 +138,7 @@ _CONVERTERS = {"unet": unet_state_dict_to_trees,
 
 # reference checkpoint[-postfix]_ep###[-best].pth (management.py:103-133)
 _CKPT_RE = re.compile(
-    r"checkpoint(?:-(?P<postfix>[^_]+))?_ep(?P<epoch>\d+)(?P<best>-best)?\.pth$")
+    r"checkpoint(?:-(?P<postfix>.+?))?_ep(?P<epoch>\d+)(?P<best>-best)?\.pth$")
 
 
 def _load_model_doc(ref_model_dir: str, postfix: str) -> dict:
@@ -180,7 +180,7 @@ def import_model_dir(ref_model_dir: str, out_model_dir: str) -> list:
                        main_doc["optimizer"].get("params", {}))
         if main_doc.get("optimizer") else None)
 
-    from rcu_tpu.models import get_model, get_optimizer  # noqa: F401
+    from rcu_tpu.models import get_optimizer
     written = []
     docs = {"": main_doc}
     pattern = os.path.join(ref_model_dir, "checkpoints", "checkpoint*.pth")
@@ -192,6 +192,14 @@ def import_model_dir(ref_model_dir: str, out_model_dir: str) -> list:
         postfix = m["postfix"] or ""
         if postfix not in docs:
             docs[postfix] = _load_model_doc(ref_model_dir, postfix)
+            # preserve the aux model's architecture record so the converted
+            # dir is self-contained (ckpt_lib.load_model_parameters reads
+            # model-<postfix>.json for postfixed checkpoints)
+            with open(os.path.join(out_model_dir,
+                                   f"model-{postfix}.json"), "w") as f:
+                json.dump({"model": docs[postfix]["model"],
+                           "optimizer": docs[postfix].get("optimizer")},
+                          f, indent=2)
         doc = docs[postfix]
         convert = _converter_for(doc)
         payload = torch.load(path, map_location="cpu")
@@ -208,8 +216,11 @@ def import_model_dir(ref_model_dir: str, out_model_dir: str) -> list:
         state = {"params": params, "batch_stats": batch_stats,
                  "opt_state": opt_state,
                  "epoch": np.int32(payload.get("epoch", int(m["epoch"]))),
+                 # -inf is the engine's "no best yet" sentinel (train.py maps
+                 # non-finite back to None on resume); 0.0 would wrongly beat
+                 # a first validation scoring exactly 0
                  "best_score": np.float32(
-                     0.0 if best_score is None else best_score)}
+                     -np.inf if best_score is None else best_score)}
         written.append(ckpt_lib.save_checkpoint(
             out_files, state, int(m["epoch"]), best=bool(m["best"]),
             postfix=postfix))

@@ -162,7 +162,8 @@ class TestMultiModelImport:
             {"nb_classes": 2, "in_channels": 3, "depth": 2,
              "start_filters": 4, "dropout": None}, epochs=(0,), best_epoch=-1)
         aux = TorchPostNet(in_channels=4, nb_classes=2, nb_convs=2)
-        with open(os.path.join(ref_dir, "model-post.json"), "w") as f:
+        # an underscore in the postfix (free-form model_names) must parse
+        with open(os.path.join(ref_dir, "model-post_net.json"), "w") as f:
             json.dump({"model": {"type": "postnet",
                                  "params": {"in_channels": 4, "nb_classes": 2,
                                             "nb_convs": 2}},
@@ -171,16 +172,22 @@ class TestMultiModelImport:
         torch.save({"state_dict": aux.state_dict(), "epoch": 0,
                     "optimizer": {}, "best_score": None},
                    os.path.join(ref_dir, "checkpoints",
-                                "checkpoint-post_ep000.pth"))
+                                "checkpoint-post_net_ep000.pth"))
         tool = load_tool()
         out_dir = str(tmp_path / "model_tpu")
         written = tool.import_model_dir(ref_dir, out_dir)
         names = sorted(os.path.basename(p) for p in written)
-        assert names == ["checkpoint-post_ep000.ckpt", "checkpoint_ep000.ckpt"]
+        assert names == ["checkpoint-post_net_ep000.ckpt",
+                         "checkpoint_ep000.ckpt"]
         mf = ckpt_lib.ModelFiles.from_model_dir(out_dir)
         raw = ckpt_lib.load_checkpoint(
-            ckpt_lib.find_checkpoint_file(mf, 0, postfix="post"))
+            ckpt_lib.find_checkpoint_file(mf, 0, postfix="post_net"))
         assert "ConvBnRelu_1" in raw["params"]  # postnet tree, not unet
+        # best_score None -> the engine's -inf "unset" sentinel
+        assert np.isneginf(float(raw["best_score"]))
+        # the aux architecture record is preserved and loadable
+        aux_node, _ = ckpt_lib.load_model_parameters(mf, postfix="post_net")
+        assert aux_node.type == "postnet" and aux_node.params["nb_convs"] == 2
 
     def test_imported_checkpoint_is_resumable(self, tmp_path):
         """Imported payloads carry a fresh opt_state, so resume's template

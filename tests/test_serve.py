@@ -127,6 +127,15 @@ class TestHttp:
         assert out["prediction"].shape == (2, *HW)
         assert np.isfinite(float(out["ece"]))
 
+    def test_corrupt_body_is_400(self, server):
+        """A truncated npz (BadZipFile) is the client's fault, not a 500."""
+        req = urllib.request.Request(server + "/v1/predict",
+                                     data=b"PK\x03\x04 not a real zip",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as err:
+            urllib.request.urlopen(req)
+        assert err.value.code == 400
+
     def test_bad_request_is_json_400(self, server):
         buf = io.BytesIO()
         np.savez_compressed(buf, wrong=np.zeros(3))
