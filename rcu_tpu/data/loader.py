@@ -46,6 +46,16 @@ class SliceBatchLoader:
         self._pool = None  # lazily created, shared across epochs
         self._epoch = 0
 
+    def peek_item_shapes(self) -> dict:
+        """Per-category shapes of ONE decoded (post-transform) item — for
+        model-init probes, without paying a full batch of H5 reads."""
+        probe = SliceBatchLoader(self.dataset, self.indices[:1], batch_size=1,
+                                 categories=self.categories,
+                                 transform=self.transform,
+                                 indexing=self.indexing)
+        batch = next(iter(probe))
+        return {c: batch[c].shape[1:] for c in self.categories}
+
     def _reader_pool(self):
         """P4 host read parallelism (reference DataLoader(num_workers),
         common/trainloop/data.py:65-66) as a persistent thread pool: threads

@@ -152,9 +152,9 @@ class TestLoop:
         if self._state_override is not None:
             self.state = self._state_override
             return
-        sample = next(iter(self.test_data.loader))
-        h, w = sample["images"].shape[1:3]
-        in_ch = getattr(self.model, "in_channels", 0) or sample["images"].shape[-1]
+        shapes = self.test_data.loader.peek_item_shapes()  # one decoded item
+        h, w = shapes["images"][:2]
+        in_ch = getattr(self.model, "in_channels", 0) or shapes["images"][-1]
         input_shape = (1, h, w, in_ch)
         optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
         self.state = create_train_state(self.model, optimizer, input_shape)

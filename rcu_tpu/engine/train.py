@@ -147,11 +147,11 @@ class TrainLoop:
             batch_size=bs_valid, prediction_dir=prediction_dir)
 
     def init_state(self):
-        sample = next(iter(self.train_data.loader))
-        h, w = sample["images"].shape[1:3]
+        shapes = self.train_data.loader.peek_item_shapes()  # one decoded item
+        h, w = shapes["images"][:2]
         # model input channels may differ from the data channels (PostNet sees
         # features; auxiliary-segm appends the baseline prediction channel)
-        in_ch = getattr(self.model, "in_channels", 0) or sample["images"].shape[-1]
+        in_ch = getattr(self.model, "in_channels", 0) or shapes["images"][-1]
         input_shape = (1, h, w, in_ch)
         rng = jax.random.PRNGKey(self.config.seed)
         self.state = create_train_state(self.model, self.optimizer, input_shape, rng)

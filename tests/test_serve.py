@@ -127,6 +127,26 @@ class TestHttp:
         assert out["prediction"].shape == (2, *HW)
         assert np.isfinite(float(out["ece"]))
 
+    def test_concurrent_requests(self, server):
+        """Device work serializes under the lock; handler threads must not
+        trip over each other (health probes during predicts included)."""
+        import concurrent.futures
+        rng = np.random.RandomState(6)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+
+        def predict(_):
+            with self._post(server, images=volume) as resp:
+                return resp.status
+
+        def health(_):
+            with urllib.request.urlopen(server + "/v1/health") as resp:
+                return resp.status
+
+        with concurrent.futures.ThreadPoolExecutor(6) as pool:
+            codes = list(pool.map(predict, range(4))) \
+                + list(pool.map(health, range(4)))
+        assert codes == [200] * 8
+
     def test_corrupt_body_is_400(self, server):
         """A truncated npz (BadZipFile) is the client's fault, not a 500."""
         req = urllib.request.Request(server + "/v1/predict",
