@@ -74,9 +74,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
       are async so all chips stay busy with zero cross-chip communication —
       fastest full-testset wall clock. Results are identical either way.
 
-    Native-2D datasets (image volume without a slice axis) run as one-slice
-    volumes. The config's transform pipeline is applied per subject, exactly
-    as the staged loader would.
+    Native-2D datasets (image volume without a slice axis) run CHUNKED:
+    ``test_data.batch_size`` whole images per dispatch on the conv batch
+    axis, with every image's own eval reductions vmapped in the same program
+    (full MXU utilization; K-fold fewer dispatch round trips). The config's
+    transform pipeline is applied per item, exactly as the staged loader
+    would.
     """
     mc = mc or int(config.others.get("mc") or 20)
     subjects = None
@@ -92,8 +95,6 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     is_2d = first_vol.ndim == 3  # (H, W, C) — no slice axis (ISIC)
     h, w, in_ch = first_vol.shape[-3:]
     batch_size = config.test_data.batch_size
-    if is_2d:
-        batch_size = 1  # one image == one one-slice volume
     if mesh is not None and not subject_parallel:
         # latency mode shards each step's batch axis over the mesh, so it
         # must divide the device count (throughput mode dispatches whole
@@ -148,25 +149,15 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         volume = np.asarray(dataset.read_volume(subject, "images"), np.float32)
         labels = np.squeeze(np.asarray(dataset.read_volume(subject, "labels")))
         if transform is not None:
-            if is_2d:
-                out = transform({"images": volume, "labels": labels})
-                volume = np.asarray(out["images"], np.float32)
-                labels = np.squeeze(np.asarray(out["labels"]))
-            else:
-                # the staged loader applies transforms per slice item (H,W,C),
-                # so spatial transforms (e.g. size) must see slices here too —
-                # a whole-volume call would treat Z as the first spatial axis
-                outs = [transform({"images": volume[z], "labels": labels[z]})
-                        for z in range(volume.shape[0])]
-                volume = np.stack(
-                    [np.asarray(o["images"], np.float32) for o in outs])
-                labels = np.squeeze(np.stack(
-                    [np.asarray(o["labels"]) for o in outs]))
-        if is_2d:
-            volume = volume[None]  # (1, H, W, C)
-            if labels.ndim == 3 and labels.shape[-1] == 2:
-                labels = labels[..., 0]  # [gt, baseline-pred] channels
-            labels = labels[None] if labels.ndim == 2 else labels
+            # the staged loader applies transforms per slice item (H,W,C),
+            # so spatial transforms (e.g. size) must see slices here too —
+            # a whole-volume call would treat Z as the first spatial axis
+            outs = [transform({"images": volume[z], "labels": labels[z]})
+                    for z in range(volume.shape[0])]
+            volume = np.stack(
+                [np.asarray(o["images"], np.float32) for o in outs])
+            labels = np.squeeze(np.stack(
+                [np.asarray(o["labels"]) for o in outs]))
         if labels.ndim > 3:
             labels = labels[..., 0]
         target = (labels > 0.5).astype(np.uint8)
@@ -198,6 +189,16 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     rng = jax.random.PRNGKey(config.seed)
     eces = {}
     names = list(dataset.subjects)
+
+    if is_2d:
+        # native-2D datasets: K whole images per dispatch (K rides the conv
+        # batch axis — full MXU utilization and K-fold fewer tunnel round
+        # trips) with every image's OWN eval reductions vmapped on device
+        return _evaluate_direct_2d(
+            model, params, batch_stats, dataset, names, transform, masked,
+            foreground_mask, mc, batch_size, thresholds_arr, mesh, devices,
+            per_device_state if devices else None, rng, pool,
+            calib_hook, corr_hooks, run_id)
 
     def dispatch(si, subject_inputs):
         batched, target, mask, nz = subject_inputs
@@ -254,6 +255,113 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             future = pool.submit(load_subject, names[si + 1])
         out = dispatch(si, subject_inputs)
         pending.append((subject, out, t0))
+        while len(pending) > window:
+            fetch(*pending.popleft())
+    while pending:
+        fetch(*pending.popleft())
+
+    pool.shutdown()
+    calib_hook.on_run_end({}, run_id)
+    for hook in corr_hooks:
+        hook.on_run_end({}, run_id)
+    return eces
+
+
+def _evaluate_direct_2d(model, params, batch_stats, dataset, names, transform,
+                        masked, foreground_mask, mc, chunk_size,
+                        thresholds_arr, mesh, devices, per_device_state, rng,
+                        pool, calib_hook, corr_hooks, run_id):
+    """Chunked native-2D eval: K images per dispatch through
+    :func:`rcu_tpu.eval.pipeline.make_image_batch_mc_eval_fn`. Latency mode
+    shards the image axis over the mesh; throughput mode (``devices``)
+    round-robins whole chunks onto single devices."""
+    import collections
+
+    from rcu_tpu.eval.pipeline import make_image_batch_mc_eval_fn
+
+    chunk_size = max(1, int(chunk_size))
+    fn = make_image_batch_mc_eval_fn(model, mc,
+                                     mesh=None if devices else mesh)
+
+    def load_image(subject):
+        image = np.asarray(dataset.read_volume(subject, "images"), np.float32)
+        labels = np.squeeze(np.asarray(dataset.read_volume(subject, "labels")))
+        if transform is not None:
+            out_t = transform({"images": image, "labels": labels})
+            image = np.asarray(out_t["images"], np.float32)
+            labels = np.squeeze(np.asarray(out_t["labels"]))
+        if labels.ndim == 3 and labels.shape[-1] == 2:
+            labels = labels[..., 0]  # [gt, baseline-pred] channels
+        target = (labels > 0.5).astype(np.uint8)
+        mask = foreground_mask(subject, target.shape) if masked \
+            else np.ones(target.shape, bool)
+        return image, target, mask
+
+    def load_chunk(group):
+        triples = [load_image(s) for s in group]
+        images = np.stack([t[0] for t in triples])
+        targets = np.stack([t[1] for t in triples])
+        masks = np.stack([t[2] for t in triples])
+        pad = chunk_size - len(group)
+        if pad:  # static shapes: padded images' outputs are dropped host-side
+            images = np.concatenate(
+                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
+            targets = np.concatenate(
+                [targets, np.zeros((pad,) + targets.shape[1:], targets.dtype)])
+            masks = np.concatenate(
+                [masks, np.ones((pad,) + masks.shape[1:], masks.dtype)])
+        return images, targets, masks
+
+    groups = [names[i:i + chunk_size]
+              for i in range(0, len(names), chunk_size)]
+    eces = {}
+
+    def fetch(group, out, t0):
+        bins_count = np.asarray(out["bins_count"]).astype(np.int64)
+        bins_conf = np.asarray(out["bins_avg_confidence"])
+        bins_frac = np.asarray(out["bins_positive_fraction"])
+        bins_nz = np.asarray(out["bins_non_zero"])
+        ece_arr = np.asarray(out["ece"])
+        dice_arr = np.asarray(out["dice"])
+        corr = {k: np.asarray(v) for k, v in out["correction"].items()}
+        for i, subject in enumerate(group):
+            calib_hook.on_subject({
+                "bins_count": bins_count[i],
+                "bins_avg_confidence": bins_conf[i],
+                "bins_positive_fraction": bins_frac[i],
+                "bins_non_zero": bins_nz[i],
+                "ece": float(ece_arr[i]),
+                "dice": float(dice_arr[i]),
+            }, subject, run_id)
+            for ti, hook in enumerate(corr_hooks):
+                hook.on_subject({k: csv_value(k, corr[k][i, ti])
+                                 for k in CORRECTION_KEYS}, subject, run_id)
+            eces[subject] = float(ece_arr[i])
+        logging.info("direct eval [%s..%s] mean ece=%.5f (%d images, %.2fs)",
+                     group[0], group[-1],
+                     float(np.mean(ece_arr[:len(group)])), len(group),
+                     time.time() - t0)
+
+    window = 2 * len(devices) if devices else 1
+    pending = collections.deque()
+    future = pool.submit(load_chunk, groups[0]) if groups else None
+    for ci, group in enumerate(groups):
+        t0 = time.time()
+        images, targets, masks = future.result()
+        if ci + 1 < len(groups):
+            future = pool.submit(load_chunk, groups[ci + 1])
+        key = jax.random.fold_in(rng, ci)
+        if devices:
+            dev = devices[ci % len(devices)]
+            p, bs = per_device_state[dev]
+            out = fn(p, bs, jax.device_put(images, dev),
+                     jax.device_put(targets, dev),
+                     jax.device_put(masks, dev),
+                     jax.device_put(thresholds_arr, dev), key)
+        else:
+            out = fn(params, batch_stats, images, targets, masks,
+                     thresholds_arr, key)
+        pending.append((group, out, t0))
         while len(pending) > window:
             fetch(*pending.popleft())
     while pending:

@@ -86,6 +86,43 @@ def make_volume_mc_fn(model, mc_steps: int, batch_size: int,
                    out_shardings=rep)
 
 
+def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None):
+    """Native-2D (ISIC) batched program: ONE dispatch runs the 21-forward MC
+    protocol over K whole images at once (K rides the conv batch axis — full
+    MXU utilization instead of the volume path's forced batch of 1) and then
+    computes every image's OWN eval reductions via vmap.
+
+    (params, batch_stats, images[K,H,W,C], targets[K,H,W], masks[K,H,W],
+    thresholds, rng) -> dict of per-image arrays: ece/bins (K,...), dice (K,),
+    correction entries (K, n_thresholds).
+    """
+
+    def run(params, batch_stats, images, targets, masks, thresholds, rng):
+        fg, ent, _ws = _mc_scan(model, mc_steps, params, batch_stats,
+                                images[None], rng)
+        fg = fg[0]                      # (K, H, W)
+        ent = ent[0] / jnp.log(2.0)
+
+        def one_image(fg_i, ent_i, target_i, mask_i):
+            ece, bins = cal_ops.ece_binary_with_bins(fg_i, target_i, mask_i)
+            prediction = fg_i > 0.5
+            correction = u_ops.correction_eval(prediction, target_i, ent_i,
+                                               thresholds)
+            dice = correction["dice"][0]  # threshold-independent entry
+            return {"ece": ece, **bins, "dice": dice, "correction": correction}
+
+        return jax.vmap(one_image)(fg, ent, targets, masks)
+
+    if mesh is None:
+        return jax.jit(run)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rcu_tpu.parallel.mesh import DATA_AXIS
+    rep = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))  # images sharded over the mesh
+    return jax.jit(run, in_shardings=(rep, rep, data, data, data, rep, rep),
+                   out_shardings=rep)
+
+
 def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
                            vol_slices: int, mesh=None,
                            artifacts: bool = True):

@@ -134,6 +134,66 @@ class TestArtifactFreeProgram:
                                       np.asarray(evald["entropy"]))
 
 
+class TestImageBatchProgram:
+    def test_per_image_reductions_match_manual(self):
+        """The chunked native-2D program's per-image ece/dice/correction must
+        equal computing each image's reductions from the same MC pass."""
+        from rcu_tpu.engine.steps import mc_forward
+        model, state, volume, _, _ = setup()
+        K = 4
+        rng = np.random.RandomState(7)
+        images = volume[:K]
+        targets = (rng.rand(K, HW, HW) > 0.5).astype(np.uint8)
+        masks = rng.rand(K, HW, HW) > 0.2
+        key = jax.random.PRNGKey(13)
+        fn = pipeline.make_image_batch_mc_eval_fn(model, MC_T)
+        got = fn(state.params, state.batch_stats, images, targets, masks,
+                 THRESHOLDS, key)
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        # same MC pass: scan of 1 step -> fold_in(key, 0)
+        probs = mc_forward(model, variables, images,
+                           jax.random.fold_in(key, 0), MC_T)
+        from rcu_tpu.ops.metrics import entropy as entropy_op
+        fg = jnp.mean(probs, axis=0)[..., 1]
+        ent = entropy_op(jnp.mean(probs, axis=0), axis=-1) / jnp.log(2.0)
+        for i in range(K):
+            ece_out = kernels.calibration_bins(fg[i], targets[i],
+                                               fg[i] > 0.5, masks[i])
+            np.testing.assert_allclose(float(np.asarray(got["ece"])[i]),
+                                       float(np.asarray(ece_out["ece"])),
+                                       rtol=1e-5, atol=1e-7)
+            corr = correction_eval(fg[i] > 0.5, targets[i], ent[i], THRESHOLDS)
+            np.testing.assert_allclose(
+                np.asarray(got["correction"]["corrected_dice"])[i],
+                np.asarray(corr["corrected_dice"]), rtol=1e-5, atol=1e-7)
+            np.testing.assert_array_equal(
+                np.asarray(got["correction"]["tp"])[i],
+                np.asarray(corr["tp"]))
+
+    def test_sharded_matches_single_device(self):
+        model, state, volume, _, _ = setup()
+        K = 4
+        rng = np.random.RandomState(8)
+        images = volume[:K]
+        targets = (rng.rand(K, HW, HW) > 0.5).astype(np.uint8)
+        masks = np.ones((K, HW, HW), bool)
+        key = jax.random.PRNGKey(4)
+        single = pipeline.make_image_batch_mc_eval_fn(model, MC_T)(
+            state.params, state.batch_stats, images, targets, masks,
+            THRESHOLDS, key)
+        mesh = mesh_lib.make_mesh(n_devices=2)
+        sharded = pipeline.make_image_batch_mc_eval_fn(model, MC_T, mesh=mesh)(
+            state.params, state.batch_stats, images, targets, masks,
+            THRESHOLDS, key)
+        np.testing.assert_allclose(np.asarray(sharded["ece"]),
+                                   np.asarray(single["ece"]),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_array_equal(
+            np.asarray(sharded["correction"]["tp"]),
+            np.asarray(single["correction"]["tp"]))
+
+
 class TestAuxPredictUnderMesh:
     def test_aux_feat_sharded_matches_single_device(self):
         segm = get_model("unet", dict(nb_classes=2, in_channels=CH, depth=2,
