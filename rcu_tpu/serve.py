@@ -70,19 +70,27 @@ class VolumeInferenceService:
         self._requests = 0
         self._lock = threading.Lock()
 
-    def _program(self, vol_slices: int, with_eval: bool):
-        key = (vol_slices, with_eval)
+    def _program(self, vol_slices: int, with_eval: bool, batch: int):
+        key = (vol_slices, with_eval, batch)
         if key not in self._programs:
             factory = make_volume_mc_eval_fn if with_eval else make_volume_mc_fn
-            self._programs[key] = factory(self.model, self.mc,
-                                          self.batch_size, vol_slices,
-                                          mesh=self.mesh)
+            self._programs[key] = factory(self.model, self.mc, batch,
+                                          vol_slices, mesh=self.mesh)
         return self._programs[key]
+
+    def _effective_batch(self, nz: int) -> int:
+        """Shrink the slice batch to the volume: a 1-slice (native-2D)
+        request must not be padded out to a 32-slice batch of zeros."""
+        batch = min(self.batch_size, nz)
+        if self.mesh is not None:
+            from rcu_tpu.parallel.mesh import pad_batch_size_to_mesh
+            batch = pad_batch_size_to_mesh(batch, self.mesh)
+        return batch
 
     def compiled_shapes(self):
         # snapshot: a concurrent predict() may be inserting a new program
-        return sorted(f"{nz}-slices{'-scored' if ev else ''}"
-                      for nz, ev in list(self._programs))
+        return sorted(f"{nz}-slices-b{batch}{'-scored' if ev else ''}"
+                      for nz, ev, batch in list(self._programs))
 
     def predict(self, images: np.ndarray, target: np.ndarray = None,
                 mask: np.ndarray = None) -> dict:
@@ -101,11 +109,12 @@ class VolumeInferenceService:
             raise ValueError(f"images must be [Z,H,W,C] or [H,W,C], got "
                              f"shape {volume.shape}")
         nz = volume.shape[0]
-        pad = (-nz) % self.batch_size
+        batch = self._effective_batch(nz)
+        pad = (-nz) % batch
         if pad:
             volume = np.concatenate(
                 [volume, np.zeros((pad,) + volume.shape[1:], volume.dtype)])
-        batched = volume.reshape((-1, self.batch_size) + volume.shape[1:])
+        batched = volume.reshape((-1, batch) + volume.shape[1:])
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from rcu_tpu.parallel.mesh import DATA_AXIS
@@ -119,8 +128,8 @@ class VolumeInferenceService:
                 # key the program on the PADDED slice count: near-identical
                 # volumes (e.g. 150-160 slices at batch 32) then share one
                 # compiled program, and the padded tail is trimmed host-side
-                fn = self._program(batched.shape[0] * self.batch_size,
-                                   with_eval=False)
+                fn = self._program(batched.shape[0] * batch,
+                                   with_eval=False, batch=batch)
                 out = fn(self.params, self.batch_stats, batched, rng)
             else:
                 target = (np.asarray(target) > 0.5).astype(np.uint8)
@@ -132,7 +141,7 @@ class VolumeInferenceService:
                                      f"match the volume's {want}")
                 m = np.ones(target.shape, bool) if mask is None \
                     else np.asarray(mask).reshape(target.shape) > 0
-                fn = self._program(nz, with_eval=True)
+                fn = self._program(nz, with_eval=True, batch=batch)
                 out = fn(self.params, self.batch_stats, batched, target, m,
                          self.thresholds, rng)
 

@@ -74,6 +74,14 @@ class TestService:
         service.predict(np.zeros((4, *HW, 4), np.float32))
         assert len(service.compiled_shapes()) == n
 
+    def test_small_volume_shrinks_the_batch(self, service):
+        """A 1-slice (native-2D) request must run at batch 1, not padded out
+        to the configured slice batch full of zero slices."""
+        out = service.predict(np.zeros((1, *HW, 4), np.float32))
+        assert out["prediction"].shape == (1, *HW)
+        assert any(s.startswith("1-slices-b1") for s
+                   in service.compiled_shapes())
+
     def test_mask_without_target_rejected(self, service):
         volume = np.zeros((2, *HW, 4), np.float32)
         with pytest.raises(ValueError, match="mask without a target"):
