@@ -172,7 +172,6 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         return batched, target, mask, nz
 
     # overlap the next subject's host H5 read with the current device pass
-    import collections
     import concurrent.futures
     pool = concurrent.futures.ThreadPoolExecutor(1, thread_name_prefix="direct")
 
@@ -244,27 +243,37 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                      eces[subject], time.time() - t0)
 
     # dispatches are async: keep up to 2x the device count in flight so every
-    # chip stays busy while bounding on-device output (fg/entropy) memory
-    window = 2 * len(devices) if devices else 1
-    pending = collections.deque()
-    future = pool.submit(load_subject, names[0]) if names else None
-    for si, subject in enumerate(names):
-        t0 = time.time()
-        subject_inputs = future.result()
-        if si + 1 < len(names):
-            future = pool.submit(load_subject, names[si + 1])
-        out = dispatch(si, subject_inputs)
-        pending.append((subject, out, t0))
-        while len(pending) > window:
-            fetch(*pending.popleft())
-    while pending:
-        fetch(*pending.popleft())
+    # chip stays busy while bounding on-device output memory
+    _drive(pool, names, load_subject,
+           lambda i, subject, loaded: dispatch(i, loaded), fetch,
+           window=2 * len(devices) if devices else 1)
 
     pool.shutdown()
     calib_hook.on_run_end({}, run_id)
     for hook in corr_hooks:
         hook.on_run_end({}, run_id)
     return eces
+
+
+def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int):
+    """Shared async driver for both direct-eval paths: load-ahead ONE item on
+    the pool thread, keep up to ``window`` device dispatches in flight, drain
+    in order (jax dispatch is async, so the window bounds on-device output
+    buffers without stalling the chips)."""
+    import collections
+    pending = collections.deque()
+    future = pool.submit(load_fn, items[0]) if items else None
+    for i, item in enumerate(items):
+        t0 = time.time()
+        loaded = future.result()
+        if i + 1 < len(items):
+            future = pool.submit(load_fn, items[i + 1])
+        out = dispatch_fn(i, item, loaded)
+        pending.append((item, out, t0))
+        while len(pending) > window:
+            fetch_fn(*pending.popleft())
+    while pending:
+        fetch_fn(*pending.popleft())
 
 
 def _evaluate_direct_2d(model, params, batch_stats, dataset, names, transform,
@@ -274,9 +283,9 @@ def _evaluate_direct_2d(model, params, batch_stats, dataset, names, transform,
     """Chunked native-2D eval: K images per dispatch through
     :func:`rcu_tpu.eval.pipeline.make_image_batch_mc_eval_fn`. Latency mode
     shards the image axis over the mesh; throughput mode (``devices``)
-    round-robins whole chunks onto single devices."""
-    import collections
-
+    round-robins whole chunks onto single devices. Heterogeneous image sizes
+    split a chunk into same-shape sub-batches (jit retraces per shape, like
+    the pre-chunking per-image path did)."""
     from rcu_tpu.eval.pipeline import make_image_batch_mc_eval_fn
 
     chunk_size = max(1, int(chunk_size))
@@ -298,74 +307,82 @@ def _evaluate_direct_2d(model, params, batch_stats, dataset, names, transform,
         return image, target, mask
 
     def load_chunk(group):
-        triples = [load_image(s) for s in group]
-        images = np.stack([t[0] for t in triples])
-        targets = np.stack([t[1] for t in triples])
-        masks = np.stack([t[2] for t in triples])
-        pad = chunk_size - len(group)
-        if pad:  # static shapes: padded images' outputs are dropped host-side
-            images = np.concatenate(
-                [images, np.zeros((pad,) + images.shape[1:], images.dtype)])
-            targets = np.concatenate(
-                [targets, np.zeros((pad,) + targets.shape[1:], targets.dtype)])
-            masks = np.concatenate(
-                [masks, np.ones((pad,) + masks.shape[1:], masks.dtype)])
-        return images, targets, masks
+        """-> list of same-shape parts [(subjects, images, targets, masks)].
+        Only the LAST part of a chunk is padded to a full sub-batch; padded
+        outputs are dropped host-side."""
+        triples = [(s, *load_image(s)) for s in group]
+        parts = []
+        start = 0
+        for i in range(1, len(triples) + 1):
+            if i == len(triples) or triples[i][1].shape != triples[start][1].shape:
+                same = triples[start:i]
+                images = np.stack([t[1] for t in same])
+                targets = np.stack([t[2] for t in same])
+                masks = np.stack([t[3] for t in same])
+                pad = (chunk_size - len(same)) if i == len(triples) else 0
+                if pad:  # static shape for the common tail-of-run case
+                    images = np.concatenate([images, np.zeros(
+                        (pad,) + images.shape[1:], images.dtype)])
+                    targets = np.concatenate([targets, np.zeros(
+                        (pad,) + targets.shape[1:], targets.dtype)])
+                    masks = np.concatenate([masks, np.ones(
+                        (pad,) + masks.shape[1:], masks.dtype)])
+                parts.append(([t[0] for t in same], images, targets, masks))
+                start = i
+        return parts
 
     groups = [names[i:i + chunk_size]
               for i in range(0, len(names), chunk_size)]
     eces = {}
 
-    def fetch(group, out, t0):
-        bins_count = np.asarray(out["bins_count"]).astype(np.int64)
-        bins_conf = np.asarray(out["bins_avg_confidence"])
-        bins_frac = np.asarray(out["bins_positive_fraction"])
-        bins_nz = np.asarray(out["bins_non_zero"])
-        ece_arr = np.asarray(out["ece"])
-        dice_arr = np.asarray(out["dice"])
-        corr = {k: np.asarray(v) for k, v in out["correction"].items()}
-        for i, subject in enumerate(group):
-            calib_hook.on_subject({
-                "bins_count": bins_count[i],
-                "bins_avg_confidence": bins_conf[i],
-                "bins_positive_fraction": bins_frac[i],
-                "bins_non_zero": bins_nz[i],
-                "ece": float(ece_arr[i]),
-                "dice": float(dice_arr[i]),
-            }, subject, run_id)
-            for ti, hook in enumerate(corr_hooks):
-                hook.on_subject({k: csv_value(k, corr[k][i, ti])
-                                 for k in CORRECTION_KEYS}, subject, run_id)
-            eces[subject] = float(ece_arr[i])
-        logging.info("direct eval [%s..%s] mean ece=%.5f (%d images, %.2fs)",
-                     group[0], group[-1],
-                     float(np.mean(ece_arr[:len(group)])), len(group),
-                     time.time() - t0)
+    def dispatch(ci, group, parts):
+        outs = []
+        for pi, (subjects, images, targets, masks) in enumerate(parts):
+            key = jax.random.fold_in(rng, ci * chunk_size + pi)
+            if devices:
+                dev = devices[(ci + pi) % len(devices)]
+                p, bs = per_device_state[dev]
+                out = fn(p, bs, jax.device_put(images, dev),
+                         jax.device_put(targets, dev),
+                         jax.device_put(masks, dev),
+                         jax.device_put(thresholds_arr, dev), key)
+            else:
+                out = fn(params, batch_stats, images, targets, masks,
+                         thresholds_arr, key)
+            outs.append((subjects, out))
+        return outs
 
-    window = 2 * len(devices) if devices else 1
-    pending = collections.deque()
-    future = pool.submit(load_chunk, groups[0]) if groups else None
-    for ci, group in enumerate(groups):
-        t0 = time.time()
-        images, targets, masks = future.result()
-        if ci + 1 < len(groups):
-            future = pool.submit(load_chunk, groups[ci + 1])
-        key = jax.random.fold_in(rng, ci)
-        if devices:
-            dev = devices[ci % len(devices)]
-            p, bs = per_device_state[dev]
-            out = fn(p, bs, jax.device_put(images, dev),
-                     jax.device_put(targets, dev),
-                     jax.device_put(masks, dev),
-                     jax.device_put(thresholds_arr, dev), key)
-        else:
-            out = fn(params, batch_stats, images, targets, masks,
-                     thresholds_arr, key)
-        pending.append((group, out, t0))
-        while len(pending) > window:
-            fetch(*pending.popleft())
-    while pending:
-        fetch(*pending.popleft())
+    def fetch(group, outs, t0):
+        all_ece = []
+        for subjects, out in outs:
+            bins_count = np.asarray(out["bins_count"]).astype(np.int64)
+            bins_conf = np.asarray(out["bins_avg_confidence"])
+            bins_frac = np.asarray(out["bins_positive_fraction"])
+            bins_nz = np.asarray(out["bins_non_zero"])
+            ece_arr = np.asarray(out["ece"])
+            dice_arr = np.asarray(out["dice"])
+            corr = {k: np.asarray(v) for k, v in out["correction"].items()}
+            for i, subject in enumerate(subjects):
+                calib_hook.on_subject({
+                    "bins_count": bins_count[i],
+                    "bins_avg_confidence": bins_conf[i],
+                    "bins_positive_fraction": bins_frac[i],
+                    "bins_non_zero": bins_nz[i],
+                    "ece": float(ece_arr[i]),
+                    "dice": float(dice_arr[i]),
+                }, subject, run_id)
+                for ti, hook in enumerate(corr_hooks):
+                    hook.on_subject({k: csv_value(k, corr[k][i, ti])
+                                     for k in CORRECTION_KEYS}, subject,
+                                    run_id)
+                eces[subject] = float(ece_arr[i])
+                all_ece.append(float(ece_arr[i]))
+        logging.info("direct eval [%s..%s] mean ece=%.5f (%d images, %.2fs)",
+                     group[0], group[-1], float(np.mean(all_ece)),
+                     len(group), time.time() - t0)
+
+    _drive(pool, groups, load_chunk, dispatch, fetch,
+           window=2 * len(devices) if devices else 1)
 
     pool.shutdown()
     calib_hook.on_run_end({}, run_id)

@@ -80,8 +80,11 @@ class VolumeInferenceService:
 
     def _effective_batch(self, nz: int) -> int:
         """Shrink the slice batch to the volume: a 1-slice (native-2D)
-        request must not be padded out to a 32-slice batch of zeros."""
-        batch = min(self.batch_size, nz)
+        request must not be padded out to a 32-slice batch of zeros. Small
+        volumes bucket to the next power of two so the program cache stays
+        bounded at ~log2(batch_size) entries instead of one per slice
+        count (remote compiles cost 20-300s each)."""
+        batch = min(self.batch_size, 1 << max(0, nz - 1).bit_length())
         if self.mesh is not None:
             from rcu_tpu.parallel.mesh import pad_batch_size_to_mesh
             batch = pad_batch_size_to_mesh(batch, self.mesh)
@@ -108,6 +111,8 @@ class VolumeInferenceService:
         if volume.ndim != 4:
             raise ValueError(f"images must be [Z,H,W,C] or [H,W,C], got "
                              f"shape {volume.shape}")
+        if volume.size == 0:
+            raise ValueError(f"images array is empty: shape {volume.shape}")
         nz = volume.shape[0]
         batch = self._effective_batch(nz)
         pad = (-nz) % batch

@@ -201,6 +201,50 @@ class TestDirectEval:
         with pytest.raises(ValueError, match="does not match the target"):
             evaluate_direct(cfg, str(tmp_path / "bad_out"), mc=3, masked=True)
 
+    def test_2d_heterogeneous_sizes_split_chunks(self, trained, tmp_path):
+        """Images of different sizes inside one chunk must split into
+        same-shape sub-batches (raw ISIC images are not size-normalized),
+        not crash np.stack."""
+        from PIL import Image
+        from tests.test_strategies import make_store
+        img_dir = tmp_path / "ISIC-2017_Test_v2_Data"
+        gt_dir = tmp_path / "ISIC-2017_Test_v2_Part1_GroundTruth"
+        img_dir.mkdir(parents=True)
+        gt_dir.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        names, sizes = [], [(16, 16), (24, 16), (16, 16)]
+        for i, (ih, iw) in enumerate(sizes):
+            name = f"ISIC_{i:07d}"
+            names.append(name)
+            Image.fromarray((rng.rand(ih, iw, 3) * 255).astype(np.uint8)).save(
+                str(img_dir / f"{name}.jpg"))
+            Image.fromarray(((rng.rand(ih, iw) > 0.5) * 255).astype(
+                np.uint8)).save(str(gt_dir / f"{name}_segmentation.png"))
+        split2 = str(tmp_path / "het_split.json")
+        save_split(split2, [], [], names)
+        store3 = make_store(str(tmp_path / "h3.h5"), channels=3)
+        split3 = str(tmp_path / "h3_split.json")
+        save_split(split3, ["s00"], ["s01"], ["s02"])
+        from rcu_tpu import strategies
+        from tests.test_strategies import base_train_cfg
+        mloop = strategies.train_default(base_train_cfg(
+            tmp_path, store3, split3, name="h3",
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 3,
+                            "nb_classes": 2, "start_filters": 4}}))
+        cfg = base_test_cfg(tmp_path, str(tmp_path / "ISIC-2017_Test_v2"),
+                            split2, mloop.model_files.model_dir,
+                            others={"mc": 2}, name="het")
+        cfg.test_data.batch_size = 3  # all three sizes share one chunk
+        cfg.test_data.transform = [
+            {"rescale": {"lower": 0.0, "upper": 1.0, "entries": ["images"]}}]
+        out_dir = str(tmp_path / "het_out")
+        eces = evaluate_direct(cfg, out_dir, run_id="baseline", mc=2,
+                               masked=False)
+        assert set(eces) == set(names)
+        _, body = read_csv(os.path.join(out_dir,
+                                        "eval_calibration_baseline.csv"))
+        assert len(body) == 3
+
     def test_2d_dataset_runs(self, trained, tmp_path):
         """Native-2D (ISIC-style) folder dataset: one-slice volumes, the
         config transform applied, unmasked eval."""
