@@ -31,7 +31,7 @@ if BIN_DIR not in sys.path:
 
 
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
-         host="0.0.0.0", port=8475):
+         host="0.0.0.0", port=8475, prewarm=None):
     import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
@@ -46,6 +46,14 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
     mesh = _cli.mesh_from_devices(devices)
     service = VolumeInferenceService(model_dir, test_at=test_at, mc=mc,
                                      batch_size=batch_size, mesh=mesh)
+    if prewarm:
+        import numpy as np
+        in_ch = int(getattr(service.model, "in_channels", 0) or 1)
+        for spec in prewarm.split(","):
+            z, h, w = (int(v) for v in spec.lower().split("x"))
+            logging.info("prewarming %dx%dx%d (unscored program)...", z, h, w)
+            service.predict(np.zeros((z, h, w, in_ch), np.float32))
+        logging.info("prewarmed programs: %s", service.compiled_shapes())
     server = make_http_server(service, host, port)
     logging.info("serving %s (mc=%d, batch=%d%s) on http://%s:%d",
                  model_dir, service.mc, service.batch_size,
@@ -65,6 +73,10 @@ if __name__ == "__main__":
                         help="shard each volume over an N-device mesh")
     parser.add_argument("-host", type=str, default="0.0.0.0")
     parser.add_argument("-port", type=int, default=8475)
+    parser.add_argument("-prewarm", type=str, default=None,
+                        help="comma-separated ZxHxW volume shapes whose "
+                             "(unscored) programs compile before the port "
+                             "binds, e.g. 155x240x240")
     args = parser.parse_args()
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
-         args.devices, args.host, args.port)
+         args.devices, args.host, args.port, args.prewarm)
