@@ -3,8 +3,11 @@
 Streams each test-split subject through ONE fused device program (T-sample
 MC-dropout + calibration bins + 11-threshold correction analysis) and writes
 the standard eval CSV families — skipping the NIfTI staging round trip of the
-``*_test_*`` -> ``eval_uncertainty`` pipeline. Use the staged pipeline when
-the per-subject artifacts themselves are needed.
+``*_test_*`` -> ``eval_uncertainty`` pipeline. Sigma-headed (aleatoric)
+checkpoints are detected automatically and evaluate via the sigma protocol:
+a global min/max pass, then per-subject rescale+fold+eval, with the staged
+run's ``_globalrescale`` result ids. Use the staged pipeline when the
+per-subject artifacts themselves are needed.
 
 Usage:
   python bin/eval_direct.py -config_file config/test_brats_baseline_mc.yaml \

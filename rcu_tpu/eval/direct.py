@@ -111,15 +111,25 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         params = replicate_tree(params, mesh)
         batch_stats = replicate_tree(batch_stats, mesh)
 
+    # sigma-headed models evaluate via the ALEATORIC protocol (global sigma
+    # rescale, fold by prediction) — same result-id suffix as the staged run
+    aleatoric = bool(getattr(model, "sigma_out", False))
+    if aleatoric and is_2d:
+        raise NotImplementedError(
+            "direct aleatoric eval currently covers volume (3-D) datasets; "
+            "use the staged pipeline (isic_test_aleatoric + "
+            "eval_uncertainty) for native-2D aleatoric runs")
+    result_id = f"{run_id}_globalrescale" if aleatoric else run_id
+
     thresholds_arr = np.asarray(thresholds, np.float32)
     os.makedirs(out_dir, exist_ok=True)
     calib_hook = ev_hooks.WriteBinsCsvHook(os.path.join(
-        out_dir, dirs.CALIBRATION_PLACEHOLDER.format(run_id)))
+        out_dir, dirs.CALIBRATION_PLACEHOLDER.format(result_id)))
     corr_hooks = []
     for threshold in thresholds:
         threshold_str = f"{threshold:.2f}".replace(".", "")
         corr_hooks.append(ev_hooks.WriteCsvHook(os.path.join(
-            out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(run_id,
+            out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(result_id,
                                                          threshold_str)), None))
 
     def foreground_mask(subject, shape):
@@ -197,7 +207,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             model, params, batch_stats, dataset, names, transform, masked,
             foreground_mask, mc, batch_size, thresholds_arr, mesh, devices,
             per_device_state if devices else None, rng, pool,
-            calib_hook, corr_hooks, run_id)
+            calib_hook, corr_hooks, result_id)
 
     def dispatch(si, subject_inputs):
         batched, target, mask, nz = subject_inputs
@@ -234,13 +244,78 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             # program's correction counts (threshold-independent entry), so no
             # 20+ MB fg volume needs to cross the tunnel for it
             "dice": float(corr["dice"][0]),
-        }, subject, run_id)
+        }, subject, result_id)
         for ti, hook in enumerate(corr_hooks):
             hook.on_subject({k: csv_value(k, corr[k][ti])
-                             for k in CORRECTION_KEYS}, subject, run_id)
+                             for k in CORRECTION_KEYS}, subject, result_id)
         eces[subject] = float(out["ece"])
         logging.info("direct eval %s ece=%.5f (%.2fs)", subject,
                      eces[subject], time.time() - t0)
+
+    if aleatoric:
+        # two passes, mirroring the staged sigma run: (A) global min/max of
+        # the predicted-class sigma over the whole run (the minmax action),
+        # (B) per-subject fused rescale+fold+eval with those bounds
+        if "is_log_sigma" not in config.others:
+            raise ValueError(
+                'missing "is_log_sigma" entry in the configuration (others)')
+        is_log_sigma = bool(config.others["is_log_sigma"])
+        from rcu_tpu.eval.pipeline import (make_volume_aleatoric_eval_fn,
+                                           make_volume_sigma_minmax_fn)
+        window = 2 * len(devices) if devices else 1
+        caches = {"minmax": {}, "eval": {}}
+
+        def _fn(kind, factory, nz, n_batches):
+            key = (nz, n_batches)
+            if key not in caches[kind]:
+                caches[kind][key] = factory(
+                    model, batch_size, nz, is_log_sigma,
+                    mesh=None if devices else mesh)
+            return caches[kind][key]
+
+        def _device_args(si, arrays):
+            if not devices:
+                return (params, batch_stats) + arrays
+            dev = devices[si % len(devices)]
+            p, bs = per_device_state[dev]
+            return (p, bs) + tuple(jax.device_put(a, dev) for a in arrays)
+
+        bounds = {"min": [], "max": []}
+
+        def minmax_dispatch(si, subject, loaded):
+            batched, _target, _mask, nz = loaded
+            fn = _fn("minmax", make_volume_sigma_minmax_fn, nz,
+                     batched.shape[0])
+            return fn(*_device_args(si, (batched,)))
+
+        def minmax_fetch(subject, out, t0):
+            mn, mx = out
+            bounds["min"].append(float(mn))
+            bounds["max"].append(float(mx))
+
+        _drive(pool, names, load_subject, minmax_dispatch, minmax_fetch,
+               window)
+        gmin, gmax = min(bounds["min"]), max(bounds["max"])
+        ev_hooks.WriteSummaryCsvHook(
+            os.path.join(out_dir, dirs.MINMAX_PLACEHOLDER.format(run_id)),
+            confidence_entry="sigma").on_run_end(bounds, run_id)
+        logging.info("direct aleatoric: global sigma range [%.6f, %.6f]",
+                     gmin, gmax)
+
+        def al_dispatch(si, subject, loaded):
+            batched, target, mask, nz = loaded
+            fn = _fn("eval", make_volume_aleatoric_eval_fn, nz,
+                     batched.shape[0])
+            return fn(*_device_args(si, (batched, target, mask,
+                                         thresholds_arr)),
+                      np.float32(gmin), np.float32(gmax))
+
+        _drive(pool, names, load_subject, al_dispatch, fetch, window)
+        pool.shutdown()
+        calib_hook.on_run_end({}, result_id)
+        for hook in corr_hooks:
+            hook.on_run_end({}, result_id)
+        return eces
 
     # dispatches are async: keep up to 2x the device count in flight so every
     # chip stays busy while bounding on-device output memory
@@ -249,9 +324,9 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
            window=2 * len(devices) if devices else 1)
 
     pool.shutdown()
-    calib_hook.on_run_end({}, run_id)
+    calib_hook.on_run_end({}, result_id)
     for hook in corr_hooks:
-        hook.on_run_end({}, run_id)
+        hook.on_run_end({}, result_id)
     return eces
 
 

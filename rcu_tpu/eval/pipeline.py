@@ -86,6 +86,78 @@ def make_volume_mc_fn(model, mc_steps: int, batch_size: int,
                    out_shardings=rep)
 
 
+def _aleatoric_scan(model, is_log_sigma, params, batch_stats, batched):
+    """One deterministic forward per slice batch -> per-slice (prediction,
+    predicted-class sigma), via lax.scan (reference
+    bin-dl/brats_test_aleatoric.py:66-97 semantics: exp() when log-sigma,
+    abs() otherwise; the predicted class's sigma is the confidence map)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def one_batch(_, images):
+        out = model.apply(variables, images, train=False)
+        probabilities = jax.nn.softmax(out.logits, axis=-1)
+        sigma = jnp.exp(out.sigma) if is_log_sigma else jnp.abs(out.sigma)
+        prediction = jnp.argmax(probabilities, axis=-1)
+        predicted_sigma = jnp.take_along_axis(
+            sigma, prediction[..., None], axis=-1)[..., 0]
+        return None, (prediction.astype(jnp.uint8), predicted_sigma)
+
+    _, out = jax.lax.scan(one_batch, None, batched)
+    return out
+
+
+def make_volume_sigma_minmax_fn(model, batch_size: int, vol_slices: int,
+                                is_log_sigma: bool, mesh=None):
+    """Pass A of the direct aleatoric eval: (params, batch_stats, batched) ->
+    (min, max) of the subject's predicted-class sigma — the per-subject
+    contribution to the run's GLOBAL rescale bounds (the staged pipeline's
+    minmax action over the _sigma artifacts)."""
+
+    def run(params, batch_stats, batched):
+        _, sigma = _aleatoric_scan(model, is_log_sigma, params, batch_stats,
+                                   batched)
+        sigma = sigma.reshape((-1,) + sigma.shape[2:])[:vol_slices]
+        return jnp.min(sigma), jnp.max(sigma)
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep, rep, data), out_shardings=rep)
+
+
+def make_volume_aleatoric_eval_fn(model, batch_size: int, vol_slices: int,
+                                  is_log_sigma: bool, mesh=None):
+    """Pass B of the direct aleatoric eval — one dispatch per subject:
+    (params, batch_stats, batched, target, mask, thresholds, sigma_min,
+    sigma_max) -> the eval dict. Semantics mirror the staged sigma run with
+    ``rescale_sigma='global'``: sigma -> rescale_linear(global bounds, eps
+    1e-5) -> fold into foreground probabilities by prediction -> masked
+    ECE/bins; the rescaled sigma is the correction pass's uncertainty."""
+    from rcu_tpu.ops import prepare as prep_ops
+
+    def run(params, batch_stats, batched, target, mask, thresholds,
+            sigma_min, sigma_max):
+        prediction, sigma = _aleatoric_scan(model, is_log_sigma, params,
+                                            batch_stats, batched)
+        prediction = prediction.reshape(
+            (-1,) + prediction.shape[2:])[:vol_slices]
+        sigma = sigma.reshape((-1,) + sigma.shape[2:])[:vol_slices]
+        rescaled = prep_ops.rescale_linear(sigma, sigma_min, sigma_max)
+        folded = prep_ops.uncertainty_to_foreground_probabilities(rescaled,
+                                                                  prediction)
+        ece, bins = cal_ops.ece_binary_with_bins(folded, target, mask)
+        correction = u_ops.correction_eval(prediction, target, rescaled,
+                                           thresholds)
+        return {"ece": ece, **bins, "dice": correction["dice"][0],
+                "correction": correction}
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep, rep, data) + (rep,) * 5,
+                   out_shardings=rep)
+
+
 def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None):
     """Native-2D (ISIC) batched program: ONE dispatch runs the 21-forward MC
     protocol over K whole images at once (K rides the conv batch axis — full

@@ -201,6 +201,67 @@ class TestDirectEval:
         with pytest.raises(ValueError, match="does not match the target"):
             evaluate_direct(cfg, str(tmp_path / "bad_out"), mc=3, masked=True)
 
+    def test_aleatoric_model_uses_sigma_protocol(self, trained, tmp_path):
+        """A sigma-headed checkpoint must evaluate via the aleatoric protocol
+        (global sigma rescale + fold by prediction, '_globalrescale' ids),
+        and the numbers must match a numpy recomputation from the model's
+        own deterministic outputs."""
+        import jax
+        from rcu_tpu import strategies
+        from rcu_tpu.engine import steps as steps_lib
+        from tests.test_ops_calibration import oracle_ece
+        from tests.test_strategies import base_train_cfg
+
+        tmp0, store, split_file, _ = trained
+        cfg_t = base_train_cfg(tmp_path, store, split_file, name="alea",
+                               others={"is_log_sigma": True},
+                               model={"unet": {"depth": 2, "dropout": 0.2,
+                                               "in_channels": 4,
+                                               "nb_classes": 2,
+                                               "start_filters": 4,
+                                               "sigma_out": True}})
+        loop = strategies.train_aleatoric(cfg_t)
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            loop.model_files.model_dir,
+                            others={"is_log_sigma": True}, name="alea_t")
+        cfg.test_data.batch_size = 2
+        out_dir = str(tmp_path / "alea_out")
+        eces = evaluate_direct(cfg, out_dir, run_id="aleatoric",
+                               masked=False)
+        files = sorted(os.listdir(out_dir))
+        assert "eval_calibration_aleatoric_globalrescale.csv" in files
+        assert "eval_summary_minmax_aleatoric.csv" in files
+        assert ("eval_uncertainty_aleatoric_globalrescale_th050.csv"
+                in files)
+
+        # numpy oracle from the deterministic forward of every test subject
+        from rcu_tpu.data import h5
+        from rcu_tpu.engine import checkpoint as ckpt_lib
+        from rcu_tpu.eval.direct import _load_model_state
+        model, params, batch_stats = _load_model_state(
+            loop.model_files.model_dir, "best", (1, *HW, 4))
+        predict = steps_lib.make_aleatoric_predict_fn(model, True)
+        ds = h5.SubjectDataset(store)
+        per_subject = {}
+        for subject in eces:
+            vol = np.asarray(ds.read_volume(subject, "images"), np.float32)
+            out = predict(params, batch_stats, {"images": vol})
+            probs = np.asarray(out["probabilities"])
+            pred = np.argmax(probs, axis=-1)
+            sigma = np.asarray(out["sigma"])
+            gt = np.squeeze(np.asarray(ds.read_volume(subject, "labels")))
+            per_subject[subject] = (pred, sigma, (gt > 0.5).astype(np.uint8))
+        gmin = min(float(s.min()) for _, s, _ in per_subject.values())
+        gmax = max(float(s.max()) for _, s, _ in per_subject.values())
+        eps = 1e-5
+        for subject, (pred, sigma, gt) in per_subject.items():
+            resc = (sigma - gmin) / (gmax - gmin) * (1 - 2 * eps) + eps
+            folded = np.where(pred == 1, 1.0 - resc * 0.5, resc * 0.5)
+            probs2 = np.stack([1 - folded, folded], -1).astype(np.float64)
+            expected = oracle_ece(probs2, gt.astype(np.float64))
+            np.testing.assert_allclose(eces[subject], expected,
+                                       rtol=1e-4, atol=1e-6)
+
     def test_2d_heterogeneous_sizes_split_chunks(self, trained, tmp_path):
         """Images of different sizes inside one chunk must split into
         same-shape sub-batches (raw ISIC images are not size-normalized),
