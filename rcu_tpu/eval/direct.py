@@ -13,6 +13,11 @@ pipeline, so the analysis layer consumes the output unchanged.
 
 This has no reference counterpart — it exists because the fused TPU program
 makes the staging unnecessary.
+
+Coverage: MC-dropout (entropy protocol; the headline workload) and aleatoric
+(auto-detected sigma head; global-rescale protocol). Auxiliary (confidence)
+and ensemble runs evaluate through the staged pipeline, whose artifacts
+their multi-model plumbing needs anyway.
 """
 from __future__ import annotations
 
