@@ -48,7 +48,7 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
                                      batch_size=batch_size, mesh=mesh)
     if prewarm:
         import numpy as np
-        in_ch = int(getattr(service.model, "in_channels", 0) or 1)
+        in_ch = service.in_channels  # resolved from model.json at init
         for spec in prewarm.split(","):
             z, h, w = (int(v) for v in spec.lower().split("x"))
             logging.info("prewarming %dx%dx%d (unscored program)...", z, h, w)

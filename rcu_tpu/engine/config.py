@@ -226,3 +226,13 @@ def save(cfg, path: str):
                 "meta": {"type": cfg.META_TYPE, "version": cfg.VERSION}}
     with open(path, "w") as f:
         yaml.safe_dump(envelope, f, default_flow_style=False, sort_keys=False)
+
+
+def require_log_sigma(config) -> bool:
+    """others.is_log_sigma is a REQUIRED contract for aleatoric runs (the
+    sigma head's output convention, exp vs abs); one shared check for the
+    strategy scripts and the direct eval path."""
+    if "is_log_sigma" not in config.others:
+        raise ValueError(
+            'missing "is_log_sigma" entry in the configuration (others)')
+    return bool(config.others["is_log_sigma"])

@@ -203,19 +203,28 @@ def make_mc_predict_fn(model, mc_steps: int, do_mi: bool = False,
     return _jit_predict(predict, mesh, has_rng=True)
 
 
-def make_aleatoric_predict_fn(model, is_log_sigma: bool, mesh=None):
-    """Softmax probs + per-class sigma + predicted-class sigma
+def aleatoric_forward(model, variables, images, is_log_sigma: bool):
+    """ONE deterministic aleatoric forward -> (probabilities, sigma_all,
+    prediction, predicted_sigma). The single home of the sigma-protocol math
     (reference bin-dl/brats_test_aleatoric.py:66-97: exp() when log-sigma,
-    abs() otherwise; the artifact stores the predicted class's sigma)."""
+    abs() otherwise; the artifact stores the predicted class's sigma) —
+    shared by the staged predict step and the direct fused pipeline."""
+    out = model.apply(variables, images, train=False)
+    probabilities = jax.nn.softmax(out.logits, axis=-1)
+    sigma = jnp.exp(out.sigma) if is_log_sigma else jnp.abs(out.sigma)
+    prediction = jnp.argmax(probabilities, axis=-1)
+    predicted_sigma = jnp.take_along_axis(
+        sigma, prediction[..., None], axis=-1)[..., 0]
+    return probabilities, sigma, prediction, predicted_sigma
+
+
+def make_aleatoric_predict_fn(model, is_log_sigma: bool, mesh=None):
+    """Softmax probs + per-class sigma + predicted-class sigma."""
 
     def predict(params, batch_stats, batch):
-        out = model.apply({"params": params, "batch_stats": batch_stats},
-                          batch["images"], train=False)
-        probabilities = jax.nn.softmax(out.logits, axis=-1)
-        sigma = jnp.exp(out.sigma) if is_log_sigma else jnp.abs(out.sigma)
-        prediction = jnp.argmax(probabilities, axis=-1)
-        predicted_sigma = jnp.take_along_axis(
-            sigma, prediction[..., None], axis=-1)[..., 0]
+        variables = {"params": params, "batch_stats": batch_stats}
+        probabilities, sigma, _, predicted_sigma = aleatoric_forward(
+            model, variables, batch["images"], is_log_sigma)
         return {"probabilities": probabilities, "sigma_all": sigma,
                 "sigma": predicted_sigma}
 

@@ -261,10 +261,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         # two passes, mirroring the staged sigma run: (A) global min/max of
         # the predicted-class sigma over the whole run (the minmax action),
         # (B) per-subject fused rescale+fold+eval with those bounds
-        if "is_log_sigma" not in config.others:
-            raise ValueError(
-                'missing "is_log_sigma" entry in the configuration (others)')
-        is_log_sigma = bool(config.others["is_log_sigma"])
+        is_log_sigma = cfg_lib.require_log_sigma(config)
         from rcu_tpu.eval.pipeline import (make_volume_aleatoric_eval_fn,
                                            make_volume_sigma_minmax_fn)
         window = 2 * len(devices) if devices else 1
@@ -301,6 +298,13 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         _drive(pool, names, load_subject, minmax_dispatch, minmax_fetch,
                window)
         gmin, gmax = min(bounds["min"]), max(bounds["max"])
+        if not gmax > gmin:
+            # a collapsed sigma head would divide 0/0 in the rescale and
+            # write NaN into every CSV cell — fail loudly instead
+            raise ValueError(
+                f"degenerate sigma range [{gmin}, {gmax}] across the run — "
+                "the sigma head produced a constant map; the global-rescale "
+                "protocol cannot evaluate it")
         ev_hooks.WriteSummaryCsvHook(
             os.path.join(out_dir, dirs.MINMAX_PLACEHOLDER.format(run_id)),
             confidence_entry="sigma").on_run_end(bounds, run_id)

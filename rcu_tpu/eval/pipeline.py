@@ -88,18 +88,14 @@ def make_volume_mc_fn(model, mc_steps: int, batch_size: int,
 
 def _aleatoric_scan(model, is_log_sigma, params, batch_stats, batched):
     """One deterministic forward per slice batch -> per-slice (prediction,
-    predicted-class sigma), via lax.scan (reference
-    bin-dl/brats_test_aleatoric.py:66-97 semantics: exp() when log-sigma,
-    abs() otherwise; the predicted class's sigma is the confidence map)."""
+    predicted-class sigma), via lax.scan over steps.aleatoric_forward (the
+    single home of the sigma-protocol math)."""
+    from rcu_tpu.engine.steps import aleatoric_forward
     variables = {"params": params, "batch_stats": batch_stats}
 
     def one_batch(_, images):
-        out = model.apply(variables, images, train=False)
-        probabilities = jax.nn.softmax(out.logits, axis=-1)
-        sigma = jnp.exp(out.sigma) if is_log_sigma else jnp.abs(out.sigma)
-        prediction = jnp.argmax(probabilities, axis=-1)
-        predicted_sigma = jnp.take_along_axis(
-            sigma, prediction[..., None], axis=-1)[..., 0]
+        _, _, prediction, predicted_sigma = aleatoric_forward(
+            model, variables, images, is_log_sigma)
         return None, (prediction.astype(jnp.uint8), predicted_sigma)
 
     _, out = jax.lax.scan(one_batch, None, batched)

@@ -57,9 +57,9 @@ class VolumeInferenceService:
         # channel count must match the checkpoint — read it from model.json
         model_node, _ = ckpt_lib.load_model_parameters(
             ckpt_lib.ModelFiles.from_model_dir(model_dir))
-        in_ch = int(model_node.params.get("in_channels", 4))
+        self.in_channels = int(model_node.params.get("in_channels", 4))
         self.model, params, batch_stats = _load_model_state(
-            model_dir, test_at, (1, 16, 16, in_ch))
+            model_dir, test_at, (1, 16, 16, self.in_channels))
         if mesh is not None:
             from rcu_tpu.parallel.inference import replicate_tree
             params = replicate_tree(params, mesh)

@@ -133,9 +133,7 @@ def test_default(config: cfg_lib.TestConfiguration, mesh=None,
 # ---------------------------------------------------------------------------
 
 def _require_log_sigma(config) -> bool:
-    if "is_log_sigma" not in config.others:
-        raise ValueError('missing "is_log_sigma" entry in the configuration (others)')
-    return bool(config.others["is_log_sigma"])
+    return cfg_lib.require_log_sigma(config)
 
 
 def train_aleatoric(config: cfg_lib.TrainConfiguration, mesh=None,
