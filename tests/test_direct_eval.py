@@ -262,6 +262,39 @@ class TestDirectEval:
             np.testing.assert_allclose(eces[subject], expected,
                                        rtol=1e-4, atol=1e-6)
 
+    def test_aleatoric_mesh_matches_single_device(self, trained, tmp_path):
+        """The aleatoric programs' mesh shardings must reproduce the
+        single-device CSVs (deterministic forward -> exact comparison)."""
+        from rcu_tpu import strategies
+        from tests.test_strategies import base_train_cfg
+        tmp0, store, split_file, _ = trained
+        loop = strategies.train_aleatoric(base_train_cfg(
+            tmp_path, store, split_file, name="aleam",
+            others={"is_log_sigma": False},
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                            "nb_classes": 2, "start_filters": 4,
+                            "sigma_out": True}}))
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            loop.model_files.model_dir,
+                            others={"is_log_sigma": False}, name="aleam_t")
+        cfg.test_data.batch_size = 2
+        single_dir = str(tmp_path / "alea_single")
+        evaluate_direct(cfg, single_dir, run_id="aleatoric", masked=False)
+        mesh_dir = str(tmp_path / "alea_mesh")
+        evaluate_direct(cfg, mesh_dir, run_id="aleatoric", masked=False,
+                        mesh=mesh_lib.make_mesh(n_devices=2))
+        for name in sorted(os.listdir(single_dir)):
+            h1, b1 = read_csv(os.path.join(single_dir, name))
+            h2, b2 = read_csv(os.path.join(mesh_dir, name))
+            assert h1 == h2, name
+            for r1, r2 in zip(b1, b2):
+                for v1, v2 in zip(r1, r2):
+                    try:
+                        np.testing.assert_allclose(float(v1), float(v2),
+                                                   rtol=1e-4, atol=1e-6)
+                    except ValueError:
+                        assert v1 == v2, (name, v1, v2)
+
     def test_2d_heterogeneous_sizes_split_chunks(self, trained, tmp_path):
         """Images of different sizes inside one chunk must split into
         same-shape sub-batches (raw ISIC images are not size-normalized),
