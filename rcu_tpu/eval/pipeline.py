@@ -13,6 +13,15 @@ Reference semantics covered in one program: McPredictStep +
 MultiPredictionSummary (rechun/dl/customsteps.py), the normalized-entropy
 preparation (rechun/eval/analysis.py:201) and the EceCalibrationAction /
 CorrectionAction metric passes (bin-eval/eval_uncertainty.py:112-138,176-202).
+
+Program factories:
+- :func:`make_volume_mc_eval_fn`  — the headline: MC scan + eval reductions
+  (``artifacts=False`` drops the per-voxel outputs for the direct CSV path);
+- :func:`make_volume_mc_fn`       — inference-only (serving);
+- :func:`make_image_batch_mc_eval_fn` — native-2D: K whole images per
+  dispatch with per-image eval reductions vmapped;
+- :func:`make_volume_sigma_minmax_fn` / :func:`make_volume_aleatoric_eval_fn`
+  — the two passes of the direct aleatoric (sigma) protocol.
 """
 from __future__ import annotations
 
