@@ -1,17 +1,21 @@
 """Direct one-pass test+eval CLI (no reference counterpart).
 
-Streams each test-split subject through ONE fused device program (T-sample
-MC-dropout + calibration bins + 11-threshold correction analysis) and writes
-the standard eval CSV families — skipping the NIfTI staging round trip of the
-``*_test_*`` -> ``eval_uncertainty`` pipeline. Sigma-headed (aleatoric)
-checkpoints are detected automatically and evaluate via the sigma protocol:
-a global min/max pass, then per-subject rescale+fold+eval, with the staged
-run's ``_globalrescale`` result ids. Use the staged pipeline when the
-per-subject artifacts themselves are needed.
+Streams each test-split subject through ONE fused device program (inference
++ calibration bins + 11-threshold correction analysis) and writes the
+standard eval CSV families — skipping the NIfTI staging round trip of the
+``*_test_*`` -> ``eval_uncertainty`` pipeline. Every reference strategy is
+covered: MC-dropout/deterministic (entropy protocol), aleatoric (sigma-head
+auto-detect, two-pass ``_globalrescale`` protocol), ensemble (stacked
+members from ``others.model_dir``, EP over a 2-D mesh) and auxiliary
+feat/segm (confidence protocol, ``_rescale`` ids). The strategy is
+auto-detected from the checkpoint and config; ``-strategy`` overrides. Use
+the staged pipeline only when the per-subject artifacts themselves are
+needed.
 
 Usage:
   python bin/eval_direct.py -config_file config/test_brats_baseline_mc.yaml \
-      [-run_id baseline_mc] [-out_dir out/eval/brats/direct] [-devices N]
+      [-run_id baseline_mc] [-out_dir out/eval/brats/direct] [-devices N] \
+      [-strategy mc|deterministic|aleatoric|ensemble|auxiliary_feat|auxiliary_segm]
 """
 import argparse
 import os
@@ -26,7 +30,7 @@ if BIN_DIR not in sys.path:
 
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
-         throughput=False, unmasked=False):
+         throughput=False, unmasked=False, strategy=None, mc=None):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -36,7 +40,8 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
     out_dir = out_dir or os.path.join(
         os.path.dirname(config.model_dir or "."), "eval_direct")
     eces = evaluate_direct(config, out_dir, run_id=run_id, mesh=mesh,
-                           subject_parallel=throughput, masked=not unmasked)
+                           subject_parallel=throughput, masked=not unmasked,
+                           strategy=strategy, mc=mc)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -44,11 +49,23 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # mirror of rcu_tpu.eval.direct.STRATEGIES — kept literal so the jax
+    # import (and backend selection) stays inside main(), after _cli's
+    # -devices platform setup
+    STRATEGIES = ("mc", "deterministic", "aleatoric", "ensemble",
+                  "auxiliary_feat", "auxiliary_segm")
     parser = argparse.ArgumentParser(description="Direct one-pass test+eval")
     parser.add_argument("-config_file", type=str, required=True)
     parser.add_argument("-run_id", type=str, default=None)
     parser.add_argument("-out_dir", type=str, default=None)
     parser.add_argument("-devices", type=int, default=None)
+    parser.add_argument("-strategy", type=str, default=None,
+                        choices=list(STRATEGIES),
+                        help="evaluation protocol (default: auto-detect "
+                             "from the checkpoint and config)")
+    parser.add_argument("-mc", type=int, default=None,
+                        help="MC-dropout sample count (default others.mc "
+                             "or 20; 0 = deterministic protocol)")
     parser.add_argument("-throughput", action="store_true",
                         help="whole subjects round-robin across devices "
                              "(fastest testset wall clock) instead of "
@@ -58,4 +75,4 @@ if __name__ == "__main__":
                              "convention)")
     args = parser.parse_args()
     main(args.config_file, args.run_id, args.out_dir, args.devices,
-         args.throughput, args.unmasked)
+         args.throughput, args.unmasked, args.strategy, args.mc)

@@ -1,4 +1,4 @@
-"""Direct one-pass test+eval: checkpoint -> per-volume fused MC inference +
+"""Direct one-pass test+eval: checkpoint -> per-volume fused inference +
 calibration/uncertainty eval, with NO intermediate NIfTI artifacts.
 
 The reference pipeline (and our contract-compatible one) stages through disk:
@@ -6,18 +6,27 @@ The reference pipeline (and our contract-compatible one) stages through disk:
 them (bin-dl/brats_test_default.py -> bin-eval/eval_uncertainty.py). That
 round-trip costs two gzip passes plus a full host decode per subject. This
 module is the production path: each subject's volume streams through ONE
-jitted program (:func:`rcu_tpu.eval.pipeline.make_volume_mc_eval_fn` — 21
-forwards per slice batch + ECE bins + 11-threshold correction) and only the
-eval CSV rows come back to the host. CSV schemas are identical to the staged
-pipeline, so the analysis layer consumes the output unchanged.
+jitted program (:mod:`rcu_tpu.eval.pipeline` factories — inference + ECE
+bins + 11-threshold correction) and only the eval CSV rows come back to the
+host. CSV schemas are identical to the staged pipeline, so the analysis
+layer consumes the output unchanged.
 
 This has no reference counterpart — it exists because the fused TPU program
 makes the staging unnecessary.
 
-Coverage: MC-dropout (entropy protocol; the headline workload) and aleatoric
-(auto-detected sigma head; global-rescale protocol). Auxiliary (confidence)
-and ensemble runs evaluate through the staged pipeline, whose artifacts
-their multi-model plumbing needs anyway.
+Coverage — ALL EIGHT reference strategies, volumes (BraTS) and native-2D
+chunked (ISIC):
+- ``mc`` (baseline_mc/center_mc/cv; the headline) and ``deterministic``
+  (baseline/center, ``mc=0``) — entropy protocol;
+- ``aleatoric`` (auto-detected sigma head) — two-pass global-rescale sigma
+  protocol (``_globalrescale`` result ids);
+- ``ensemble`` (stacked member params, EP over a 2-D mesh's 'model' axis) —
+  member-mean + entropy protocol (reference brats_test_ensemble.py:72-94);
+- ``auxiliary_feat`` (frozen segmenter + PostNet in one program) and
+  ``auxiliary_segm`` (error net over images+baseline) — confidence protocol
+  with subject rescale (``_rescale`` result ids).
+Use the staged pipeline only when the per-subject NIfTI artifacts themselves
+are needed.
 """
 from __future__ import annotations
 
@@ -34,22 +43,43 @@ from rcu_tpu.engine import config as cfg_lib
 from rcu_tpu.engine import databuild
 from rcu_tpu.engine.state import create_train_state
 from rcu_tpu.eval import hooks as ev_hooks
+from rcu_tpu.eval import pipeline as pl
 from rcu_tpu.eval.actions import CORRECTION_KEYS, csv_value
-from rcu_tpu.eval.pipeline import make_volume_mc_eval_fn
 from rcu_tpu.models import get_model, get_optimizer
 
 DEFAULT_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
+STRATEGIES = ("mc", "deterministic", "aleatoric", "ensemble",
+              "auxiliary_feat", "auxiliary_segm")
 
-def _load_model_state(model_dir: str, test_at, input_shape):
+# result-id suffix + minmax confidence entry per strategy family (the staged
+# runner's rescale wiring: eval/actions.py _PASS_BUILDERS)
+_ID_SUFFIX = {"mc": "", "deterministic": "", "ensemble": "",
+              "aleatoric": "_globalrescale",
+              "auxiliary_feat": "_rescale", "auxiliary_segm": "_rescale"}
+_CONFIDENCE_ENTRY = {"mc": "probabilities", "deterministic": "probabilities",
+                     "ensemble": "probabilities", "aleatoric": "sigma",
+                     "auxiliary_feat": "confidence",
+                     "auxiliary_segm": "confidence"}
+
+
+def _load_model_state(model_dir: str, test_at, input_shape,
+                      provide_features: bool = False):
     mf = ckpt_lib.ModelFiles.from_model_dir(model_dir)
     model_node, _ = ckpt_lib.load_model_parameters(mf)
-    model = get_model(model_node.type, model_node.params)
+    params_dict = dict(model_node.params)
+    if provide_features:
+        params_dict["provide_features"] = True
+    model = get_model(model_node.type, params_dict)
     path = ckpt_lib.find_checkpoint_file(mf, test_at)
     if path is None:
         raise FileNotFoundError(f"no checkpoint '{test_at}' in {model_dir}")
     optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
-    state = create_train_state(model, optimizer, input_shape)
+    # init with the CHECKPOINT's channel count, not the dataset's — an
+    # auxiliary error net takes images+baseline (C+1), a PostNet takes the
+    # segmenter's feature channels
+    in_ch = int(params_dict.get("in_channels") or input_shape[-1])
+    state = create_train_state(model, optimizer, input_shape[:-1] + (in_ch,))
     raw = ckpt_lib.load_checkpoint(path)
     from flax import serialization
     restored = serialization.from_state_dict(
@@ -58,13 +88,146 @@ def _load_model_state(model_dir: str, test_at, input_shape):
     return model, restored["params"], restored["batch_stats"]
 
 
+def _primary_test_at(config) -> str:
+    return "best" if config.test_at in (None, "") else config.test_at
+
+
+def _load_ensemble_states(config, input_shape):
+    """Primary model (config.model_dir @ config.test_at) + others.model_dir
+    members @ others.test_at, stacked on a leading member axis (the protocol
+    of strategies.test_ensemble / reference brats_test_ensemble.py:40-50)."""
+    model_dirs = config.others.get("model_dir")
+    if isinstance(model_dirs, str):
+        model_dirs = [model_dirs]
+    if not model_dirs or "test_at" not in config.others:
+        raise ValueError('missing "model_dir" or "test_at" entry in the '
+                         'configuration (others): fill others.model_dir with '
+                         'the trained member model dirs')
+    member_at = config.others["test_at"]
+    all_dirs = ([(config.model_dir, _primary_test_at(config))]
+                if config.model_dir else []) \
+        + [(d, member_at) for d in model_dirs]
+    members, model = [], None
+    for i, (model_dir, at) in enumerate(all_dirs):
+        logging.info("load ensemble model [%d/%d] %s", i + 1, len(all_dirs),
+                     os.path.basename(model_dir))
+        model, params, batch_stats = _load_model_state(model_dir, at,
+                                                       input_shape)
+        members.append((params, batch_stats))
+    stack = lambda *xs: np.stack([np.asarray(x) for x in xs])  # noqa: E731
+    stacked_params = jax.tree_util.tree_map(stack, *[m[0] for m in members])
+    stacked_stats = jax.tree_util.tree_map(stack, *[m[1] for m in members])
+    return model, stacked_params, stacked_stats
+
+
+def _detect_strategy(config, dataset, strategy):
+    """Explicit ``strategy`` wins; otherwise: sigma head -> aleatoric,
+    others.model_dir list -> ensemble, others.model_dir str -> auxiliary_feat
+    (the frozen segmenter), 2-channel labels -> auxiliary_segm, else mc."""
+    if strategy is not None:
+        if strategy not in STRATEGIES:
+            raise ValueError(f"unknown strategy '{strategy}'; "
+                             f"choose one of {STRATEGIES}")
+        return strategy
+    if config.model_dir:
+        mf = ckpt_lib.ModelFiles.from_model_dir(config.model_dir)
+        model_node, _ = ckpt_lib.load_model_parameters(mf)
+        if model_node.params.get("sigma_out"):
+            return "aleatoric"
+    member_dirs = config.others.get("model_dir")
+    if isinstance(member_dirs, (list, tuple)):
+        return "ensemble"
+    if isinstance(member_dirs, str):
+        return "auxiliary_feat"
+    labels = np.asarray(dataset.read_volume(dataset.subjects[0], "labels"))
+    if labels.shape[-1] == 2 and labels.ndim >= 3:
+        return "auxiliary_segm"
+    return "mc"
+
+
+class _EvalSinks:
+    """The direct run's CSV families: calibration bins + one correction CSV
+    per threshold (result id with the strategy's rescale suffix) + the run
+    minmax summary (un-suffixed id, like the staged minmax pass)."""
+
+    def __init__(self, out_dir, run_id, suffix, thresholds, confidence_entry):
+        os.makedirs(out_dir, exist_ok=True)
+        self.result_id = run_id + suffix
+        self.run_id = run_id
+        self.confidence_entry = confidence_entry
+        self.out_dir = out_dir
+        self.calib = ev_hooks.WriteBinsCsvHook(os.path.join(
+            out_dir, dirs.CALIBRATION_PLACEHOLDER.format(self.result_id)))
+        self.corr = []
+        for threshold in thresholds:
+            threshold_str = f"{threshold:.2f}".replace(".", "")
+            self.corr.append(ev_hooks.WriteCsvHook(os.path.join(
+                out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(
+                    self.result_id, threshold_str)), None))
+        self.bounds = {"min": [], "max": []}
+
+    def write_subject(self, subject, row_of):
+        """``row_of(key)`` -> numpy value for 'bins_count' etc.; one subject
+        (or one image of a 2-D chunk) per call."""
+        corr = row_of("correction")
+        self.calib.on_subject({
+            "bins_count": np.asarray(row_of("bins_count")).astype(np.int64),
+            "bins_avg_confidence": np.asarray(row_of("bins_avg_confidence")),
+            "bins_positive_fraction":
+                np.asarray(row_of("bins_positive_fraction")),
+            "bins_non_zero": np.asarray(row_of("bins_non_zero")),
+            "ece": float(row_of("ece")),
+            "dice": float(row_of("dice")),
+        }, subject, self.result_id)
+        for ti, hook in enumerate(self.corr):
+            hook.on_subject({k: csv_value(k, corr[k][ti])
+                             for k in CORRECTION_KEYS}, subject,
+                            self.result_id)
+
+    def add_bounds(self, mn, mx):
+        self.bounds["min"].append(float(mn))
+        self.bounds["max"].append(float(mx))
+
+    def finish(self):
+        self.calib.on_run_end({}, self.result_id)
+        for hook in self.corr:
+            hook.on_run_end({}, self.result_id)
+        if self.bounds["min"]:
+            ev_hooks.WriteSummaryCsvHook(
+                os.path.join(self.out_dir,
+                             dirs.MINMAX_PLACEHOLDER.format(self.run_id)),
+                confidence_entry=self.confidence_entry,
+            ).on_run_end(self.bounds, self.run_id)
+
+
+def _global_bounds(bounds, what: str):
+    gmin, gmax = min(bounds["min"]), max(bounds["max"])
+    if not gmax > gmin:
+        # a collapsed sigma head would divide 0/0 in the rescale and write
+        # NaN into every CSV cell — fail loudly instead
+        raise ValueError(
+            f"degenerate {what} range [{gmin}, {gmax}] across the run — "
+            "the sigma head produced a constant map; the global-rescale "
+            "protocol cannot evaluate it")
+    return gmin, gmax
+
+
 def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     run_id: str = "baseline", mc: int = None,
                     thresholds=DEFAULT_THRESHOLDS, mesh=None,
-                    masked: bool = True, subject_parallel: bool = False) -> dict:
-    """Run MC inference + eval for every test-split subject, one dispatch per
-    volume; write the ``eval_calibration_*`` and ``eval_uncertainty_*_th*``
-    CSV families into ``out_dir``. Returns the per-subject ECE dict.
+                    masked: bool = True, subject_parallel: bool = False,
+                    strategy: str = None) -> dict:
+    """Run fused inference + eval for every test-split subject, one dispatch
+    per volume (or per image chunk on native-2D datasets); write the
+    ``eval_calibration_*``, ``eval_uncertainty_*_th*`` and
+    ``eval_summary_minmax_*`` CSV families into ``out_dir``. Returns the
+    per-subject ECE dict.
+
+    ``strategy`` picks the protocol explicitly (one of
+    :data:`STRATEGIES`); by default it is auto-detected from the checkpoint
+    and config (see :func:`_detect_strategy`). ``mc`` counts the MC-dropout
+    samples for the ``mc`` strategy (default ``others.mc`` or 20; ``mc=0``
+    selects the deterministic baseline protocol).
 
     ``masked=True`` applies the BraTS t2>0 head-support foreground mask,
     derived from the RAW t2 source file recorded in the store's files
@@ -73,7 +236,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
     Two multi-chip modes with a ``mesh``:
     - latency (default): each volume's work is sharded ACROSS the mesh —
-      fastest single-subject answer;
+      fastest single-subject answer (a 2-D model x data mesh additionally
+      shards ensemble members, EP);
     - throughput (``subject_parallel=True``): whole subjects round-robin onto
       individual mesh devices with params replicated per device; dispatches
       are async so all chips stay busy with zero cross-chip communication —
@@ -86,7 +250,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     transform pipeline is applied per item, exactly as the staged loader
     would.
     """
-    mc = mc or int(config.others.get("mc") or 20)
+    mc = int(config.others.get("mc") or 20) if mc is None else int(mc)
     subjects = None
     if config.split:
         from rcu_tpu.data.split import load_split
@@ -96,47 +260,71 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     dataset = data.dataset
     transform = databuild.build_transform(config.test_data.transform)
 
+    strategy = _detect_strategy(config, dataset, strategy)
+    if strategy == "mc" and mc == 0:
+        strategy = "deterministic"
+
     first_vol = np.asarray(dataset.read_volume(dataset.subjects[0], "images"))
     is_2d = first_vol.ndim == 3  # (H, W, C) — no slice axis (ISIC)
     h, w, in_ch = first_vol.shape[-3:]
     batch_size = config.test_data.batch_size
+    n_data_shards = 1
     if mesh is not None and not subject_parallel:
         # latency mode shards each step's batch axis over the mesh, so it
-        # must divide the device count (throughput mode dispatches whole
-        # subjects to single devices and needs no padding)
-        from rcu_tpu.parallel.mesh import pad_batch_size_to_mesh
+        # must divide the data-axis device count (throughput mode dispatches
+        # whole subjects to single devices and needs no padding)
+        from rcu_tpu.parallel.mesh import DATA_AXIS, pad_batch_size_to_mesh
         batch_size = pad_batch_size_to_mesh(batch_size, mesh)
+        n_data_shards = dict(mesh.shape).get(DATA_AXIS, 1)
 
-    model, params, batch_stats = _load_model_state(
-        config.model_dir,
-        "best" if config.test_at in (None, "") else config.test_at,
-        (1, h, w, in_ch))
-    if mesh is not None:
-        from rcu_tpu.parallel.inference import replicate_tree
-        params = replicate_tree(params, mesh)
-        batch_stats = replicate_tree(batch_stats, mesh)
+    # ------------------------------------------------------------------ model
+    input_shape = (1, h, w, in_ch)
+    test_at = _primary_test_at(config)
+    model = segm_model = None
+    state = ()          # the program's leading parameter-tree args, in order
+    member_sharded = ()  # indices of `state` that shard over the model axis
+    if strategy == "ensemble":
+        model, stacked_params, stacked_stats = _load_ensemble_states(
+            config, input_shape)
+        state = (stacked_params, stacked_stats)
+        member_sharded = (0, 1)
+    elif strategy == "auxiliary_feat":
+        segm_model, segm_params, segm_stats = _load_model_state(
+            config.others["model_dir"], config.others["test_at"], input_shape,
+            provide_features=True)
+        model, post_params, post_stats = _load_model_state(
+            config.model_dir, test_at, input_shape)
+        state = (segm_params, segm_stats, post_params, post_stats)
+    else:
+        model, params, batch_stats = _load_model_state(config.model_dir,
+                                                       test_at, input_shape)
+        state = (params, batch_stats)
 
-    # sigma-headed models evaluate via the ALEATORIC protocol (global sigma
-    # rescale, fold by prediction) — same result-id suffix as the staged run
-    aleatoric = bool(getattr(model, "sigma_out", False))
-    if aleatoric and is_2d:
-        raise NotImplementedError(
-            "direct aleatoric eval currently covers volume (3-D) datasets; "
-            "use the staged pipeline (isic_test_aleatoric + "
-            "eval_uncertainty) for native-2D aleatoric runs")
-    result_id = f"{run_id}_globalrescale" if aleatoric else run_id
+    aleatoric = strategy == "aleatoric"
+    if aleatoric and not getattr(model, "sigma_out", False):
+        raise ValueError("strategy 'aleatoric' needs a sigma-headed "
+                         f"checkpoint; {config.model_dir} has none")
+    is_log_sigma = cfg_lib.require_log_sigma(config) if aleatoric else False
 
-    thresholds_arr = np.asarray(thresholds, np.float32)
-    os.makedirs(out_dir, exist_ok=True)
-    calib_hook = ev_hooks.WriteBinsCsvHook(os.path.join(
-        out_dir, dirs.CALIBRATION_PLACEHOLDER.format(result_id)))
-    corr_hooks = []
-    for threshold in thresholds:
-        threshold_str = f"{threshold:.2f}".replace(".", "")
-        corr_hooks.append(ev_hooks.WriteCsvHook(os.path.join(
-            out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(result_id,
-                                                         threshold_str)), None))
+    # throughput mode: whole subjects round-robin onto single devices; each
+    # device holds its own replica of the state (no cross-chip traffic)
+    devices = list(mesh.devices.flat) if (subject_parallel and mesh is not None) \
+        else None
+    if devices:
+        per_device_state = {
+            d: tuple(jax.device_put(t, d) for t in state) for d in devices}
+    elif mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from rcu_tpu.parallel.ensemble import MODEL_AXIS
+        rep = NamedSharding(mesh, P())
+        member = NamedSharding(mesh, P(MODEL_AXIS)) \
+            if MODEL_AXIS in mesh.axis_names else rep
+        state = tuple(
+            jax.device_put(t, member if i in member_sharded else rep)
+            for i, t in enumerate(state))
+    program_mesh = None if devices else mesh
 
+    # ---------------------------------------------------------------- loading
     def foreground_mask(subject, shape):
         """BraTS t2>0 head-support mask from the RAW source NIfTI recorded in
         the store's files metadata (eval/analysis.py _get_t2_mask semantics).
@@ -160,9 +348,30 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                 "to the raw source. Pass masked=False or align geometries.")
         return fg
 
+    needs_baseline = strategy == "auxiliary_segm"
+
+    def _split_labels(labels):
+        """-> (target uint8, baseline uint8 or None). Auxiliary-segm labels
+        carry [gt, baseline-prediction] on the trailing axis."""
+        labels = np.asarray(labels)
+        if needs_baseline:
+            if labels.shape[-1] != 2:
+                raise ValueError(
+                    "auxiliary_segm needs [gt, prediction] 2-channel labels; "
+                    f"got label shape {labels.shape}")
+            gt = (labels[..., 0] > 0.5).astype(np.uint8)
+            baseline = (labels[..., 1] > 0.5).astype(np.uint8)
+            return gt, baseline
+        # spatial rank is (Z,H,W) / (H,W); a trailing channel axis (singleton
+        # or [gt, baseline]) drops to the gt channel. No squeeze — it would
+        # also collapse a Z=1 slice axis
+        if labels.ndim > (2 if is_2d else 3):
+            labels = labels[..., 0]
+        return (labels > 0.5).astype(np.uint8), None
+
     def load_subject(subject):
         volume = np.asarray(dataset.read_volume(subject, "images"), np.float32)
-        labels = np.squeeze(np.asarray(dataset.read_volume(subject, "labels")))
+        labels = np.asarray(dataset.read_volume(subject, "labels"))
         if transform is not None:
             # the staged loader applies transforms per slice item (H,W,C),
             # so spatial transforms (e.g. size) must see slices here too —
@@ -171,88 +380,99 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     for z in range(volume.shape[0])]
             volume = np.stack(
                 [np.asarray(o["images"], np.float32) for o in outs])
-            labels = np.squeeze(np.stack(
-                [np.asarray(o["labels"]) for o in outs]))
-        if labels.ndim > 3:
-            labels = labels[..., 0]
-        target = (labels > 0.5).astype(np.uint8)
+            labels = np.stack([np.asarray(o["labels"]) for o in outs])
+        target, baseline = _split_labels(labels)
         mask = foreground_mask(subject, target.shape) if masked \
             else np.ones(target.shape, bool)
         nz = volume.shape[0]
         pad = (-nz) % batch_size
-        if pad:
-            volume = np.concatenate(
-                [volume, np.zeros((pad,) + volume.shape[1:], volume.dtype)])
-        batched = volume.reshape((-1, batch_size) + volume.shape[1:])
-        return batched, target, mask, nz
+
+        def _batched(arr):
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+            return arr.reshape((-1, batch_size) + arr.shape[1:])
+
+        batched = _batched(volume)
+        batched_baseline = _batched(baseline) if baseline is not None else None
+        return batched, batched_baseline, target, mask, nz
 
     # overlap the next subject's host H5 read with the current device pass
     import concurrent.futures
     pool = concurrent.futures.ThreadPoolExecutor(1, thread_name_prefix="direct")
 
-    # throughput mode: whole subjects round-robin onto single devices; each
-    # device holds its own replica of the params (no cross-chip traffic)
-    devices = list(mesh.devices.flat) if (subject_parallel and mesh is not None) \
-        else None
-    if devices:
-        per_device_state = {
-            d: (jax.device_put(params, d), jax.device_put(batch_stats, d))
-            for d in devices}
-
-    fused_cache = {}
+    thresholds_arr = np.asarray(thresholds, np.float32)
+    sinks = _EvalSinks(out_dir, run_id, _ID_SUFFIX[strategy], thresholds,
+                       _CONFIDENCE_ENTRY[strategy])
     rng = jax.random.PRNGKey(config.seed)
     eces = {}
     names = list(dataset.subjects)
+    window = 2 * len(devices) if devices else 1
 
     if is_2d:
-        # native-2D datasets: K whole images per dispatch (K rides the conv
-        # batch axis — full MXU utilization and K-fold fewer tunnel round
-        # trips) with every image's OWN eval reductions vmapped on device
         return _evaluate_direct_2d(
-            model, params, batch_stats, dataset, names, transform, masked,
-            foreground_mask, mc, batch_size, thresholds_arr, mesh, devices,
-            per_device_state if devices else None, rng, pool,
-            calib_hook, corr_hooks, result_id)
+            strategy, model, segm_model, state, is_log_sigma, dataset, names,
+            transform, masked, foreground_mask, needs_baseline, _split_labels,
+            mc, batch_size, n_data_shards, thresholds_arr, program_mesh,
+            devices, per_device_state if devices else None, rng, pool, sinks,
+            eces)
 
-    def dispatch(si, subject_inputs):
-        batched, target, mask, nz = subject_inputs
-        key = (nz, batched.shape[0])
-        if key not in fused_cache:
+    # ------------------------------------------------- fused volume programs
+    needs_rng = strategy in ("mc", "deterministic")
+
+    def volume_factory(nz):
+        if strategy in ("mc", "deterministic"):
             # artifacts=False: only the eval reductions come back, so no dead
             # per-voxel volumes are held by the async window (or all-gathered
             # across the mesh in latency mode)
-            fused_cache[key] = make_volume_mc_eval_fn(
-                model, mc, batch_size, nz, mesh=None if devices else mesh,
-                artifacts=False)
-        fn = fused_cache[key]
-        step_rng = jax.random.fold_in(rng, si)
-        if devices:
-            dev = devices[si % len(devices)]
-            p, bs = per_device_state[dev]
-            out = fn(p, bs, jax.device_put(batched, dev),
-                     jax.device_put(target, dev), jax.device_put(mask, dev),
-                     jax.device_put(thresholds_arr, dev), step_rng)
-        else:
-            out = fn(params, batch_stats, batched, target, mask,
-                     thresholds_arr, step_rng)
-        return out
+            return pl.make_volume_mc_eval_fn(
+                model, mc if strategy == "mc" else 0, batch_size, nz,
+                mesh=program_mesh, artifacts=False)
+        if strategy == "ensemble":
+            return pl.make_volume_ensemble_eval_fn(model, batch_size, nz,
+                                                   mesh=program_mesh)
+        if strategy == "auxiliary_feat":
+            return pl.make_volume_aux_feat_eval_fn(segm_model, model,
+                                                   batch_size, nz,
+                                                   mesh=program_mesh)
+        if strategy == "auxiliary_segm":
+            return pl.make_volume_aux_segm_eval_fn(model, batch_size, nz,
+                                                   mesh=program_mesh)
+        return pl.make_volume_aleatoric_eval_fn(model, batch_size, nz,
+                                                is_log_sigma,
+                                                mesh=program_mesh)
+
+    caches = {"main": {}, "minmax": {}}
+
+    def _fn(kind, factory, key):
+        if key not in caches[kind]:
+            caches[kind][key] = factory(key[0])
+        return caches[kind][key]
+
+    def _device_args(si, arrays):
+        if not devices:
+            return state + tuple(arrays)
+        dev = devices[si % len(devices)]
+        return per_device_state[dev] \
+            + tuple(jax.device_put(a, dev) for a in arrays)
+
+    def data_args(loaded):
+        batched, batched_baseline, target, mask, _nz = loaded
+        if needs_baseline:
+            return (batched, batched_baseline, target, mask, thresholds_arr)
+        return (batched, target, mask, thresholds_arr)
 
     def fetch(subject, out, t0):
-        corr = {k: np.asarray(v) for k, v in out["correction"].items()}
-        calib_hook.on_subject({
-            "bins_count": np.asarray(out["bins_count"]).astype(np.int64),
-            "bins_avg_confidence": np.asarray(out["bins_avg_confidence"]),
-            "bins_positive_fraction": np.asarray(out["bins_positive_fraction"]),
-            "bins_non_zero": np.asarray(out["bins_non_zero"]),
-            "ece": float(out["ece"]),
-            # dice of the thresholded fg vs target: already in the fused
-            # program's correction counts (threshold-independent entry), so no
-            # 20+ MB fg volume needs to cross the tunnel for it
-            "dice": float(corr["dice"][0]),
-        }, subject, result_id)
-        for ti, hook in enumerate(corr_hooks):
-            hook.on_subject({k: csv_value(k, corr[k][ti])
-                             for k in CORRECTION_KEYS}, subject, result_id)
+        def row_of(k):
+            if k == "correction":
+                return {c: np.asarray(v)
+                        for c, v in out["correction"].items()}
+            return np.asarray(out[k])
+
+        sinks.write_subject(subject, row_of)
+        if "conf_min" in out:
+            sinks.add_bounds(np.asarray(out["conf_min"]),
+                             np.asarray(out["conf_max"]))
         eces[subject] = float(out["ece"])
         logging.info("direct eval %s ece=%.5f (%.2fs)", subject,
                      eces[subject], time.time() - t0)
@@ -261,81 +481,50 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         # two passes, mirroring the staged sigma run: (A) global min/max of
         # the predicted-class sigma over the whole run (the minmax action),
         # (B) per-subject fused rescale+fold+eval with those bounds
-        is_log_sigma = cfg_lib.require_log_sigma(config)
-        from rcu_tpu.eval.pipeline import (make_volume_aleatoric_eval_fn,
-                                           make_volume_sigma_minmax_fn)
-        window = 2 * len(devices) if devices else 1
-        caches = {"minmax": {}, "eval": {}}
-
-        def _fn(kind, factory, nz, n_batches):
-            key = (nz, n_batches)
-            if key not in caches[kind]:
-                caches[kind][key] = factory(
-                    model, batch_size, nz, is_log_sigma,
-                    mesh=None if devices else mesh)
-            return caches[kind][key]
-
-        def _device_args(si, arrays):
-            if not devices:
-                return (params, batch_stats) + arrays
-            dev = devices[si % len(devices)]
-            p, bs = per_device_state[dev]
-            return (p, bs) + tuple(jax.device_put(a, dev) for a in arrays)
-
-        bounds = {"min": [], "max": []}
-
         def minmax_dispatch(si, subject, loaded):
-            batched, _target, _mask, nz = loaded
-            fn = _fn("minmax", make_volume_sigma_minmax_fn, nz,
-                     batched.shape[0])
+            batched, _bb, _t, _m, nz = loaded
+            fn = _fn("minmax",
+                     lambda nz_: pl.make_volume_sigma_minmax_fn(
+                         model, batch_size, nz_, is_log_sigma,
+                         mesh=program_mesh),
+                     (nz, batched.shape[0]))
             return fn(*_device_args(si, (batched,)))
 
         def minmax_fetch(subject, out, t0):
             mn, mx = out
-            bounds["min"].append(float(mn))
-            bounds["max"].append(float(mx))
+            sinks.add_bounds(mn, mx)
 
         _drive(pool, names, load_subject, minmax_dispatch, minmax_fetch,
                window)
-        gmin, gmax = min(bounds["min"]), max(bounds["max"])
-        if not gmax > gmin:
-            # a collapsed sigma head would divide 0/0 in the rescale and
-            # write NaN into every CSV cell — fail loudly instead
-            raise ValueError(
-                f"degenerate sigma range [{gmin}, {gmax}] across the run — "
-                "the sigma head produced a constant map; the global-rescale "
-                "protocol cannot evaluate it")
-        ev_hooks.WriteSummaryCsvHook(
-            os.path.join(out_dir, dirs.MINMAX_PLACEHOLDER.format(run_id)),
-            confidence_entry="sigma").on_run_end(bounds, run_id)
+        gmin, gmax = _global_bounds(sinks.bounds, "sigma")
         logging.info("direct aleatoric: global sigma range [%.6f, %.6f]",
                      gmin, gmax)
 
         def al_dispatch(si, subject, loaded):
-            batched, target, mask, nz = loaded
-            fn = _fn("eval", make_volume_aleatoric_eval_fn, nz,
-                     batched.shape[0])
+            batched, _bb, target, mask, nz = loaded
+            fn = _fn("main", volume_factory, (nz, batched.shape[0]))
             return fn(*_device_args(si, (batched, target, mask,
                                          thresholds_arr)),
                       np.float32(gmin), np.float32(gmax))
 
         _drive(pool, names, load_subject, al_dispatch, fetch, window)
         pool.shutdown()
-        calib_hook.on_run_end({}, result_id)
-        for hook in corr_hooks:
-            hook.on_run_end({}, result_id)
+        sinks.finish()
         return eces
+
+    def dispatch(si, subject, loaded):
+        nz = loaded[4]
+        fn = _fn("main", volume_factory, (nz, loaded[0].shape[0]))
+        args = _device_args(si, data_args(loaded))
+        if needs_rng:
+            return fn(*args, jax.random.fold_in(rng, si))
+        return fn(*args)
 
     # dispatches are async: keep up to 2x the device count in flight so every
     # chip stays busy while bounding on-device output memory
-    _drive(pool, names, load_subject,
-           lambda i, subject, loaded: dispatch(i, loaded), fetch,
-           window=2 * len(devices) if devices else 1)
-
+    _drive(pool, names, load_subject, dispatch, fetch, window)
     pool.shutdown()
-    calib_hook.on_run_end({}, result_id)
-    for hook in corr_hooks:
-        hook.on_run_end({}, result_id)
+    sinks.finish()
     return eces
 
 
@@ -360,116 +549,163 @@ def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int):
         fetch_fn(*pending.popleft())
 
 
-def _evaluate_direct_2d(model, params, batch_stats, dataset, names, transform,
-                        masked, foreground_mask, mc, chunk_size,
-                        thresholds_arr, mesh, devices, per_device_state, rng,
-                        pool, calib_hook, corr_hooks, run_id):
-    """Chunked native-2D eval: K images per dispatch through
-    :func:`rcu_tpu.eval.pipeline.make_image_batch_mc_eval_fn`. Latency mode
-    shards the image axis over the mesh; throughput mode (``devices``)
-    round-robins whole chunks onto single devices. Heterogeneous image sizes
-    split a chunk into same-shape sub-batches (jit retraces per shape, like
-    the pre-chunking per-image path did)."""
-    from rcu_tpu.eval.pipeline import make_image_batch_mc_eval_fn
-
+def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
+                        dataset, names, transform, masked, foreground_mask,
+                        needs_baseline, split_labels, mc, chunk_size,
+                        n_data_shards, thresholds_arr, mesh, devices,
+                        per_device_state, rng, pool, sinks, eces):
+    """Chunked native-2D eval for every strategy: K images per dispatch
+    through the matching :mod:`rcu_tpu.eval.pipeline` image-batch program.
+    Latency mode shards the image axis over the mesh; throughput mode
+    (``devices``) round-robins whole chunks onto single devices.
+    Heterogeneous image sizes split a chunk into same-shape sub-batches (jit
+    retraces per shape, like the pre-chunking per-image path did); under a
+    latency mesh EVERY sub-batch pads up to a multiple of the mesh's data
+    axis so the sharded image axis always divides it."""
     chunk_size = max(1, int(chunk_size))
-    fn = make_image_batch_mc_eval_fn(model, mc,
-                                     mesh=None if devices else mesh)
+    aleatoric = strategy == "aleatoric"
+
+    if strategy in ("mc", "deterministic"):
+        fn = pl.make_image_batch_mc_eval_fn(
+            model, mc if strategy == "mc" else 0, mesh=mesh)
+    elif strategy == "ensemble":
+        fn = pl.make_image_batch_ensemble_eval_fn(model, mesh=mesh)
+    elif strategy == "auxiliary_feat":
+        fn = pl.make_image_batch_aux_feat_eval_fn(segm_model, model,
+                                                  mesh=mesh)
+    elif strategy == "auxiliary_segm":
+        fn = pl.make_image_batch_aux_segm_eval_fn(model, mesh=mesh)
+    else:
+        fn = pl.make_image_batch_aleatoric_eval_fn(model, is_log_sigma,
+                                                   mesh=mesh)
+    minmax_fn = pl.make_image_batch_sigma_minmax_fn(
+        model, is_log_sigma, mesh=mesh) if aleatoric else None
+    needs_rng = strategy in ("mc", "deterministic")
 
     def load_image(subject):
         image = np.asarray(dataset.read_volume(subject, "images"), np.float32)
-        labels = np.squeeze(np.asarray(dataset.read_volume(subject, "labels")))
+        labels = np.asarray(dataset.read_volume(subject, "labels"))
         if transform is not None:
             out_t = transform({"images": image, "labels": labels})
             image = np.asarray(out_t["images"], np.float32)
-            labels = np.squeeze(np.asarray(out_t["labels"]))
-        if labels.ndim == 3 and labels.shape[-1] == 2:
-            labels = labels[..., 0]  # [gt, baseline-pred] channels
-        target = (labels > 0.5).astype(np.uint8)
+            labels = np.asarray(out_t["labels"])
+        target, baseline = split_labels(labels)
         mask = foreground_mask(subject, target.shape) if masked \
             else np.ones(target.shape, bool)
-        return image, target, mask
+        return image, target, mask, baseline
+
+    def _pad_len(n, is_last):
+        """Sub-batch padding target: the last part rounds up to the full
+        chunk (static shape for the common tail-of-run case), every part
+        rounds up to the mesh's data-axis size so sharding divides."""
+        if is_last:
+            return chunk_size
+        return -(-n // n_data_shards) * n_data_shards
 
     def load_chunk(group):
-        """-> list of same-shape parts [(subjects, images, targets, masks)].
-        Only the LAST part of a chunk is padded to a full sub-batch; padded
-        outputs are dropped host-side."""
-        triples = [(s, *load_image(s)) for s in group]
+        """-> list of same-shape parts
+        [(subjects, images, targets, masks, baselines)]. Padded entries are
+        dropped host-side (only real subjects appear in ``subjects``)."""
+        quads = [(s, *load_image(s)) for s in group]
         parts = []
         start = 0
-        for i in range(1, len(triples) + 1):
-            if i == len(triples) or triples[i][1].shape != triples[start][1].shape:
-                same = triples[start:i]
-                images = np.stack([t[1] for t in same])
-                targets = np.stack([t[2] for t in same])
-                masks = np.stack([t[3] for t in same])
-                pad = (chunk_size - len(same)) if i == len(triples) else 0
-                if pad:  # static shape for the common tail-of-run case
-                    images = np.concatenate([images, np.zeros(
-                        (pad,) + images.shape[1:], images.dtype)])
-                    targets = np.concatenate([targets, np.zeros(
-                        (pad,) + targets.shape[1:], targets.dtype)])
-                    masks = np.concatenate([masks, np.ones(
-                        (pad,) + masks.shape[1:], masks.dtype)])
-                parts.append(([t[0] for t in same], images, targets, masks))
+        for i in range(1, len(quads) + 1):
+            if i == len(quads) or quads[i][1].shape != quads[start][1].shape:
+                same = quads[start:i]
+                arrays = {
+                    "images": np.stack([t[1] for t in same]),
+                    "targets": np.stack([t[2] for t in same]),
+                    "masks": np.stack([t[3] for t in same]),
+                }
+                if needs_baseline:
+                    arrays["baselines"] = np.stack([t[4] for t in same])
+                pad = _pad_len(len(same), i == len(quads)) - len(same)
+                if pad:
+                    for key, arr in arrays.items():
+                        filler = np.ones if key == "masks" else np.zeros
+                        arrays[key] = np.concatenate(
+                            [arr, filler((pad,) + arr.shape[1:], arr.dtype)])
+                parts.append(([t[0] for t in same], arrays))
                 start = i
         return parts
 
     groups = [names[i:i + chunk_size]
               for i in range(0, len(names), chunk_size)]
-    eces = {}
 
-    def dispatch(ci, group, parts):
+    def part_args(arrays):
+        if needs_baseline:
+            return (arrays["images"], arrays["baselines"], arrays["targets"],
+                    arrays["masks"], thresholds_arr)
+        return (arrays["images"], arrays["targets"], arrays["masks"],
+                thresholds_arr)
+
+    def _dispatch_part(ci, pi, prog, args):
+        if devices:
+            dev = devices[(ci + pi) % len(devices)]
+            return prog(*per_device_state[dev],
+                        *(jax.device_put(a, dev) for a in args))
+        return prog(*state, *args)
+
+    def dispatch(ci, group, parts, extra=()):
         outs = []
-        for pi, (subjects, images, targets, masks) in enumerate(parts):
-            key = jax.random.fold_in(rng, ci * chunk_size + pi)
-            if devices:
-                dev = devices[(ci + pi) % len(devices)]
-                p, bs = per_device_state[dev]
-                out = fn(p, bs, jax.device_put(images, dev),
-                         jax.device_put(targets, dev),
-                         jax.device_put(masks, dev),
-                         jax.device_put(thresholds_arr, dev), key)
-            else:
-                out = fn(params, batch_stats, images, targets, masks,
-                         thresholds_arr, key)
-            outs.append((subjects, out))
+        for pi, (subjects, arrays) in enumerate(parts):
+            args = part_args(arrays) + tuple(extra)
+            if needs_rng:
+                args = args + (jax.random.fold_in(rng, ci * chunk_size + pi),)
+            outs.append((subjects, _dispatch_part(ci, pi, fn, args)))
         return outs
 
     def fetch(group, outs, t0):
         all_ece = []
         for subjects, out in outs:
-            bins_count = np.asarray(out["bins_count"]).astype(np.int64)
-            bins_conf = np.asarray(out["bins_avg_confidence"])
-            bins_frac = np.asarray(out["bins_positive_fraction"])
-            bins_nz = np.asarray(out["bins_non_zero"])
-            ece_arr = np.asarray(out["ece"])
-            dice_arr = np.asarray(out["dice"])
+            host = {k: np.asarray(v) for k, v in out.items()
+                    if k != "correction"}
             corr = {k: np.asarray(v) for k, v in out["correction"].items()}
             for i, subject in enumerate(subjects):
-                calib_hook.on_subject({
-                    "bins_count": bins_count[i],
-                    "bins_avg_confidence": bins_conf[i],
-                    "bins_positive_fraction": bins_frac[i],
-                    "bins_non_zero": bins_nz[i],
-                    "ece": float(ece_arr[i]),
-                    "dice": float(dice_arr[i]),
-                }, subject, run_id)
-                for ti, hook in enumerate(corr_hooks):
-                    hook.on_subject({k: csv_value(k, corr[k][i, ti])
-                                     for k in CORRECTION_KEYS}, subject,
-                                    run_id)
-                eces[subject] = float(ece_arr[i])
-                all_ece.append(float(ece_arr[i]))
+                def row_of(k, i=i):
+                    if k == "correction":
+                        return {c: v[i] for c, v in corr.items()}
+                    return host[k][i]
+
+                sinks.write_subject(subject, row_of)
+                if "conf_min" in host:
+                    sinks.add_bounds(host["conf_min"][i], host["conf_max"][i])
+                eces[subject] = float(host["ece"][i])
+                all_ece.append(eces[subject])
         logging.info("direct eval [%s..%s] mean ece=%.5f (%d images, %.2fs)",
                      group[0], group[-1], float(np.mean(all_ece)),
                      len(group), time.time() - t0)
 
-    _drive(pool, groups, load_chunk, dispatch, fetch,
-           window=2 * len(devices) if devices else 1)
+    window = 2 * len(devices) if devices else 1
+
+    if aleatoric:
+        # pass A: per-image sigma bounds -> the run's global rescale range
+        def minmax_dispatch(ci, group, parts):
+            outs = []
+            for pi, (subjects, arrays) in enumerate(parts):
+                outs.append((subjects, _dispatch_part(
+                    ci, pi, minmax_fn, (arrays["images"],))))
+            return outs
+
+        def minmax_fetch(group, outs, t0):
+            for subjects, (mn, mx) in outs:
+                mn, mx = np.asarray(mn), np.asarray(mx)
+                for i in range(len(subjects)):  # padded tails never counted
+                    sinks.add_bounds(mn[i], mx[i])
+
+        _drive(pool, groups, load_chunk, minmax_dispatch, minmax_fetch,
+               window)
+        gmin, gmax = _global_bounds(sinks.bounds, "sigma")
+        logging.info("direct 2d aleatoric: global sigma range [%.6f, %.6f]",
+                     gmin, gmax)
+        _drive(pool, groups, load_chunk,
+               lambda ci, group, parts: dispatch(
+                   ci, group, parts,
+                   extra=(np.float32(gmin), np.float32(gmax))),
+               fetch, window)
+    else:
+        _drive(pool, groups, load_chunk, dispatch, fetch, window)
 
     pool.shutdown()
-    calib_hook.on_run_end({}, run_id)
-    for hook in corr_hooks:
-        hook.on_run_end({}, run_id)
+    sinks.finish()
     return eces

@@ -14,14 +14,24 @@ MultiPredictionSummary (rechun/dl/customsteps.py), the normalized-entropy
 preparation (rechun/eval/analysis.py:201) and the EceCalibrationAction /
 CorrectionAction metric passes (bin-eval/eval_uncertainty.py:112-138,176-202).
 
-Program factories:
+Program factories (one per strategy family x dataset dimensionality; all
+eight reference strategies have a direct fused program):
 - :func:`make_volume_mc_eval_fn`  — the headline: MC scan + eval reductions
-  (``artifacts=False`` drops the per-voxel outputs for the direct CSV path);
+  (``artifacts=False`` drops the per-voxel outputs for the direct CSV path;
+  ``mc_steps=0`` is the deterministic baseline/center protocol);
 - :func:`make_volume_mc_fn`       — inference-only (serving);
 - :func:`make_image_batch_mc_eval_fn` — native-2D: K whole images per
   dispatch with per-image eval reductions vmapped;
 - :func:`make_volume_sigma_minmax_fn` / :func:`make_volume_aleatoric_eval_fn`
-  — the two passes of the direct aleatoric (sigma) protocol.
+  — the two passes of the direct aleatoric (sigma) protocol;
+- :func:`make_image_batch_sigma_minmax_fn` /
+  :func:`make_image_batch_aleatoric_eval_fn` — their native-2D twins;
+- :func:`make_volume_ensemble_eval_fn` / :func:`make_image_batch_ensemble_eval_fn`
+  — stacked-member ensembles (EP over a 2-D mesh's 'model' axis);
+- :func:`make_volume_aux_feat_eval_fn` / :func:`make_image_batch_aux_feat_eval_fn`
+  — frozen segmenter + PostNet in ONE program (confidence protocol);
+- :func:`make_volume_aux_segm_eval_fn` / :func:`make_image_batch_aux_segm_eval_fn`
+  — the error-net strategy (baseline prediction rides the labels).
 """
 from __future__ import annotations
 
@@ -36,7 +46,10 @@ from rcu_tpu.ops import uncertainty as u_ops
 def _mc_scan(model, mc_steps, params, batch_stats, batched, rng):
     """lax.scan of the 21-forward MC protocol over a volume's slice batches.
     Returns per-slice (fg_prob, normalized_entropy, weight_scaling_fg), each
-    (n_batches, batch, H, W)."""
+    (n_batches, batch, H, W). ``mc_steps=0`` is the deterministic protocol
+    (baseline/center runs without ``others.mc``): the single weight-scaling
+    forward IS the probability map, exactly as the staged
+    SegmentationPredictStep writes it."""
     variables = {"params": params, "batch_stats": batch_stats}
 
     from rcu_tpu.engine.steps import mc_forward
@@ -48,18 +61,58 @@ def _mc_scan(model, mc_steps, params, batch_stats, batched, rng):
         # weight-scaling forward (the reference protocol's 21st forward,
         # customsteps.py:23-25; kept so the workload stays comparable)
         ws_out = model.apply(variables, images, train=False)
-        ws_fg = jax.nn.softmax(ws_out.logits, axis=-1)[..., 1]
+        ws_probs = jax.nn.softmax(ws_out.logits, axis=-1)
 
-        # shares the MC-deterministic encoder prefix across the T samples
-        # for dropout_center models (steps.mc_forward)
-        mc_probs = mc_forward(model, variables, images, key, mc_steps)
-        probabilities = jnp.mean(mc_probs, axis=0)
+        if mc_steps:
+            # shares the MC-deterministic encoder prefix across the T samples
+            # for dropout_center models (steps.mc_forward)
+            mc_probs = mc_forward(model, variables, images, key, mc_steps)
+            probabilities = jnp.mean(mc_probs, axis=0)
+        else:
+            probabilities = ws_probs
         ent = metrics_ops.entropy(probabilities, axis=-1)
-        return None, (probabilities[..., 1], ent, ws_fg)
+        return None, (probabilities[..., 1], ent, ws_probs[..., 1])
 
     n_batches = batched.shape[0]
     _, out = jax.lax.scan(one_batch, None, (batched, jnp.arange(n_batches)))
     return out
+
+
+def _trim(x, vol_slices: int):
+    """(n_batches, batch, ...) scan output -> the true (vol_slices, ...)."""
+    return x.reshape((-1,) + x.shape[2:])[:vol_slices]
+
+
+def _entropy_eval(fg, ent, target, mask, thresholds):
+    """Shared eval reductions of the 'probabilities' confidence-entry
+    protocol (baseline/center/mc/ensemble): ECE bins on the fg probability
+    map (masked), 11-threshold correction on the normalized entropy, plus the
+    run-minmax contribution of the confidence entry."""
+    prediction = fg > 0.5
+    ece, bins = cal_ops.ece_binary_with_bins(fg, target, mask)
+    correction = u_ops.correction_eval(prediction, target, ent, thresholds)
+    return {"ece": ece, **bins, "dice": correction["dice"][0],
+            "correction": correction,
+            "conf_min": jnp.min(fg), "conf_max": jnp.max(fg)}
+
+
+def _confidence_eval(confidence, prediction, target, mask, thresholds):
+    """Shared eval reductions of the 'confidence' entry protocol (auxiliary
+    feat/segm): subject min-max rescale, fold into foreground probabilities
+    by the prediction artifact, masked ECE bins; the correction pass consumes
+    the SUBJECT-rescaled confidence (the runner's bnf_ue wiring,
+    eval/actions.py _PASS_BUILDERS: rescale_confidence='subject'), so both
+    CSV families carry the ``_rescale`` result-id suffix."""
+    from rcu_tpu.ops import prepare as prep_ops
+    rescaled = prep_ops.rescale_subject_min_max(confidence)
+    folded = prep_ops.uncertainty_to_foreground_probabilities(rescaled,
+                                                              prediction)
+    ece, bins = cal_ops.ece_binary_with_bins(folded, target, mask)
+    correction = u_ops.correction_eval(prediction, target, rescaled,
+                                       thresholds)
+    return {"ece": ece, **bins, "dice": correction["dice"][0],
+            "correction": correction,
+            "conf_min": jnp.min(confidence), "conf_max": jnp.max(confidence)}
 
 
 def _volume_shardings(mesh):
@@ -69,6 +122,17 @@ def _volume_shardings(mesh):
     # scan axis unsharded, each step's batch axis sharded over the data axis
     data = NamedSharding(mesh, P(None, DATA_AXIS))
     return rep, data
+
+
+def _member_sharding(mesh):
+    """Stacked ensemble members shard over the 'model' axis when the mesh has
+    one (EP; the member-mean becomes an XLA all-reduce over that axis),
+    otherwise they replicate."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rcu_tpu.parallel.ensemble import MODEL_AXIS
+    if MODEL_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(MODEL_AXIS))
+    return NamedSharding(mesh, P())
 
 
 def make_volume_mc_fn(model, mc_steps: int, batch_size: int,
@@ -181,22 +245,29 @@ def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None):
         ent = ent[0] / jnp.log(2.0)
 
         def one_image(fg_i, ent_i, target_i, mask_i):
-            ece, bins = cal_ops.ece_binary_with_bins(fg_i, target_i, mask_i)
-            prediction = fg_i > 0.5
-            correction = u_ops.correction_eval(prediction, target_i, ent_i,
-                                               thresholds)
-            dice = correction["dice"][0]  # threshold-independent entry
-            return {"ece": ece, **bins, "dice": dice, "correction": correction}
+            return _entropy_eval(fg_i, ent_i, target_i, mask_i, thresholds)
 
         return jax.vmap(one_image)(fg, ent, targets, masks)
 
+    return _jit_image_batch(run, mesh, n_state=2, n_data=3, n_tail=2)
+
+
+def _jit_image_batch(run, mesh, n_state: int, n_data: int, n_tail: int,
+                     member_argnums=()):
+    """jit a chunked native-2D program: ``n_state`` leading parameter trees
+    (replicated, or 'model'-axis sharded for ``member_argnums``), ``n_data``
+    per-image arrays sharded on their leading image axis, ``n_tail``
+    replicated trailing args (thresholds/rng/bounds)."""
     if mesh is None:
         return jax.jit(run)
     from jax.sharding import NamedSharding, PartitionSpec as P
     from rcu_tpu.parallel.mesh import DATA_AXIS
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(DATA_AXIS))  # images sharded over the mesh
-    return jax.jit(run, in_shardings=(rep, rep, data, data, data, rep, rep),
+    member = _member_sharding(mesh)
+    lead = tuple(member if i in member_argnums else rep
+                 for i in range(n_state))
+    return jax.jit(run, in_shardings=lead + (data,) * n_data + (rep,) * n_tail,
                    out_shardings=rep)
 
 
@@ -225,14 +296,10 @@ def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
     def run(params, batch_stats, batched, target, mask, thresholds, rng):
         fg, ent, ws_fg = _mc_scan(model, mc_steps, params, batch_stats,
                                   batched, rng)
-        fg = fg.reshape((-1,) + fg.shape[2:])[:vol_slices]
-        ent = ent.reshape((-1,) + ent.shape[2:])[:vol_slices] / jnp.log(2.0)
-        ws_fg = ws_fg.reshape((-1,) + ws_fg.shape[2:])[:vol_slices]
-        prediction = fg > 0.5
-
-        ece, bins = cal_ops.ece_binary_with_bins(fg, target, mask)
-        correction = u_ops.correction_eval(prediction, target, ent, thresholds)
-        out = {"ece": ece, **bins, "correction": correction}
+        fg = _trim(fg, vol_slices)
+        ent = _trim(ent, vol_slices) / jnp.log(2.0)
+        ws_fg = _trim(ws_fg, vol_slices)
+        out = _entropy_eval(fg, ent, target, mask, thresholds)
         if artifacts:
             out.update(fg=fg, entropy=ent, ws_fg=ws_fg)
         return out
@@ -242,3 +309,236 @@ def make_volume_mc_eval_fn(model, mc_steps: int, batch_size: int,
     rep, data = _volume_shardings(mesh)
     return jax.jit(run, in_shardings=(rep, rep, data, rep, rep, rep, rep),
                    out_shardings=rep)
+
+
+# ---------------------------------------------------------------------------
+# ensemble (stacked members; reference brats_test_ensemble.py:72-94 protocol)
+# ---------------------------------------------------------------------------
+
+def _ensemble_scan(model, stacked_params, stacked_stats, batched):
+    """lax.scan over slice batches; per batch all K members run as one vmap
+    and the member-mean probabilities feed the entropy protocol (reference
+    MultiPredictionSummary over the sequential member loop)."""
+
+    def one_batch(_, images):
+        def one(params, batch_stats):
+            out = model.apply({"params": params, "batch_stats": batch_stats},
+                              images, train=False)
+            return jax.nn.softmax(out.logits, axis=-1)
+
+        member_probs = jax.vmap(one)(stacked_params, stacked_stats)
+        probabilities = jnp.mean(member_probs, axis=0)
+        ent = metrics_ops.entropy(probabilities, axis=-1)
+        return None, (probabilities[..., 1], ent)
+
+    _, out = jax.lax.scan(one_batch, None, batched)
+    return out
+
+
+def make_volume_ensemble_eval_fn(model, batch_size: int, vol_slices: int,
+                                 mesh=None):
+    """One dispatch per subject: (stacked_params, stacked_batch_stats,
+    batched, target, mask, thresholds) -> eval dict via the member-mean +
+    entropy protocol. On a 2-D mesh the member stack shards over the 'model'
+    axis (EP) and each step's batch axis over 'data'."""
+
+    def run(stacked_params, stacked_stats, batched, target, mask, thresholds):
+        fg, ent = _ensemble_scan(model, stacked_params, stacked_stats, batched)
+        fg = _trim(fg, vol_slices)
+        ent = _trim(ent, vol_slices) / jnp.log(2.0)
+        return _entropy_eval(fg, ent, target, mask, thresholds)
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    member = _member_sharding(mesh)
+    return jax.jit(run, in_shardings=(member, member, data) + (rep,) * 3,
+                   out_shardings=rep)
+
+
+def make_image_batch_ensemble_eval_fn(model, mesh=None):
+    """Chunked native-2D ensemble eval: K whole images per dispatch, all
+    members vmapped, per-image eval reductions vmapped."""
+
+    def run(stacked_params, stacked_stats, images, targets, masks, thresholds):
+        fg, ent = _ensemble_scan(model, stacked_params, stacked_stats,
+                                 images[None])
+        fg = fg[0]
+        ent = ent[0] / jnp.log(2.0)
+
+        def one_image(fg_i, ent_i, target_i, mask_i):
+            return _entropy_eval(fg_i, ent_i, target_i, mask_i, thresholds)
+
+        return jax.vmap(one_image)(fg, ent, targets, masks)
+
+    return _jit_image_batch(run, mesh, n_state=2, n_data=3, n_tail=1,
+                            member_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# auxiliary feat./segm. (confidence protocol; reference
+# brats_test_auxiliary_feat.py:89-129 / brats_test_auxiliary_segm.py:68-120)
+# ---------------------------------------------------------------------------
+
+def _aux_feat_scan(segm_model, post_model, segm_params, segm_stats,
+                   post_params, post_stats, batched):
+    """Frozen segmenter (provide_features) + PostNet per slice batch -> per-
+    slice (confidence fg, segmenter argmax prediction) — the two artifacts
+    the staged auxiliary-feat test writes, fused into one program."""
+
+    def one_batch(_, images):
+        segm_out = segm_model.apply(
+            {"params": segm_params, "batch_stats": segm_stats}, images,
+            train=False)
+        prediction = jnp.argmax(segm_out.logits, axis=-1).astype(jnp.uint8)
+        post_out = post_model.apply(
+            {"params": post_params, "batch_stats": post_stats},
+            segm_out.features, train=False)
+        confidence = jax.nn.softmax(post_out.logits, axis=-1)[..., 1]
+        return None, (confidence, prediction)
+
+    _, out = jax.lax.scan(one_batch, None, batched)
+    return out
+
+
+def make_volume_aux_feat_eval_fn(segm_model, post_model, batch_size: int,
+                                 vol_slices: int, mesh=None):
+    """One dispatch per subject: (segm_params, segm_stats, post_params,
+    post_stats, batched, target, mask, thresholds) -> confidence-protocol
+    eval dict (``_rescale`` result ids)."""
+
+    def run(segm_params, segm_stats, post_params, post_stats, batched,
+            target, mask, thresholds):
+        conf, pred = _aux_feat_scan(segm_model, post_model, segm_params,
+                                    segm_stats, post_params, post_stats,
+                                    batched)
+        conf = _trim(conf, vol_slices)
+        pred = _trim(pred, vol_slices)
+        return _confidence_eval(conf, pred, target, mask, thresholds)
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep,) * 4 + (data,) + (rep,) * 3,
+                   out_shardings=rep)
+
+
+def make_image_batch_aux_feat_eval_fn(segm_model, post_model, mesh=None):
+    """Chunked native-2D auxiliary-feat eval (per-image subject rescale)."""
+
+    def run(segm_params, segm_stats, post_params, post_stats, images,
+            targets, masks, thresholds):
+        conf, pred = _aux_feat_scan(segm_model, post_model, segm_params,
+                                    segm_stats, post_params, post_stats,
+                                    images[None])
+
+        def one_image(conf_i, pred_i, target_i, mask_i):
+            return _confidence_eval(conf_i, pred_i, target_i, mask_i,
+                                    thresholds)
+
+        return jax.vmap(one_image)(conf[0], pred[0], targets, masks)
+
+    return _jit_image_batch(run, mesh, n_state=4, n_data=3, n_tail=1)
+
+
+def _aux_segm_scan(model, params, batch_stats, batched, batched_baseline):
+    """Error-net forward per slice batch: input = images concat the baseline
+    prediction channel (labels carry [gt, prediction] in aux-segm stores)."""
+    variables = {"params": params, "batch_stats": batch_stats}
+
+    def one_batch(_, inp):
+        images, baseline = inp
+        inputs = jnp.concatenate(
+            [images, baseline[..., None].astype(jnp.float32)], axis=-1)
+        out = model.apply(variables, inputs, train=False)
+        return None, jax.nn.softmax(out.logits, axis=-1)[..., 1]
+
+    _, conf = jax.lax.scan(one_batch, None, (batched, batched_baseline))
+    return conf
+
+
+def make_volume_aux_segm_eval_fn(model, batch_size: int, vol_slices: int,
+                                 mesh=None):
+    """One dispatch per subject: (params, batch_stats, batched,
+    batched_baseline, target, mask, thresholds) -> confidence-protocol eval
+    dict; the prediction artifact is the BASELINE's passthrough prediction
+    (reference brats_test_auxiliary_segm.py:68-69)."""
+
+    def run(params, batch_stats, batched, batched_baseline, target, mask,
+            thresholds):
+        conf = _aux_segm_scan(model, params, batch_stats, batched,
+                              batched_baseline)
+        conf = _trim(conf, vol_slices)
+        pred = _trim(batched_baseline, vol_slices).astype(jnp.uint8)
+        return _confidence_eval(conf, pred, target, mask, thresholds)
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep, rep, data, data) + (rep,) * 3,
+                   out_shardings=rep)
+
+
+def make_image_batch_aux_segm_eval_fn(model, mesh=None):
+    """Chunked native-2D auxiliary-segm eval."""
+
+    def run(params, batch_stats, images, baselines, targets, masks,
+            thresholds):
+        conf = _aux_segm_scan(model, params, batch_stats, images[None],
+                              baselines[None])[0]
+
+        def one_image(conf_i, base_i, target_i, mask_i):
+            return _confidence_eval(conf_i, base_i.astype(jnp.uint8),
+                                    target_i, mask_i, thresholds)
+
+        return jax.vmap(one_image)(conf, baselines, targets, masks)
+
+    return _jit_image_batch(run, mesh, n_state=2, n_data=4, n_tail=1)
+
+
+# ---------------------------------------------------------------------------
+# native-2D aleatoric (sigma protocol, chunked)
+# ---------------------------------------------------------------------------
+
+def make_image_batch_sigma_minmax_fn(model, is_log_sigma: bool, mesh=None):
+    """Pass A of the chunked 2-D aleatoric eval: per-image (min, max) vectors
+    of the predicted-class sigma — the host aggregates only the REAL images'
+    bounds, so chunk padding cannot pollute the run's global rescale."""
+    from rcu_tpu.engine.steps import aleatoric_forward
+
+    def run(params, batch_stats, images):
+        variables = {"params": params, "batch_stats": batch_stats}
+        _, _, _, sigma = aleatoric_forward(model, variables, images,
+                                           is_log_sigma)
+        return jnp.min(sigma, axis=(1, 2)), jnp.max(sigma, axis=(1, 2))
+
+    return _jit_image_batch(run, mesh, n_state=2, n_data=1, n_tail=0)
+
+
+def make_image_batch_aleatoric_eval_fn(model, is_log_sigma: bool, mesh=None):
+    """Pass B: per-image global-rescale + fold + eval, vmapped over the
+    chunk: (params, batch_stats, images, targets, masks, thresholds,
+    sigma_min, sigma_max) -> per-image eval arrays."""
+    from rcu_tpu.engine.steps import aleatoric_forward
+    from rcu_tpu.ops import prepare as prep_ops
+
+    def run(params, batch_stats, images, targets, masks, thresholds,
+            sigma_min, sigma_max):
+        variables = {"params": params, "batch_stats": batch_stats}
+        _, _, prediction, sigma = aleatoric_forward(model, variables, images,
+                                                    is_log_sigma)
+        prediction = prediction.astype(jnp.uint8)
+
+        def one_image(pred_i, sigma_i, target_i, mask_i):
+            rescaled = prep_ops.rescale_linear(sigma_i, sigma_min, sigma_max)
+            folded = prep_ops.uncertainty_to_foreground_probabilities(
+                rescaled, pred_i)
+            ece, bins = cal_ops.ece_binary_with_bins(folded, target_i, mask_i)
+            correction = u_ops.correction_eval(pred_i, target_i, rescaled,
+                                               thresholds)
+            return {"ece": ece, **bins, "dice": correction["dice"][0],
+                    "correction": correction}
+
+        return jax.vmap(one_image)(prediction, sigma, targets, masks)
+
+    return _jit_image_batch(run, mesh, n_state=2, n_data=3, n_tail=3)
