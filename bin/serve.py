@@ -1,14 +1,19 @@
 """Model-serving CLI (no reference counterpart — the reference is offline
 scripts only; this is the deployment surface for the fused TPU programs).
 
-Loads a checkpoint once and serves volume inference over HTTP:
+Loads a checkpoint once and serves volume inference over HTTP. MC-dropout,
+aleatoric (sigma head; pass -is_log_sigma/-no_log_sigma) and stacked-member
+ensembles (-member DIR, repeatable) are all served; /v1/health reports the
+detected strategy.
 
   python bin/serve.py -model_dir out/.../model_x [-test_at best] [-mc 20]
       [-batch_size 32] [-devices N] [-host 0.0.0.0] [-port 8475]
+      [-member DIR ...] [-is_log_sigma | -no_log_sigma]
 
-  POST /v1/predict  .npz{images[,target,mask]} -> .npz{prediction,
-                    probabilities, entropy[, ece, correction_*]}
-  GET  /v1/health   JSON status + warm compiled shapes
+  POST /v1/predict  .npz{images[,target,mask,sigma_min,sigma_max]} ->
+                    .npz{prediction, probabilities|sigma, entropy|confidence
+                    [, ece, correction_*]}
+  GET  /v1/health   JSON status + strategy + warm compiled shapes
 
 Client example (stdlib only):
   import io, urllib.request, numpy as np
@@ -31,7 +36,8 @@ if BIN_DIR not in sys.path:
 
 
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
-         host="0.0.0.0", port=8475, prewarm=None):
+         host="0.0.0.0", port=8475, prewarm=None, members=None,
+         is_log_sigma=None):
     import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
@@ -45,7 +51,9 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
                         format="%(asctime)s %(levelname)s %(message)s")
     mesh = _cli.mesh_from_devices(devices)
     service = VolumeInferenceService(model_dir, test_at=test_at, mc=mc,
-                                     batch_size=batch_size, mesh=mesh)
+                                     batch_size=batch_size, mesh=mesh,
+                                     members=members,
+                                     is_log_sigma=is_log_sigma)
     if prewarm:
         import numpy as np
         in_ch = service.in_channels  # resolved from model.json at init
@@ -55,8 +63,8 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
             service.predict(np.zeros((z, h, w, in_ch), np.float32))
         logging.info("prewarmed programs: %s", service.compiled_shapes())
     server = make_http_server(service, host, port)
-    logging.info("serving %s (mc=%d, batch=%d%s) on http://%s:%d",
-                 model_dir, service.mc, service.batch_size,
+    logging.info("serving %s [%s] (mc=%d, batch=%d%s) on http://%s:%d",
+                 model_dir, service.strategy, service.mc, service.batch_size,
                  f", {devices}-device mesh" if mesh is not None else "",
                  host, port)
     server.serve_forever()
@@ -77,6 +85,17 @@ if __name__ == "__main__":
                         help="comma-separated ZxHxW volume shapes whose "
                              "(unscored) programs compile before the port "
                              "binds, e.g. 155x240x240")
+    parser.add_argument("-member", type=str, action="append", default=None,
+                        help="additional ensemble member model dir "
+                             "(repeatable; model_dir is the primary member)")
+    parser.add_argument("-is_log_sigma", dest="is_log_sigma",
+                        action="store_true", default=None,
+                        help="the sigma head emits log(sigma) (aleatoric "
+                             "checkpoints; required for them)")
+    parser.add_argument("-no_log_sigma", dest="is_log_sigma",
+                        action="store_false",
+                        help="the sigma head emits raw sigma")
     args = parser.parse_args()
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
-         args.devices, args.host, args.port, args.prewarm)
+         args.devices, args.host, args.port, args.prewarm, args.member,
+         args.is_log_sigma)

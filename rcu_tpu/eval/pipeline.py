@@ -195,36 +195,70 @@ def make_volume_sigma_minmax_fn(model, batch_size: int, vol_slices: int,
 
 
 def make_volume_aleatoric_eval_fn(model, batch_size: int, vol_slices: int,
-                                  is_log_sigma: bool, mesh=None):
+                                  is_log_sigma: bool, mesh=None,
+                                  artifacts: bool = False):
     """Pass B of the direct aleatoric eval — one dispatch per subject:
     (params, batch_stats, batched, target, mask, thresholds, sigma_min,
     sigma_max) -> the eval dict. Semantics mirror the staged sigma run with
     ``rescale_sigma='global'``: sigma -> rescale_linear(global bounds, eps
     1e-5) -> fold into foreground probabilities by prediction -> masked
-    ECE/bins; the rescaled sigma is the correction pass's uncertainty."""
+    ECE/bins; the rescaled sigma is the correction pass's uncertainty.
+    ``artifacts=True`` additionally returns the per-voxel serving payload
+    (prediction, raw predicted-class sigma, folded confidence map)."""
     from rcu_tpu.ops import prepare as prep_ops
 
     def run(params, batch_stats, batched, target, mask, thresholds,
             sigma_min, sigma_max):
         prediction, sigma = _aleatoric_scan(model, is_log_sigma, params,
                                             batch_stats, batched)
-        prediction = prediction.reshape(
-            (-1,) + prediction.shape[2:])[:vol_slices]
-        sigma = sigma.reshape((-1,) + sigma.shape[2:])[:vol_slices]
+        prediction = _trim(prediction, vol_slices)
+        sigma = _trim(sigma, vol_slices)
         rescaled = prep_ops.rescale_linear(sigma, sigma_min, sigma_max)
         folded = prep_ops.uncertainty_to_foreground_probabilities(rescaled,
                                                                   prediction)
         ece, bins = cal_ops.ece_binary_with_bins(folded, target, mask)
         correction = u_ops.correction_eval(prediction, target, rescaled,
                                            thresholds)
-        return {"ece": ece, **bins, "dice": correction["dice"][0],
-                "correction": correction}
+        out = {"ece": ece, **bins, "dice": correction["dice"][0],
+               "correction": correction}
+        if artifacts:
+            out.update(prediction=prediction, sigma=sigma, confidence=folded)
+        return out
 
     if mesh is None:
         return jax.jit(run)
     rep, data = _volume_shardings(mesh)
     return jax.jit(run, in_shardings=(rep, rep, data) + (rep,) * 5,
                    out_shardings=rep)
+
+
+def make_volume_aleatoric_fn(model, batch_size: int, vol_slices: int,
+                             is_log_sigma: bool, mesh=None):
+    """Inference-only aleatoric serving program: (params, batch_stats,
+    batched) -> {fg, prediction, sigma} per voxel — the deterministic softmax
+    foreground, its argmax, and the UNRESCALED predicted-class sigma (global
+    rescale is a run-level two-pass protocol; clients either collect bounds
+    over their own fleet of requests or pass them with a scored request)."""
+    from rcu_tpu.engine.steps import aleatoric_forward
+
+    def run(params, batch_stats, batched):
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def one_batch(_, images):
+            probabilities, _, prediction, predicted_sigma = aleatoric_forward(
+                model, variables, images, is_log_sigma)
+            return None, (probabilities[..., 1],
+                          prediction.astype(jnp.uint8), predicted_sigma)
+
+        _, (fg, pred, sigma) = jax.lax.scan(one_batch, None, batched)
+        return {"fg": _trim(fg, vol_slices),
+                "prediction": _trim(pred, vol_slices),
+                "sigma": _trim(sigma, vol_slices)}
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep, rep, data), out_shardings=rep)
 
 
 def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None):
@@ -336,23 +370,47 @@ def _ensemble_scan(model, stacked_params, stacked_stats, batched):
 
 
 def make_volume_ensemble_eval_fn(model, batch_size: int, vol_slices: int,
-                                 mesh=None):
+                                 mesh=None, artifacts: bool = False):
     """One dispatch per subject: (stacked_params, stacked_batch_stats,
     batched, target, mask, thresholds) -> eval dict via the member-mean +
     entropy protocol. On a 2-D mesh the member stack shards over the 'model'
-    axis (EP) and each step's batch axis over 'data'."""
+    axis (EP) and each step's batch axis over 'data'. ``artifacts=True``
+    additionally returns the per-voxel fg/entropy maps (serving)."""
 
     def run(stacked_params, stacked_stats, batched, target, mask, thresholds):
         fg, ent = _ensemble_scan(model, stacked_params, stacked_stats, batched)
         fg = _trim(fg, vol_slices)
         ent = _trim(ent, vol_slices) / jnp.log(2.0)
-        return _entropy_eval(fg, ent, target, mask, thresholds)
+        out = _entropy_eval(fg, ent, target, mask, thresholds)
+        if artifacts:
+            out.update(fg=fg, entropy=ent)
+        return out
 
     if mesh is None:
         return jax.jit(run)
     rep, data = _volume_shardings(mesh)
     member = _member_sharding(mesh)
     return jax.jit(run, in_shardings=(member, member, data) + (rep,) * 3,
+                   out_shardings=rep)
+
+
+def make_volume_ensemble_fn(model, batch_size: int, vol_slices: int,
+                            mesh=None):
+    """Inference-only ensemble serving program: (stacked_params,
+    stacked_batch_stats, batched) -> {fg, entropy, prediction} per voxel
+    (member-mean probabilities; EP over a 2-D mesh's 'model' axis)."""
+
+    def run(stacked_params, stacked_stats, batched):
+        fg, ent = _ensemble_scan(model, stacked_params, stacked_stats, batched)
+        fg = _trim(fg, vol_slices)
+        ent = _trim(ent, vol_slices) / jnp.log(2.0)
+        return {"fg": fg, "entropy": ent, "prediction": fg > 0.5}
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    member = _member_sharding(mesh)
+    return jax.jit(run, in_shardings=(member, member, data),
                    out_shardings=rep)
 
 

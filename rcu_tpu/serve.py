@@ -1,28 +1,47 @@
-"""Production serving: a persistent MC-dropout inference service + HTTP front.
+"""Production serving: a persistent fused-inference service + HTTP front.
 
 No reference counterpart — the reference stack (bin-dl/bin-eval) is offline
 scripts only. This is the deployment surface for the fused TPU programs:
 load a checkpoint ONCE, keep shape-specialized compiled volume programs warm,
-and answer requests with the standard artifacts (prediction / foreground
-probabilities / normalized entropy), optionally scoring them against a
-provided ground truth with the same fused eval pass the offline pipeline
-uses (rcu_tpu.eval.pipeline).
+and answer requests with the standard artifacts, optionally scoring them
+against a provided ground truth with the same fused eval pass the offline
+pipeline uses (rcu_tpu.eval.pipeline).
+
+Three checkpoint families are served (auto-detected / constructor-selected):
+- **MC-dropout** (default): prediction / foreground probabilities /
+  normalized entropy; scoring = masked ECE + 11-threshold correction.
+- **Aleatoric** (sigma-headed checkpoint; pass ``is_log_sigma``): adds the
+  UNRESCALED predicted-class ``sigma`` map. The offline sigma protocol's
+  global rescale is a RUN-level two-pass computation, so bounds ride the
+  request: send ``sigma_min``/``sigma_max`` scalars to additionally get the
+  folded ``confidence`` map, and to score (a scored aleatoric request
+  without bounds is rejected — reference brats_test_aleatoric.py:66-69 +
+  the eval stack's global minmax pass).
+- **Ensemble** (``members=[model_dir, ...]``): stacked member params vmapped
+  in one program (EP over a 2-D mesh's 'model' axis); artifacts are the
+  member-mean probabilities + entropy (brats_test_ensemble.py:72-94).
 
 Wire protocol (stdlib-only on both ends; arrays ride npz):
   POST /v1/predict  body: ``.npz`` with ``images`` [Z,H,W,C] (or [H,W,C])
                     float32, optional ``target`` [Z,H,W] and — only together
                     with a target — ``mask`` [Z,H,W] (masks gate the eval
-                    reductions, never the artifacts). Returns ``.npz`` with
-                    prediction (uint8), probabilities, entropy (float32)
-                    and, when a target was sent, ``ece`` plus the
-                    per-threshold ``correction_*`` vectors.
-  GET  /v1/health   -> JSON {status, model_dir, mc, compiled_shapes}
+                    reductions, never the artifacts), optional
+                    ``sigma_min``/``sigma_max`` scalars (aleatoric).
+                    Returns ``.npz`` with the strategy's artifacts and, when
+                    a target was sent, ``ece`` plus the per-threshold
+                    ``correction_*`` vectors.
+  GET  /v1/health   -> JSON {status, model_dir, strategy, mc, members,
+                    batch_size, compiled_shapes}
 
 Device work is serialized through a lock (one XLA stream), while request
-parsing/serialization runs on the HTTP server's worker threads.
+parsing/serialization runs on the HTTP server's worker threads. The compiled
+program cache is a bounded LRU (``max_programs``): scored requests key on
+their exact slice count, so a long-lived server facing varied-Z volumes
+evicts cold programs instead of growing without bound.
 """
 from __future__ import annotations
 
+import collections
 import io
 import json
 import logging
@@ -32,17 +51,19 @@ import zipfile
 import jax
 import numpy as np
 
-from rcu_tpu.eval.pipeline import make_volume_mc_eval_fn, make_volume_mc_fn
+from rcu_tpu.eval import pipeline as pl
 
 DEFAULT_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
 
 class VolumeInferenceService:
-    """Checkpoint -> warm, shape-cached fused MC(+eval) volume programs."""
+    """Checkpoint(s) -> warm, shape-cached fused volume programs."""
 
     def __init__(self, model_dir: str, test_at="best", mc: int = 20,
                  batch_size: int = 32, mesh=None,
-                 thresholds=DEFAULT_THRESHOLDS, seed: int = 0):
+                 thresholds=DEFAULT_THRESHOLDS, seed: int = 0,
+                 members: list = None, is_log_sigma: bool = None,
+                 max_programs: int = 32):
         from rcu_tpu.engine import checkpoint as ckpt_lib
         from rcu_tpu.eval.direct import _load_model_state
         self.model_dir = model_dir
@@ -50,6 +71,7 @@ class VolumeInferenceService:
         self.mesh = mesh
         self.thresholds = np.asarray(thresholds, np.float32)
         self.batch_size = int(batch_size)
+        self.max_programs = int(max_programs)
         if mesh is not None:
             from rcu_tpu.parallel.mesh import pad_batch_size_to_mesh
             self.batch_size = pad_batch_size_to_mesh(self.batch_size, mesh)
@@ -58,32 +80,91 @@ class VolumeInferenceService:
         model_node, _ = ckpt_lib.load_model_parameters(
             ckpt_lib.ModelFiles.from_model_dir(model_dir))
         self.in_channels = int(model_node.params.get("in_channels", 4))
-        self.model, params, batch_stats = _load_model_state(
-            model_dir, test_at, (1, 16, 16, self.in_channels))
+        probe = (1, 16, 16, self.in_channels)
+        self.model, params, batch_stats = _load_model_state(model_dir,
+                                                            test_at, probe)
+        self.members = list(members or [])
+        member_sharded = False
+        if self.members:
+            self.strategy = "ensemble"
+            stacks = [(params, batch_stats)]
+            for member_dir in self.members:
+                _, p, bs = _load_model_state(member_dir, test_at, probe)
+                stacks.append((p, bs))
+            stack = lambda *xs: np.stack(  # noqa: E731
+                [np.asarray(x) for x in xs])
+            state = (jax.tree_util.tree_map(stack, *[s[0] for s in stacks]),
+                     jax.tree_util.tree_map(stack, *[s[1] for s in stacks]))
+            member_sharded = True
+        elif getattr(self.model, "sigma_out", False):
+            if is_log_sigma is None:
+                raise ValueError(
+                    f"{model_dir} is a sigma-headed (aleatoric) checkpoint: "
+                    "pass is_log_sigma explicitly (it is a training-config "
+                    "property the checkpoint cannot carry)")
+            self.strategy = "aleatoric"
+            state = (params, batch_stats)
+        else:
+            self.strategy = "mc"
+            state = (params, batch_stats)
+        self.is_log_sigma = bool(is_log_sigma) if is_log_sigma is not None \
+            else None
         if mesh is not None:
-            from rcu_tpu.parallel.inference import replicate_tree
-            params = replicate_tree(params, mesh)
-            batch_stats = replicate_tree(batch_stats, mesh)
-        self.params, self.batch_stats = params, batch_stats
-        self._programs = {}
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from rcu_tpu.parallel.ensemble import MODEL_AXIS
+            rep = NamedSharding(mesh, P())
+            member = NamedSharding(mesh, P(MODEL_AXIS)) \
+                if (member_sharded and MODEL_AXIS in mesh.axis_names) else rep
+            state = tuple(jax.device_put(t, member if member_sharded else rep)
+                          for t in state)
+        self.state = state
+        self._programs = collections.OrderedDict()  # bounded LRU
         self._rng = jax.random.PRNGKey(seed)
         self._requests = 0
         self._lock = threading.Lock()
 
+    # ------------------------------------------------------------- programs
+    def _make_program(self, vol_slices: int, with_eval: bool, batch: int):
+        if self.strategy == "ensemble":
+            factory = pl.make_volume_ensemble_eval_fn if with_eval \
+                else pl.make_volume_ensemble_fn
+            kw = {"artifacts": True} if with_eval else {}
+            return factory(self.model, batch, vol_slices, mesh=self.mesh,
+                           **kw)
+        if self.strategy == "aleatoric":
+            if with_eval:
+                return pl.make_volume_aleatoric_eval_fn(
+                    self.model, batch, vol_slices, self.is_log_sigma,
+                    mesh=self.mesh, artifacts=True)
+            return pl.make_volume_aleatoric_fn(
+                self.model, batch, vol_slices, self.is_log_sigma,
+                mesh=self.mesh)
+        factory = pl.make_volume_mc_eval_fn if with_eval \
+            else pl.make_volume_mc_fn
+        return factory(self.model, self.mc, batch, vol_slices,
+                       mesh=self.mesh)
+
     def _program(self, vol_slices: int, with_eval: bool, batch: int):
         key = (vol_slices, with_eval, batch)
-        if key not in self._programs:
-            factory = make_volume_mc_eval_fn if with_eval else make_volume_mc_fn
-            self._programs[key] = factory(self.model, self.mc, batch,
-                                          vol_slices, mesh=self.mesh)
-        return self._programs[key]
+        fn = self._programs.get(key)
+        if fn is not None:
+            self._programs.move_to_end(key)
+            return fn
+        fn = self._make_program(vol_slices, with_eval, batch)
+        self._programs[key] = fn
+        while len(self._programs) > self.max_programs:
+            evicted, _ = self._programs.popitem(last=False)
+            logging.info("serve: evicted compiled program %s "
+                         "(cache cap %d)", evicted, self.max_programs)
+        return fn
 
     def _effective_batch(self, nz: int) -> int:
         """Shrink the slice batch to the volume: a 1-slice (native-2D)
         request must not be padded out to a 32-slice batch of zeros. Small
-        volumes bucket to the next power of two so the program cache stays
-        bounded at ~log2(batch_size) entries instead of one per slice
-        count (remote compiles cost 20-300s each)."""
+        volumes bucket to the next power of two so unscored programs stay at
+        ~log2(batch_size) cache entries (scored programs key on their exact
+        slice count and rely on the LRU cap instead — remote compiles cost
+        20-300s each)."""
         batch = min(self.batch_size, 1 << max(0, nz - 1).bit_length())
         if self.mesh is not None:
             from rcu_tpu.parallel.mesh import pad_batch_size_to_mesh
@@ -95,9 +176,11 @@ class VolumeInferenceService:
         return sorted(f"{nz}-slices-b{batch}{'-scored' if ev else ''}"
                       for nz, ev, batch in list(self._programs))
 
+    # -------------------------------------------------------------- predict
     def predict(self, images: np.ndarray, target: np.ndarray = None,
-                mask: np.ndarray = None) -> dict:
-        """One volume in, serving artifacts out (numpy). Thread-safe."""
+                mask: np.ndarray = None, sigma_bounds=None) -> dict:
+        """One volume in, the strategy's serving artifacts out (numpy).
+        Thread-safe."""
         if target is None and mask is not None:
             # checked before any padding/device transfer: a rejected request
             # must not ship a 30+ MB volume across the tunnel first
@@ -105,6 +188,21 @@ class VolumeInferenceService:
                 "a mask without a target has no effect: masks only gate the "
                 "eval reductions (ece), never the prediction artifacts — "
                 "send a target to score, or drop the mask")
+        if sigma_bounds is not None:
+            if self.strategy != "aleatoric":
+                raise ValueError("sigma_min/sigma_max only apply to an "
+                                 "aleatoric (sigma-headed) service; this "
+                                 f"server runs '{self.strategy}'")
+            smin, smax = (float(sigma_bounds[0]), float(sigma_bounds[1]))
+            if not smax > smin:
+                raise ValueError(f"degenerate sigma bounds [{smin}, {smax}]")
+            sigma_bounds = (np.float32(smin), np.float32(smax))
+        if target is not None and self.strategy == "aleatoric" \
+                and sigma_bounds is None:
+            raise ValueError(
+                "scoring an aleatoric request needs the run-level global "
+                "sigma bounds: send sigma_min/sigma_max (the offline "
+                "protocol's minmax pass over the whole run)")
         volume = np.asarray(images, np.float32)
         if volume.ndim == 3:          # single image -> one-slice volume
             volume = volume[None]
@@ -135,7 +233,8 @@ class VolumeInferenceService:
                 # compiled program, and the padded tail is trimmed host-side
                 fn = self._program(batched.shape[0] * batch,
                                    with_eval=False, batch=batch)
-                out = fn(self.params, self.batch_stats, batched, rng)
+                args = self.state + (batched,)
+                out = fn(*args, rng) if self.strategy == "mc" else fn(*args)
             else:
                 target = (np.asarray(target) > 0.5).astype(np.uint8)
                 if target.ndim == 2:
@@ -147,16 +246,52 @@ class VolumeInferenceService:
                 m = np.ones(target.shape, bool) if mask is None \
                     else np.asarray(mask).reshape(target.shape) > 0
                 fn = self._program(nz, with_eval=True, batch=batch)
-                out = fn(self.params, self.batch_stats, batched, target, m,
-                         self.thresholds, rng)
+                args = self.state + (batched, target, m, self.thresholds)
+                if self.strategy == "mc":
+                    out = fn(*args, rng)
+                elif self.strategy == "aleatoric":
+                    out = fn(*args, *sigma_bounds)
+                else:
+                    out = fn(*args)
 
-        result = {
-            "prediction": np.asarray(out["prediction"] if target is None
-                                     else out["fg"] > 0.5)[:nz].astype(np.uint8),
-            "probabilities": np.asarray(out["fg"], np.float32)[:nz],
-            "entropy": np.asarray(out["entropy"], np.float32)[:nz],
-        }
-        if target is not None:
+        result = self._host_result(out, nz, target is not None, sigma_bounds)
+        return result
+
+    def _host_result(self, out, nz, scored, sigma_bounds):
+        if self.strategy == "aleatoric":
+            if scored:
+                prediction = np.asarray(out["prediction"])[:nz]
+                sigma = np.asarray(out["sigma"], np.float32)[:nz]
+                confidence = np.asarray(out["confidence"], np.float32)[:nz]
+            else:
+                prediction = np.asarray(out["prediction"])[:nz]
+                sigma = np.asarray(out["sigma"], np.float32)[:nz]
+                confidence = None
+                if sigma_bounds is not None:
+                    # fold host-side: keeps the unscored program cache free
+                    # of a bounds-specialized variant (elementwise, cheap)
+                    smin, smax = sigma_bounds
+                    eps = np.float32(1e-5)
+                    rescaled = (sigma - smin) / (smax - smin) \
+                        * (1 - 2 * eps) + eps
+                    confidence = np.where(prediction == 1,
+                                          1.0 - rescaled * 0.5,
+                                          rescaled * 0.5).astype(np.float32)
+            result = {"prediction": prediction.astype(np.uint8),
+                      "sigma": sigma}
+            if not scored:
+                result["probabilities"] = np.asarray(out["fg"],
+                                                     np.float32)[:nz]
+            if confidence is not None:
+                result["confidence"] = confidence
+        else:
+            fg = np.asarray(out["fg"], np.float32)[:nz]
+            result = {
+                "prediction": (fg > 0.5).astype(np.uint8),
+                "probabilities": fg,
+                "entropy": np.asarray(out["entropy"], np.float32)[:nz],
+            }
+        if scored:
             result["ece"] = np.float32(out["ece"])
             for key, value in out["correction"].items():
                 result[f"correction_{key}"] = np.asarray(value)
@@ -192,7 +327,9 @@ def make_http_server(service: VolumeInferenceService, host: str = "0.0.0.0",
             body = json.dumps({
                 "status": "ok",
                 "model_dir": service.model_dir,
+                "strategy": service.strategy,
                 "mc": service.mc,
+                "members": len(service.members),
                 "batch_size": service.batch_size,
                 "compiled_shapes": service.compiled_shapes(),
             }).encode()
@@ -208,10 +345,19 @@ def make_http_server(service: VolumeInferenceService, host: str = "0.0.0.0",
                                   allow_pickle=False)
                 if "images" not in payload:
                     raise ValueError('request .npz is missing "images"')
+                sigma_bounds = None
+                if "sigma_min" in payload or "sigma_max" in payload:
+                    if not ("sigma_min" in payload
+                            and "sigma_max" in payload):
+                        raise ValueError("sigma_min and sigma_max must be "
+                                         "sent together")
+                    sigma_bounds = (float(payload["sigma_min"]),
+                                    float(payload["sigma_max"]))
                 result = service.predict(
                     payload["images"],
                     target=payload["target"] if "target" in payload else None,
-                    mask=payload["mask"] if "mask" in payload else None)
+                    mask=payload["mask"] if "mask" in payload else None,
+                    sigma_bounds=sigma_bounds)
             except (ValueError, KeyError, OSError,
                     zipfile.BadZipFile) as exc:
                 # malformed payloads / bad shapes -> the client's fault

@@ -125,6 +125,7 @@ class TestHttp:
         with urllib.request.urlopen(server + "/v1/health") as resp:
             body = json.loads(resp.read())
         assert body["status"] == "ok" and body["mc"] == 3
+        assert body["strategy"] == "mc" and body["members"] == 0
 
     def test_predict_round_trip(self, server):
         rng = np.random.RandomState(3)
@@ -173,3 +174,149 @@ class TestHttp:
             urllib.request.urlopen(req)
         assert err.value.code == 400
         assert "images" in json.loads(err.value.read())["error"]
+
+
+@pytest.fixture(scope="module")
+def aleatoric_service(service, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serve_alea")
+    store = make_store(str(tmp_path / "ds.h5"), channels=4)
+    split_file = str(tmp_path / "split.json")
+    save_split(split_file, ["s00"], ["s01"], ["s02"])
+    loop = strategies.train_aleatoric(base_train_cfg(
+        tmp_path, store, split_file, name="srv_alea",
+        others={"is_log_sigma": False},
+        model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                        "nb_classes": 2, "start_filters": 4,
+                        "sigma_out": True}}))
+    return VolumeInferenceService(loop.model_files.model_dir,
+                                  batch_size=2, is_log_sigma=False)
+
+
+class TestAleatoricService:
+    def test_strategy_detected(self, aleatoric_service):
+        assert aleatoric_service.strategy == "aleatoric"
+
+    def test_missing_is_log_sigma_raises(self, aleatoric_service):
+        with pytest.raises(ValueError, match="is_log_sigma"):
+            VolumeInferenceService(aleatoric_service.model_dir, batch_size=2)
+
+    def test_unscored_serves_raw_sigma(self, aleatoric_service):
+        volume = np.random.RandomState(0).rand(2, *HW, 4).astype(np.float32)
+        out = aleatoric_service.predict(volume)
+        assert set(out) == {"prediction", "probabilities", "sigma"}
+        assert out["sigma"].shape == (2, *HW)
+        assert np.all(out["sigma"] >= 0)  # abs() semantics (non-log head)
+        np.testing.assert_array_equal(out["prediction"],
+                                      out["probabilities"] > 0.5)
+
+    def test_bounds_add_folded_confidence(self, aleatoric_service):
+        volume = np.random.RandomState(1).rand(2, *HW, 4).astype(np.float32)
+        base = aleatoric_service.predict(volume)
+        smin = float(base["sigma"].min()) - 0.1
+        smax = float(base["sigma"].max()) + 0.1
+        out = aleatoric_service.predict(volume, sigma_bounds=(smin, smax))
+        eps = 1e-5
+        rescaled = (base["sigma"] - smin) / (smax - smin) * (1 - 2 * eps) + eps
+        expect = np.where(base["prediction"] == 1, 1 - rescaled / 2,
+                          rescaled / 2)
+        np.testing.assert_allclose(out["confidence"], expect, rtol=1e-5)
+
+    def test_scored_without_bounds_rejected(self, aleatoric_service):
+        volume = np.zeros((2, *HW, 4), np.float32)
+        with pytest.raises(ValueError, match="sigma bounds"):
+            aleatoric_service.predict(volume,
+                                      target=np.zeros((2, *HW), np.uint8))
+
+    def test_scored_matches_fold_oracle(self, aleatoric_service):
+        from tests.test_ops_calibration import oracle_ece
+        rng = np.random.RandomState(2)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+        target = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        base = aleatoric_service.predict(volume)
+        smin = float(base["sigma"].min()) - 0.1
+        smax = float(base["sigma"].max()) + 0.1
+        out = aleatoric_service.predict(volume, target=target,
+                                        sigma_bounds=(smin, smax))
+        assert out["correction_corrected_dice"].shape == (11,)
+        probs2 = np.stack([1 - out["confidence"], out["confidence"]],
+                          -1).astype(np.float64)
+        expect = oracle_ece(probs2, target.astype(np.float64))
+        np.testing.assert_allclose(float(out["ece"]), expect, rtol=1e-4,
+                                   atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ensemble_service(service, tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serve_ens")
+    store = make_store(str(tmp_path / "ds.h5"), channels=4)
+    split_file = str(tmp_path / "split.json")
+    save_split(split_file, ["s00"], ["s01"], ["s02"])
+    member = strategies.train_default(base_train_cfg(
+        tmp_path, store, split_file, name="srv_m2",
+        model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                        "nb_classes": 2, "start_filters": 4}}))
+    return VolumeInferenceService(
+        service.model_dir, batch_size=2,
+        members=[member.model_files.model_dir])
+
+
+class TestEnsembleService:
+    def test_strategy_detected(self, ensemble_service):
+        assert ensemble_service.strategy == "ensemble"
+        assert len(ensemble_service.members) == 1
+
+    def test_unscored_is_member_mean(self, ensemble_service, service):
+        """The served probabilities are the member-mean softmax foreground
+        (reference MultiPredictionSummary over the member loop)."""
+        import jax
+        from rcu_tpu.eval.direct import _load_model_state
+        volume = np.random.RandomState(5).rand(2, *HW, 4).astype(np.float32)
+        out = ensemble_service.predict(volume)
+        member_fg = []
+        for model_dir in ([ensemble_service.model_dir]
+                          + ensemble_service.members):
+            model, params, batch_stats = _load_model_state(
+                model_dir, "best", (1, *HW, 4))
+            mout = model.apply({"params": params,
+                                "batch_stats": batch_stats},
+                               volume, train=False)
+            member_fg.append(np.asarray(
+                jax.nn.softmax(mout.logits, axis=-1))[..., 1])
+        expect = np.mean(member_fg, axis=0)
+        np.testing.assert_allclose(out["probabilities"], expect, rtol=1e-5,
+                                   atol=1e-6)
+        assert float(out["entropy"].max()) <= 1.0 + 1e-5
+
+    def test_scored(self, ensemble_service):
+        rng = np.random.RandomState(6)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+        target = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        out = ensemble_service.predict(volume, target=target)
+        assert np.isfinite(float(out["ece"]))
+        assert out["correction_tp"].shape == (11,)
+
+    def test_sigma_bounds_rejected(self, ensemble_service):
+        with pytest.raises(ValueError, match="aleatoric"):
+            ensemble_service.predict(np.zeros((2, *HW, 4), np.float32),
+                                     sigma_bounds=(0.0, 1.0))
+
+
+class TestProgramCacheLru:
+    def test_scored_programs_evict_at_cap(self, service):
+        """ADVICE r2: scored programs key on the exact slice count, so the
+        cache must be a bounded LRU, not grow one compiled program per
+        distinct volume Z for the lifetime of the server."""
+        small = VolumeInferenceService(service.model_dir, mc=2, batch_size=2,
+                                       max_programs=2)
+        rng = np.random.RandomState(7)
+        for nz in (2, 3, 4):
+            volume = rng.rand(nz, *HW, 4).astype(np.float32)
+            target = (rng.rand(nz, *HW) > 0.5).astype(np.uint8)
+            out = small.predict(volume, target=target)
+            assert np.isfinite(float(out["ece"]))
+            assert len(small.compiled_shapes()) <= 2
+        # evicted shape still answers (recompile, not crash)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+        target = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        assert np.isfinite(float(small.predict(volume,
+                                               target=target)["ece"]))
