@@ -30,7 +30,8 @@ if BIN_DIR not in sys.path:
 
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
-         throughput=False, unmasked=False, strategy=None, mc=None):
+         throughput=False, unmasked=False, strategy=None, mc=None,
+         dtype=None):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -41,7 +42,7 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
         os.path.dirname(config.model_dir or "."), "eval_direct")
     eces = evaluate_direct(config, out_dir, run_id=run_id, mesh=mesh,
                            subject_parallel=throughput, masked=not unmasked,
-                           strategy=strategy, mc=mc)
+                           strategy=strategy, mc=mc, dtype=dtype)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -66,6 +67,10 @@ if __name__ == "__main__":
     parser.add_argument("-mc", type=int, default=None,
                         help="MC-dropout sample count (default others.mc "
                              "or 20; 0 = deterministic protocol)")
+    parser.add_argument("-dtype", type=str, default=None,
+                        help="compute dtype override, e.g. bfloat16 (the "
+                             "production dtype; params stay f32 — parity "
+                             "gated by tests/test_bf16_parity.py)")
     parser.add_argument("-throughput", action="store_true",
                         help="whole subjects round-robin across devices "
                              "(fastest testset wall clock) instead of "
@@ -75,4 +80,4 @@ if __name__ == "__main__":
                              "convention)")
     args = parser.parse_args()
     main(args.config_file, args.run_id, args.out_dir, args.devices,
-         args.throughput, args.unmasked, args.strategy, args.mc)
+         args.throughput, args.unmasked, args.strategy, args.mc, args.dtype)

@@ -37,7 +37,7 @@ if BIN_DIR not in sys.path:
 
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          host="0.0.0.0", port=8475, prewarm=None, members=None,
-         is_log_sigma=None):
+         is_log_sigma=None, dtype=None):
     import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
@@ -53,7 +53,7 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
     service = VolumeInferenceService(model_dir, test_at=test_at, mc=mc,
                                      batch_size=batch_size, mesh=mesh,
                                      members=members,
-                                     is_log_sigma=is_log_sigma)
+                                     is_log_sigma=is_log_sigma, dtype=dtype)
     if prewarm:
         import numpy as np
         in_ch = service.in_channels  # resolved from model.json at init
@@ -95,7 +95,10 @@ if __name__ == "__main__":
     parser.add_argument("-no_log_sigma", dest="is_log_sigma",
                         action="store_false",
                         help="the sigma head emits raw sigma")
+    parser.add_argument("-dtype", type=str, default=None,
+                        help="compute dtype override, e.g. bfloat16 (the "
+                             "production dtype; params stay f32)")
     args = parser.parse_args()
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
          args.devices, args.host, args.port, args.prewarm, args.member,
-         args.is_log_sigma)
+         args.is_log_sigma, args.dtype)

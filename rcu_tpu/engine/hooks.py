@@ -173,6 +173,14 @@ class WriteValidationMetricsCsvHook(TrainLoopHook):
                 self._header = existing[0]
                 self._rows = existing[1:]
 
+    def on_startup(self, loop):
+        # a run resumed from a checkpoint EARLIER than its last validation
+        # re-runs those epochs: drop their preloaded rows or the rewritten
+        # CSV would interleave stale and fresh rows for the same epoch
+        resume_at = getattr(loop, "resume_epoch", None)
+        if resume_at is not None and self._rows:
+            self._rows = [r for r in self._rows if int(r[0]) <= resume_at]
+
     def on_validation_subject_end(self, loop, epoch, subject, results):
         if self._header is None:
             self._header = ["epoch", "subject"] + sorted(results.keys())

@@ -201,6 +201,7 @@ class TrainLoop:
         if resume_at is not None:
             self.load_checkpoint(resume_at)
             logging.info("resumed run %s at epoch %d", self.run_id, resume_at)
+        self.resume_epoch = resume_at  # last completed epoch, None if fresh
         self.hook.on_startup(self)
 
         first_epoch = 0 if resume_at is None else resume_at + 1

@@ -64,12 +64,16 @@ _CONFIDENCE_ENTRY = {"mc": "probabilities", "deterministic": "probabilities",
 
 
 def _load_model_state(model_dir: str, test_at, input_shape,
-                      provide_features: bool = False):
+                      provide_features: bool = False, dtype: str = None):
     mf = ckpt_lib.ModelFiles.from_model_dir(model_dir)
     model_node, _ = ckpt_lib.load_model_parameters(mf)
     params_dict = dict(model_node.params)
     if provide_features:
         params_dict["provide_features"] = True
+    if dtype:
+        # compute-dtype override (e.g. bfloat16 production inference);
+        # checkpoint params/BN stats stay f32 — see tests/test_bf16_parity.py
+        params_dict["dtype"] = dtype
     model = get_model(model_node.type, params_dict)
     path = ckpt_lib.find_checkpoint_file(mf, test_at)
     if path is None:
@@ -92,7 +96,7 @@ def _primary_test_at(config) -> str:
     return "best" if config.test_at in (None, "") else config.test_at
 
 
-def _load_ensemble_states(config, input_shape):
+def _load_ensemble_states(config, input_shape, dtype=None):
     """Primary model (config.model_dir @ config.test_at) + others.model_dir
     members @ others.test_at, stacked on a leading member axis (the protocol
     of strategies.test_ensemble / reference brats_test_ensemble.py:40-50)."""
@@ -112,7 +116,8 @@ def _load_ensemble_states(config, input_shape):
         logging.info("load ensemble model [%d/%d] %s", i + 1, len(all_dirs),
                      os.path.basename(model_dir))
         model, params, batch_stats = _load_model_state(model_dir, at,
-                                                       input_shape)
+                                                       input_shape,
+                                                       dtype=dtype)
         members.append((params, batch_stats))
     stack = lambda *xs: np.stack([np.asarray(x) for x in xs])  # noqa: E731
     stacked_params = jax.tree_util.tree_map(stack, *[m[0] for m in members])
@@ -216,7 +221,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     run_id: str = "baseline", mc: int = None,
                     thresholds=DEFAULT_THRESHOLDS, mesh=None,
                     masked: bool = True, subject_parallel: bool = False,
-                    strategy: str = None) -> dict:
+                    strategy: str = None, dtype: str = None) -> dict:
     """Run fused inference + eval for every test-split subject, one dispatch
     per volume (or per image chunk on native-2D datasets); write the
     ``eval_calibration_*``, ``eval_uncertainty_*_th*`` and
@@ -227,7 +232,10 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     :data:`STRATEGIES`); by default it is auto-detected from the checkpoint
     and config (see :func:`_detect_strategy`). ``mc`` counts the MC-dropout
     samples for the ``mc`` strategy (default ``others.mc`` or 20; ``mc=0``
-    selects the deterministic baseline protocol).
+    selects the deterministic baseline protocol). ``dtype='bfloat16'``
+    overrides the model's compute dtype (params stay f32) — the production
+    configuration, parity-gated at the BASELINE 1e-3 ECE/Dice bar by
+    tests/test_bf16_parity.py.
 
     ``masked=True`` applies the BraTS t2>0 head-support foreground mask,
     derived from the RAW t2 source file recorded in the store's files
@@ -285,19 +293,20 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     member_sharded = ()  # indices of `state` that shard over the model axis
     if strategy == "ensemble":
         model, stacked_params, stacked_stats = _load_ensemble_states(
-            config, input_shape)
+            config, input_shape, dtype=dtype)
         state = (stacked_params, stacked_stats)
         member_sharded = (0, 1)
     elif strategy == "auxiliary_feat":
         segm_model, segm_params, segm_stats = _load_model_state(
             config.others["model_dir"], config.others["test_at"], input_shape,
-            provide_features=True)
+            provide_features=True, dtype=dtype)
         model, post_params, post_stats = _load_model_state(
-            config.model_dir, test_at, input_shape)
+            config.model_dir, test_at, input_shape, dtype=dtype)
         state = (segm_params, segm_stats, post_params, post_stats)
     else:
         model, params, batch_stats = _load_model_state(config.model_dir,
-                                                       test_at, input_shape)
+                                                       test_at, input_shape,
+                                                       dtype=dtype)
         state = (params, batch_stats)
 
     aleatoric = strategy == "aleatoric"

@@ -63,7 +63,7 @@ class VolumeInferenceService:
                  batch_size: int = 32, mesh=None,
                  thresholds=DEFAULT_THRESHOLDS, seed: int = 0,
                  members: list = None, is_log_sigma: bool = None,
-                 max_programs: int = 32):
+                 max_programs: int = 32, dtype: str = None):
         from rcu_tpu.engine import checkpoint as ckpt_lib
         from rcu_tpu.eval.direct import _load_model_state
         self.model_dir = model_dir
@@ -81,15 +81,16 @@ class VolumeInferenceService:
             ckpt_lib.ModelFiles.from_model_dir(model_dir))
         self.in_channels = int(model_node.params.get("in_channels", 4))
         probe = (1, 16, 16, self.in_channels)
-        self.model, params, batch_stats = _load_model_state(model_dir,
-                                                            test_at, probe)
+        self.model, params, batch_stats = _load_model_state(
+            model_dir, test_at, probe, dtype=dtype)
         self.members = list(members or [])
         member_sharded = False
         if self.members:
             self.strategy = "ensemble"
             stacks = [(params, batch_stats)]
             for member_dir in self.members:
-                _, p, bs = _load_model_state(member_dir, test_at, probe)
+                _, p, bs = _load_model_state(member_dir, test_at, probe,
+                                             dtype=dtype)
                 stacks.append((p, bs))
             stack = lambda *xs: np.stack(  # noqa: E731
                 [np.asarray(x) for x in xs])

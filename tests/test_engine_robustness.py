@@ -42,6 +42,30 @@ class TestResumeAwareHooks:
         assert rows[0] == ["epoch", "subject", "dice"]
         assert [r[0] for r in rows[1:]] == ["0", "1"]  # both epochs survive
 
+    def test_validation_csv_drops_rerun_epoch_rows(self, tmp_path):
+        """ADVICE r2: resuming from a checkpoint EARLIER than the last
+        validated epoch re-runs those epochs — their preloaded rows must be
+        dropped at startup or the CSV interleaves stale and fresh rows for
+        the same (epoch, subject)."""
+        path = str(tmp_path / "validation_metrics.csv")
+        first = hooks_lib.WriteValidationMetricsCsvHook(path)
+        for epoch, dice in ((0, 0.5), (1, 0.6), (2, 0.7)):
+            first.on_validation_subject_end(None, epoch, "s00", {"dice": dice})
+        first.on_validation_end(None, 2, 0.7, True, [])
+
+        class LoopStub:
+            resume_epoch = 0  # checkpoint at epoch 0 -> epochs 1,2 re-run
+
+        resumed = hooks_lib.WriteValidationMetricsCsvHook(path)
+        resumed.on_startup(LoopStub())
+        resumed.on_validation_subject_end(None, 1, "s00", {"dice": 0.65})
+        resumed.on_validation_end(None, 1, 0.65, True, [])
+
+        with open(path, newline="") as f:
+            rows = list(csv.reader(f))
+        assert [(r[0], r[2]) for r in rows[1:]] == [("0", "0.5"),
+                                                    ("1", "0.65")]
+
     def test_tensorboard_step_derives_from_epoch(self, tmp_path, monkeypatch):
         hook = hooks_lib.TensorboardHook(str(tmp_path / "tb"))
         steps = []
