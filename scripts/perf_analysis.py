@@ -1,13 +1,29 @@
-"""Roofline analysis of the headline fused MC+eval program on the TPU.
+"""Roofline analysis of the fused MC+eval program AND the training step on
+the TPU.
 
 Combines XLA's own cost analysis (FLOPs + bytes accessed) with measured
-per-volume wall clock to show WHICH v5e roof binds each variant:
+wall clock to show WHICH v5e roof binds each variant.
 
+Inference (``--section infer``, one JSON line per dtype):
 - f32: convs execute as 3 bf16 MXU passes, so the compute roof is
   peak_bf16 / 3 — the headline ~31-32% MFU is ~95% of that roof;
 - bf16: the conv roof lifts 3x but the pipeline becomes HBM-bound
   (achieved bytes/s approaches the ~819 GB/s v5e HBM peak), which is why
-  bf16 only gains ~15%.
+  bf16 only gains ~15% staged / ~30% on the direct path.
+
+Training (``--section train``): fwd+bwd+adam+BN on 32x240x240x4 batches is
+**HBM-bound at both dtypes** (measured r3: f32 12.3 Mvox/s best = 28% of the
+3-pass conv roof but 71% of the HBM upper-bound estimate; bf16 16.9-17.4
+Mvox/s = 13% conv / 64% HBM): the backward pass streams stored activations.
+Measured negative result (the remat question, closed like r2's BN-folding):
+wrapping the whole forward in ``jax.checkpoint`` — recompute activations in
+the bwd instead of storing them — LOSES 15% (f32, 12.0 -> 10.2 Mvox/s) and
+17% (bf16, 17.4 -> 14.4), with XLA-counted bytes RISING 87 -> 104 GB (f32):
+XLA's fusion already avoids materializing the elementwise intermediates
+remat would save, so full-graph recompute only adds the extra forward's
+traffic and FLOPs. The input pipeline is not the binder either: the host
+loader feeds ~62 Mvox/s (scripts/bench_loader.py) vs the ~17 Mvox/s device
+step — 3.6x headroom.
 
 Prints one JSON line per dtype. Run on the real chip: the persistent
 compile cache makes repeats fast.
@@ -87,9 +103,80 @@ def analyze(dtype=None):
     }))
 
 
+def analyze_train(dtype=None):
+    """Train-step roofline: fwd+bwd+optax+BN via XLA cost analysis of the
+    compiled step, same methodology as the inference section (bytes accessed
+    is an upper estimate of HBM traffic)."""
+    from rcu_tpu.engine import steps as steps_lib
+    from rcu_tpu.engine.state import create_train_state
+    from rcu_tpu.models import get_model, get_optimizer
+
+    B = BATCH
+    kwargs = dict(nb_classes=2, in_channels=C, depth=4, start_filters=32,
+                  dropout=0.05)
+    if dtype:
+        kwargs["dtype"] = dtype
+    model = get_model("unet", kwargs)
+    optimizer = get_optimizer("adam", {"lr": 1e-4})
+    state = create_train_state(model, optimizer, (1, H, W, C))
+    train_step = steps_lib.make_train_step(model, optimizer)
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "images": jnp.asarray(rng.rand(B, H, W, C), jnp.float32),
+        "labels": jnp.asarray(rng.rand(B, H, W) > 0.5, jnp.int32),
+        "valid": jnp.ones((B,), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    analysis = train_step.lower(state, batch, key).compile().cost_analysis()
+    if isinstance(analysis, (list, tuple)):
+        analysis = analysis[0]
+    flops = float(analysis.get("flops", 0.0))
+    bytes_accessed = float(analysis.get("bytes accessed", 0.0))
+
+    state, metrics = train_step(state, batch, key)
+    float(metrics["loss"])
+    rates = []
+    for c in range(4):
+        t0 = time.perf_counter()
+        for i in range(5):
+            state, metrics = train_step(state, batch,
+                                        jax.random.fold_in(key, c * 5 + i))
+        float(metrics["loss"])
+        rates.append(5 / (time.perf_counter() - t0))
+    steps_per_sec = max(rates)
+
+    conv_roof = V5E_BF16_PEAK / (3 if dtype is None else 1)
+    achieved_flops = flops * steps_per_sec
+    achieved_bytes = bytes_accessed * steps_per_sec
+    print(json.dumps({
+        "section": "train",
+        "dtype": dtype or "float32",
+        "voxels_per_sec": round(steps_per_sec * B * H * W, 1),
+        "step_tflops": round(flops / 1e12, 2),
+        "mfu": round(achieved_flops / V5E_BF16_PEAK, 4),
+        "pct_of_conv_roof": round(100 * achieved_flops / conv_roof, 1),
+        "step_gbytes_accessed": round(bytes_accessed / 1e9, 1),
+        "pct_of_hbm_peak": round(100 * achieved_bytes / V5E_HBM_BYTES_PER_S,
+                                 1),
+        "binding_roof": "hbm-bandwidth"
+        if achieved_bytes / V5E_HBM_BYTES_PER_S
+        > achieved_flops / conv_roof else "conv-compute",
+    }))
+
+
 def main():
-    analyze()
-    analyze("bfloat16")
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--section", choices=["infer", "train", "all"],
+                        default="all")
+    args = parser.parse_args()
+    if args.section in ("infer", "all"):
+        analyze()
+        analyze("bfloat16")
+    if args.section in ("train", "all"):
+        analyze_train()
+        analyze_train("bfloat16")
 
 
 if __name__ == "__main__":
