@@ -1,0 +1,219 @@
+"""Op-level attribution of the bf16 inference gap (VERDICT r2 item 4).
+
+The bf16 direct pipeline sits at neither the MXU conv roof (3x above it)
+nor the HBM roof; this script names the consumers by STAGED ABLATION of the
+fused volume program: each variant keeps a prefix of the pipeline and
+reduces its outputs to scalars (so output transfer is constant and XLA
+dead-code-eliminates everything after the kept stage). The wall-clock
+difference between consecutive variants is that stage's cost. Ablation is
+used instead of an xprof device trace because the remote (axon) tunnel
+carries no device-side trace events — wall-clock deltas of compiled
+variants are the ground truth available here.
+
+Variants (all bf16 unless --dtype, batch 32, T=20, one BraTS volume):
+  logits   : T stochastic U-Net forwards, sum of logits (conv+dropout core)
+  softmax  : + per-sample 2-class softmax, sum of probs
+  mean     : + mean over the T samples, sum of mean probs (fg)
+  entropy  : + normalized entropy map of the mean, sum
+  full     : + masked ECE bins + 11-threshold correction (the real program)
+
+Prints one JSON line per variant with voxels/sec and the stage's share of
+the full program's time.
+"""
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from bench import (BATCH, C, H, MC_T, PAD_SLICES, THRESHOLDS,  # noqa: E402
+                   VOL_SLICES, W)
+
+VARIANTS = ("logits", "softmax", "mean", "entropy", "full")
+
+
+def build_variant(model, kind):
+    from rcu_tpu.ops import calibration as cal_ops
+    from rcu_tpu.ops import metrics as metrics_ops
+    from rcu_tpu.ops import uncertainty as u_ops
+
+    def run(params, batch_stats, batched, target, mask, thresholds, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def one_batch(_, inp):
+            images, batch_index = inp
+            key = jax.random.fold_in(rng, batch_index)
+            keys = jax.random.split(key, MC_T)
+
+            if kind == "logits":
+                def one(k):
+                    out = model.apply(variables, images, train=False,
+                                      mc_dropout=True, rngs={"dropout": k})
+                    return out.logits
+                stack = jax.vmap(one)(keys)
+                return None, jnp.sum(stack.astype(jnp.float32))
+
+            def one(k):
+                out = model.apply(variables, images, train=False,
+                                  mc_dropout=True, rngs={"dropout": k})
+                return jax.nn.softmax(out.logits, axis=-1)
+
+            mc_probs = jax.vmap(one)(keys)
+            if kind == "softmax":
+                return None, jnp.sum(mc_probs)
+            probabilities = jnp.mean(mc_probs, axis=0)
+            if kind == "mean":
+                return None, jnp.sum(probabilities[..., 1])
+            ent = metrics_ops.entropy(probabilities, axis=-1)
+            if kind == "entropy":
+                return None, jnp.sum(probabilities[..., 1]) + jnp.sum(ent)
+            return None, (probabilities[..., 1], ent)
+
+        n_batches = batched.shape[0]
+        _, out = jax.lax.scan(one_batch, None,
+                              (batched, jnp.arange(n_batches)))
+        if kind != "full":
+            return jnp.sum(out)
+        fg, ent = out
+        fg = fg.reshape((-1,) + fg.shape[2:])[:VOL_SLICES]
+        ent = ent.reshape((-1,) + ent.shape[2:])[:VOL_SLICES] / jnp.log(2.0)
+        prediction = fg > 0.5
+        ece, bins = cal_ops.ece_binary_with_bins(fg, target, mask)
+        correction = u_ops.correction_eval(prediction, target, ent,
+                                           thresholds)
+        return ece + jnp.sum(correction["corrected_dice"]) \
+            + jnp.sum(bins["bins_count"])
+
+    return jax.jit(run)
+
+
+def main(dtype="bfloat16"):
+    from rcu_tpu.models import get_model
+    kwargs = dict(nb_classes=2, in_channels=C, depth=4, start_filters=32,
+                  dropout=0.05)
+    if dtype:
+        kwargs["dtype"] = dtype
+    model = get_model("unet", kwargs)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda k: model.init({"params": k}, jnp.zeros((1, H, W, C)),
+                                 train=False))(jax.random.PRNGKey(0))
+    params = jax.device_put(variables["params"])
+    batch_stats = jax.device_put(variables.get("batch_stats", {}))
+
+    rng = np.random.RandomState(0)
+    batched = jax.device_put(
+        rng.rand(PAD_SLICES // BATCH, BATCH, H, W, C).astype(np.float32))
+    target = jax.device_put(
+        (rng.rand(VOL_SLICES, H, W) < 0.3).astype(np.uint8))
+    mask = jax.device_put(rng.rand(VOL_SLICES, H, W) < 0.8)
+    th = jnp.asarray(THRESHOLDS, jnp.float32)
+
+    times = {}
+    for kind in VARIANTS:
+        fn = build_variant(model, kind)
+        out = fn(params, batch_stats, batched, target, mask, th,
+                 jax.random.PRNGKey(9))
+        float(out)  # value fetch = the only reliable remote sync
+        best = None
+        for v in range(3):
+            t0 = time.perf_counter()
+            out = fn(params, batch_stats, batched, target, mask, th,
+                     jax.random.PRNGKey(v))
+            float(out)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[kind] = best
+
+    full = times["full"]
+    prev = None
+    for kind in VARIANTS:
+        dt = times[kind]
+        stage_cost = None if prev is None else dt - times[prev]
+        print(json.dumps({
+            "variant": kind,
+            "dtype": dtype or "float32",
+            "volume_seconds": round(dt, 4),
+            "voxels_per_sec": round(VOL_SLICES * H * W / dt, 1),
+            "stage_seconds": round(stage_cost, 4)
+            if stage_cost is not None else None,
+            "stage_pct_of_full": round(100 * stage_cost / full, 1)
+            if stage_cost is not None else round(100 * dt / full, 1),
+        }))
+        prev = kind
+
+
+def conv_levels(dtype="bfloat16"):
+    """Per-U-Net-level conv efficiency: a chained stack of 3x3 convs (+bias,
+    relu) at each level's (spatial, channel) shape, achieved TFLOP/s vs the
+    v5e bf16 peak. Each level carries the SAME FLOPs in the paper U-Net
+    (spatial /4 and channels x4 cancel), so per-level efficiency directly
+    weights the whole forward."""
+    import flax.linen as nn
+
+    peak = 197e12
+    # enough chained convs that device time (~1s) amortizes the remote
+    # dispatch round trip — at repeats=8 the tunnel latency dominated and
+    # every level read as ~2% of peak
+    repeats = 128
+    for hw, ch in ((240, 32), (120, 64), (60, 128), (30, 256)):
+        jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+        class Stack(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                for _ in range(repeats):
+                    x = nn.Conv(ch, (3, 3), padding=1, dtype=jdtype)(x)
+                    x = nn.relu(x)
+                return jnp.sum(x.astype(jnp.float32))
+
+        module = Stack()
+        x = jnp.asarray(np.random.RandomState(0).rand(BATCH, hw, hw, ch),
+                        jdtype)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            variables = jax.jit(module.init)(jax.random.PRNGKey(0),
+                                             jnp.zeros((1, hw, hw, ch),
+                                                       jdtype))
+        variables = jax.device_put(variables)
+        fn = jax.jit(module.apply)
+        float(fn(variables, x))
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(variables, x))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        flops = 2.0 * 9 * ch * ch * hw * hw * BATCH * repeats
+        print(json.dumps({
+            "level_hw": hw, "channels": ch, "dtype": dtype,
+            "achieved_tflops_per_s": round(flops / best / 1e12, 2),
+            "pct_of_bf16_peak": round(100 * flops / best / peak, 1),
+        }))
+
+
+if __name__ == "__main__":
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--levels", action="store_true",
+                        help="per-U-Net-level conv efficiency microbench")
+    args = parser.parse_args()
+    dtype = None if args.dtype in ("f32", "float32", "none") else args.dtype
+    if args.levels:
+        conv_levels(args.dtype)
+    else:
+        main(dtype)

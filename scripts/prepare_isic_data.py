@@ -1,7 +1,12 @@
-"""Resize the ISIC-2017 images to 192x256 (reference scripts/prepare_isic_data.py).
+"""ISIC-2017 preprocessing: resample every task split to the paper's
+192x256 working size (counterpart of reference scripts/prepare_isic_data.py;
+output filenames, directory suffixes and pixel semantics are the frozen
+contract, the structure is this project's resample-plan table).
 
-Images resize bilinearly; ground truth and superpixel maps nearest-neighbor.
-Processes the Training/Validation/Test_v2 task dirs into ISIC_PREPROCESSED_DIR.
+The plan below is the whole policy: which collector entry lands in which
+sibling directory with which PIL filter. Lesion photographs interpolate
+bilinearly; label-valued rasters (ground-truth masks, superpixel index maps)
+must stay label-valued, so they resample nearest-neighbor.
 """
 import argparse
 import os
@@ -15,36 +20,35 @@ sys.path.insert(0, REPO_ROOT)
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.data.collector import IsicCollector  # noqa: E402
 
-NEW_SIZE_HW = (192, 256)
+TARGET_WH = (256, 192)  # PIL order (w, h) — the paper's 192x256 (h, w)
+
+# (collector category, entry) -> (output dir suffix, PIL resample filter);
+# entries missing for a subject (e.g. superpixels) are skipped
+RESAMPLE_PLAN = {
+    ("images", "image"): ("_Data", Image.BILINEAR),
+    ("labels", "gt"): ("_Part1_GroundTruth", Image.NEAREST),
+    ("images", "superpixels"): ("_Data", Image.NEAREST),
+}
 
 
-def process_data(out_dir: str, in_dir_with_task_prefix: str):
-    print(f"Process: {os.path.basename(in_dir_with_task_prefix)}")
-    collector = IsicCollector(in_dir_with_task_prefix, with_superpixels=True)
-    subject_files = collector.get_subject_files()
+def process_data(out_dir: str, task_dir: str):
+    """Resample one task split (its ``_Data``/``_Part1_GroundTruth`` sibling
+    dirs) into the same layout under ``out_dir``."""
+    task = os.path.basename(task_dir)
+    print(f"Process: {task}")
+    subject_files = IsicCollector(task_dir,
+                                  with_superpixels=True).get_subject_files()
+    for suffix, _ in RESAMPLE_PLAN.values():
+        os.makedirs(os.path.join(out_dir, task + suffix), exist_ok=True)
 
-    out_img_dir = os.path.join(
-        out_dir, os.path.basename(in_dir_with_task_prefix) + "_Data")
-    out_label_dir = os.path.join(
-        out_dir, os.path.basename(in_dir_with_task_prefix) + "_Part1_GroundTruth")
-    os.makedirs(out_img_dir, exist_ok=True)
-    os.makedirs(out_label_dir, exist_ok=True)
-
-    size_wh = NEW_SIZE_HW[::-1]  # PIL uses (w, h)
     for i, sf in enumerate(subject_files):
         print(f"[{i + 1}/{len(subject_files)}] {sf.subject}", flush=True)
-        img_path = sf.categories["images"].entries["image"]
-        Image.open(img_path).resize(size_wh, Image.BILINEAR).save(
-            os.path.join(out_img_dir, os.path.basename(img_path)))
-
-        gt_path = sf.categories["labels"].entries["gt"]
-        Image.open(gt_path).resize(size_wh, Image.NEAREST).save(
-            os.path.join(out_label_dir, os.path.basename(gt_path)))
-
-        sp_path = sf.categories["images"].entries.get("superpixels")
-        if sp_path:
-            Image.open(sp_path).resize(size_wh, Image.NEAREST).save(
-                os.path.join(out_img_dir, os.path.basename(sp_path)))
+        for (category, entry), (suffix, resample) in RESAMPLE_PLAN.items():
+            path = sf.categories[category].entries.get(entry)
+            if not path:
+                continue
+            Image.open(path).resize(TARGET_WH, resample).save(
+                os.path.join(out_dir, task + suffix, os.path.basename(path)))
 
 
 def main(in_root: str = None, out_dir: str = None):

@@ -168,3 +168,36 @@ class TestIsicPrepare:
             d = json.load(f)
         assert len(d["train"]) == 5 and len(d["train"][0]) == 8
         assert d["valid"] == d["test"]  # CV: valid doubles as test
+
+    def test_isic_resplit_train_seed_protocol(self, tmp_path):
+        """The sub-train recipe's isolated Random(100) stream must produce
+        byte-identical output to the paper's protocol (global
+        getstate/seed(100)/shuffle/setstate) — the vendored split JSON was
+        generated that way."""
+        import random
+        mod = load_script("create_isic_subtrain_split")
+        data = tmp_path / "ISIC-2017_Training_Data"
+        gt = tmp_path / "ISIC-2017_Training_Part1_GroundTruth"
+        data.mkdir(), gt.mkdir()
+        names = []
+        for i in range(20):
+            s = f"ISIC_{i:07d}"
+            names.append(s)
+            Image.new("RGB", (8, 8)).save(data / f"{s}.jpg")
+            Image.new("L", (8, 8)).save(gt / f"{s}_segmentation.png")
+            Image.new("L", (8, 8)).save(data / f"{s}_superpixels.png")
+        out = tmp_path / "splits"
+        mod.main("resplit-train",
+                 data_dir=str(tmp_path / "ISIC-2017_Training"),
+                 out_dir=str(out))
+        assert os.listdir(out) == ["split_isic_sub_2-0-0.json"]
+        with open(out / "split_isic_sub_2-0-0.json") as f:
+            got = json.load(f)
+
+        # the reference's exact RNG dance, in-place on the sorted names
+        expected = sorted(names)
+        state = random.getstate()
+        random.seed(100)
+        random.shuffle(expected)
+        random.setstate(state)
+        assert got["train"] == expected[:2]
