@@ -1,18 +1,21 @@
 """Model-serving CLI (no reference counterpart — the reference is offline
 scripts only; this is the deployment surface for the fused TPU programs).
 
-Loads a checkpoint once and serves volume inference over HTTP. MC-dropout,
-aleatoric (sigma head; pass -is_log_sigma/-no_log_sigma) and stacked-member
-ensembles (-member DIR, repeatable) are all served; /v1/health reports the
-detected strategy.
+Loads a checkpoint once and serves volume inference over HTTP. Every
+strategy family is served: MC-dropout (default; -mc 0 = deterministic),
+aleatoric (sigma head; pass -is_log_sigma/-no_log_sigma), stacked-member
+ensembles (-member DIR, repeatable), auxiliary feat (-segm_model_dir DIR)
+and auxiliary segm (-aux_segm; requests carry a 'baseline' volume);
+/v1/health reports the detected strategy.
 
   python bin/serve.py -model_dir out/.../model_x [-test_at best] [-mc 20]
       [-batch_size 32] [-devices N] [-host 0.0.0.0] [-port 8475]
       [-member DIR ...] [-is_log_sigma | -no_log_sigma]
+      [-segm_model_dir DIR | -aux_segm] [-dtype bfloat16]
 
-  POST /v1/predict  .npz{images[,target,mask,sigma_min,sigma_max]} ->
-                    .npz{prediction, probabilities|sigma, entropy|confidence
-                    [, ece, correction_*]}
+  POST /v1/predict  .npz{images[,target,mask,sigma_min,sigma_max,baseline]}
+                    -> .npz{prediction, probabilities|sigma|confidence,
+                    entropy[, ece, correction_*]}
   GET  /v1/health   JSON status + strategy + warm compiled shapes
 
 Client example (stdlib only):
@@ -37,7 +40,8 @@ if BIN_DIR not in sys.path:
 
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          host="0.0.0.0", port=8475, prewarm=None, members=None,
-         is_log_sigma=None, dtype=None):
+         is_log_sigma=None, dtype=None, segm_model_dir=None,
+         aux_segm=False):
     import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
@@ -53,7 +57,9 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
     service = VolumeInferenceService(model_dir, test_at=test_at, mc=mc,
                                      batch_size=batch_size, mesh=mesh,
                                      members=members,
-                                     is_log_sigma=is_log_sigma, dtype=dtype)
+                                     is_log_sigma=is_log_sigma, dtype=dtype,
+                                     segm_model_dir=segm_model_dir,
+                                     aux_segm=aux_segm)
     if prewarm:
         import numpy as np
         in_ch = service.in_channels  # resolved from model.json at init
@@ -98,7 +104,13 @@ if __name__ == "__main__":
     parser.add_argument("-dtype", type=str, default=None,
                         help="compute dtype override, e.g. bfloat16 (the "
                              "production dtype; params stay f32)")
+    parser.add_argument("-segm_model_dir", type=str, default=None,
+                        help="auxiliary-feat: the frozen segmenter's model "
+                             "dir (model_dir then holds the PostNet)")
+    parser.add_argument("-aux_segm", action="store_true",
+                        help="auxiliary-segm error net: requests must carry "
+                             "a 'baseline' prediction volume")
     args = parser.parse_args()
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
          args.devices, args.host, args.port, args.prewarm, args.member,
-         args.is_log_sigma, args.dtype)
+         args.is_log_sigma, args.dtype, args.segm_model_dir, args.aux_segm)

@@ -460,10 +460,12 @@ def _aux_feat_scan(segm_model, post_model, segm_params, segm_stats,
 
 
 def make_volume_aux_feat_eval_fn(segm_model, post_model, batch_size: int,
-                                 vol_slices: int, mesh=None):
+                                 vol_slices: int, mesh=None,
+                                 artifacts: bool = False):
     """One dispatch per subject: (segm_params, segm_stats, post_params,
     post_stats, batched, target, mask, thresholds) -> confidence-protocol
-    eval dict (``_rescale`` result ids)."""
+    eval dict (``_rescale`` result ids). ``artifacts=True`` additionally
+    returns the per-voxel serving payload (confidence, prediction)."""
 
     def run(segm_params, segm_stats, post_params, post_stats, batched,
             target, mask, thresholds):
@@ -472,12 +474,36 @@ def make_volume_aux_feat_eval_fn(segm_model, post_model, batch_size: int,
                                     batched)
         conf = _trim(conf, vol_slices)
         pred = _trim(pred, vol_slices)
-        return _confidence_eval(conf, pred, target, mask, thresholds)
+        out = _confidence_eval(conf, pred, target, mask, thresholds)
+        if artifacts:
+            out.update(confidence=conf, prediction=pred)
+        return out
 
     if mesh is None:
         return jax.jit(run)
     rep, data = _volume_shardings(mesh)
     return jax.jit(run, in_shardings=(rep,) * 4 + (data,) + (rep,) * 3,
+                   out_shardings=rep)
+
+
+def make_volume_aux_feat_fn(segm_model, post_model, batch_size: int,
+                            vol_slices: int, mesh=None):
+    """Inference-only auxiliary-feat serving program: (segm_params,
+    segm_stats, post_params, post_stats, batched) -> {confidence,
+    prediction} per voxel (PostNet fg + frozen-segmenter argmax — the two
+    staged artifacts)."""
+
+    def run(segm_params, segm_stats, post_params, post_stats, batched):
+        conf, pred = _aux_feat_scan(segm_model, post_model, segm_params,
+                                    segm_stats, post_params, post_stats,
+                                    batched)
+        return {"confidence": _trim(conf, vol_slices),
+                "prediction": _trim(pred, vol_slices)}
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep,) * 4 + (data,),
                    out_shardings=rep)
 
 
@@ -516,11 +542,12 @@ def _aux_segm_scan(model, params, batch_stats, batched, batched_baseline):
 
 
 def make_volume_aux_segm_eval_fn(model, batch_size: int, vol_slices: int,
-                                 mesh=None):
+                                 mesh=None, artifacts: bool = False):
     """One dispatch per subject: (params, batch_stats, batched,
     batched_baseline, target, mask, thresholds) -> confidence-protocol eval
     dict; the prediction artifact is the BASELINE's passthrough prediction
-    (reference brats_test_auxiliary_segm.py:68-69)."""
+    (reference brats_test_auxiliary_segm.py:68-69). ``artifacts=True``
+    additionally returns the per-voxel confidence map."""
 
     def run(params, batch_stats, batched, batched_baseline, target, mask,
             thresholds):
@@ -528,12 +555,35 @@ def make_volume_aux_segm_eval_fn(model, batch_size: int, vol_slices: int,
                               batched_baseline)
         conf = _trim(conf, vol_slices)
         pred = _trim(batched_baseline, vol_slices).astype(jnp.uint8)
-        return _confidence_eval(conf, pred, target, mask, thresholds)
+        out = _confidence_eval(conf, pred, target, mask, thresholds)
+        if artifacts:
+            out.update(confidence=conf, prediction=pred)
+        return out
 
     if mesh is None:
         return jax.jit(run)
     rep, data = _volume_shardings(mesh)
     return jax.jit(run, in_shardings=(rep, rep, data, data) + (rep,) * 3,
+                   out_shardings=rep)
+
+
+def make_volume_aux_segm_fn(model, batch_size: int, vol_slices: int,
+                            mesh=None):
+    """Inference-only auxiliary-segm serving program: (params, batch_stats,
+    batched, batched_baseline) -> {confidence, prediction} per voxel (the
+    error net's fg + the baseline passthrough)."""
+
+    def run(params, batch_stats, batched, batched_baseline):
+        conf = _aux_segm_scan(model, params, batch_stats, batched,
+                              batched_baseline)
+        return {"confidence": _trim(conf, vol_slices),
+                "prediction": _trim(batched_baseline,
+                                    vol_slices).astype(jnp.uint8)}
+
+    if mesh is None:
+        return jax.jit(run)
+    rep, data = _volume_shardings(mesh)
+    return jax.jit(run, in_shardings=(rep, rep, data, data),
                    out_shardings=rep)
 
 

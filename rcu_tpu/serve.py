@@ -7,9 +7,10 @@ and answer requests with the standard artifacts, optionally scoring them
 against a provided ground truth with the same fused eval pass the offline
 pipeline uses (rcu_tpu.eval.pipeline).
 
-Three checkpoint families are served (auto-detected / constructor-selected):
+Every checkpoint family is served (auto-detected / constructor-selected):
 - **MC-dropout** (default): prediction / foreground probabilities /
-  normalized entropy; scoring = masked ECE + 11-threshold correction.
+  normalized entropy; scoring = masked ECE + 11-threshold correction
+  (``mc=0`` serves the deterministic baseline protocol).
 - **Aleatoric** (sigma-headed checkpoint; pass ``is_log_sigma``): adds the
   UNRESCALED predicted-class ``sigma`` map. The offline sigma protocol's
   global rescale is a RUN-level two-pass computation, so bounds ride the
@@ -20,13 +21,22 @@ Three checkpoint families are served (auto-detected / constructor-selected):
 - **Ensemble** (``members=[model_dir, ...]``): stacked member params vmapped
   in one program (EP over a 2-D mesh's 'model' axis); artifacts are the
   member-mean probabilities + entropy (brats_test_ensemble.py:72-94).
+- **Auxiliary feat.** (``segm_model_dir=...``; model_dir holds the PostNet):
+  frozen segmenter + PostNet in one program; artifacts are the confidence
+  map + the segmenter's prediction; scoring = the confidence protocol
+  (subject rescale + fold, brats_test_auxiliary_feat.py:89-129).
+- **Auxiliary segm.** (``aux_segm=True``): the error net over
+  images+baseline; every request must carry the ``baseline`` prediction
+  volume; artifacts are the confidence map + the baseline passthrough
+  (brats_test_auxiliary_segm.py:68-120).
 
 Wire protocol (stdlib-only on both ends; arrays ride npz):
   POST /v1/predict  body: ``.npz`` with ``images`` [Z,H,W,C] (or [H,W,C])
                     float32, optional ``target`` [Z,H,W] and — only together
                     with a target — ``mask`` [Z,H,W] (masks gate the eval
                     reductions, never the artifacts), optional
-                    ``sigma_min``/``sigma_max`` scalars (aleatoric).
+                    ``sigma_min``/``sigma_max`` scalars (aleatoric) and
+                    ``baseline`` [Z,H,W] (auxiliary-segm, required there).
                     Returns ``.npz`` with the strategy's artifacts and, when
                     a target was sent, ``ece`` plus the per-threshold
                     ``correction_*`` vectors.
@@ -63,7 +73,8 @@ class VolumeInferenceService:
                  batch_size: int = 32, mesh=None,
                  thresholds=DEFAULT_THRESHOLDS, seed: int = 0,
                  members: list = None, is_log_sigma: bool = None,
-                 max_programs: int = 32, dtype: str = None):
+                 max_programs: int = 32, dtype: str = None,
+                 segm_model_dir: str = None, aux_segm: bool = False):
         from rcu_tpu.engine import checkpoint as ckpt_lib
         from rcu_tpu.eval.direct import _load_model_state
         self.model_dir = model_dir
@@ -84,7 +95,11 @@ class VolumeInferenceService:
         self.model, params, batch_stats = _load_model_state(
             model_dir, test_at, probe, dtype=dtype)
         self.members = list(members or [])
+        self.segm_model = None
         member_sharded = False
+        if sum(map(bool, (self.members, segm_model_dir, aux_segm))) > 1:
+            raise ValueError("members, segm_model_dir and aux_segm select "
+                             "mutually exclusive serving strategies")
         if self.members:
             self.strategy = "ensemble"
             stacks = [(params, batch_stats)]
@@ -97,6 +112,22 @@ class VolumeInferenceService:
             state = (jax.tree_util.tree_map(stack, *[s[0] for s in stacks]),
                      jax.tree_util.tree_map(stack, *[s[1] for s in stacks]))
             member_sharded = True
+        elif segm_model_dir:
+            # auxiliary-feat: model_dir holds the PostNet, segm_model_dir
+            # the frozen segmenter whose features feed it
+            self.strategy = "auxiliary_feat"
+            self.segm_model, segm_params, segm_stats = _load_model_state(
+                segm_model_dir, test_at, probe, provide_features=True,
+                dtype=dtype)
+            self.in_channels = int(getattr(self.segm_model, "in_channels",
+                                           self.in_channels))
+            state = (segm_params, segm_stats, params, batch_stats)
+        elif aux_segm:
+            self.strategy = "auxiliary_segm"
+            # the error net consumes images + the baseline channel; clients
+            # send the raw image channels and the baseline separately
+            self.in_channels = max(1, self.in_channels - 1)
+            state = (params, batch_stats)
         elif getattr(self.model, "sigma_out", False):
             if is_log_sigma is None:
                 raise ValueError(
@@ -132,6 +163,21 @@ class VolumeInferenceService:
             kw = {"artifacts": True} if with_eval else {}
             return factory(self.model, batch, vol_slices, mesh=self.mesh,
                            **kw)
+        if self.strategy == "auxiliary_feat":
+            if with_eval:
+                return pl.make_volume_aux_feat_eval_fn(
+                    self.segm_model, self.model, batch, vol_slices,
+                    mesh=self.mesh, artifacts=True)
+            return pl.make_volume_aux_feat_fn(self.segm_model, self.model,
+                                              batch, vol_slices,
+                                              mesh=self.mesh)
+        if self.strategy == "auxiliary_segm":
+            if with_eval:
+                return pl.make_volume_aux_segm_eval_fn(
+                    self.model, batch, vol_slices, mesh=self.mesh,
+                    artifacts=True)
+            return pl.make_volume_aux_segm_fn(self.model, batch, vol_slices,
+                                              mesh=self.mesh)
         if self.strategy == "aleatoric":
             if with_eval:
                 return pl.make_volume_aleatoric_eval_fn(
@@ -179,9 +225,17 @@ class VolumeInferenceService:
 
     # -------------------------------------------------------------- predict
     def predict(self, images: np.ndarray, target: np.ndarray = None,
-                mask: np.ndarray = None, sigma_bounds=None) -> dict:
+                mask: np.ndarray = None, sigma_bounds=None,
+                baseline: np.ndarray = None) -> dict:
         """One volume in, the strategy's serving artifacts out (numpy).
         Thread-safe."""
+        if self.strategy == "auxiliary_segm" and baseline is None:
+            raise ValueError(
+                "an auxiliary-segm service scores a BASELINE segmentation: "
+                "send its prediction volume as 'baseline'")
+        if baseline is not None and self.strategy != "auxiliary_segm":
+            raise ValueError("'baseline' only applies to an auxiliary-segm "
+                             f"service; this server runs '{self.strategy}'")
         if target is None and mask is not None:
             # checked before any padding/device transfer: a rejected request
             # must not ship a 30+ MB volume across the tunnel first
@@ -215,15 +269,30 @@ class VolumeInferenceService:
         nz = volume.shape[0]
         batch = self._effective_batch(nz)
         pad = (-nz) % batch
-        if pad:
-            volume = np.concatenate(
-                [volume, np.zeros((pad,) + volume.shape[1:], volume.dtype)])
-        batched = volume.reshape((-1, batch) + volume.shape[1:])
-        if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from rcu_tpu.parallel.mesh import DATA_AXIS
-            batched = jax.device_put(
-                batched, NamedSharding(self.mesh, P(None, DATA_AXIS)))
+
+        def _batched(arr):
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+            arr = arr.reshape((-1, batch) + arr.shape[1:])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from rcu_tpu.parallel.mesh import DATA_AXIS
+                arr = jax.device_put(
+                    arr, NamedSharding(self.mesh, P(None, DATA_AXIS)))
+            return arr
+
+        batched = _batched(volume)
+        data_args = (batched,)
+        if baseline is not None:
+            baseline = (np.asarray(baseline) > 0.5).astype(np.uint8)
+            if baseline.ndim == 2:
+                baseline = baseline[None]
+            if baseline.shape != (nz,) + volume.shape[1:3]:
+                raise ValueError(
+                    f"baseline shape {baseline.shape} does not match the "
+                    f"volume's {(nz,) + volume.shape[1:3]}")
+            data_args = (batched, _batched(baseline))
 
         with self._lock:
             self._requests += 1
@@ -234,7 +303,7 @@ class VolumeInferenceService:
                 # compiled program, and the padded tail is trimmed host-side
                 fn = self._program(batched.shape[0] * batch,
                                    with_eval=False, batch=batch)
-                args = self.state + (batched,)
+                args = self.state + data_args
                 out = fn(*args, rng) if self.strategy == "mc" else fn(*args)
             else:
                 target = (np.asarray(target) > 0.5).astype(np.uint8)
@@ -247,7 +316,7 @@ class VolumeInferenceService:
                 m = np.ones(target.shape, bool) if mask is None \
                     else np.asarray(mask).reshape(target.shape) > 0
                 fn = self._program(nz, with_eval=True, batch=batch)
-                args = self.state + (batched, target, m, self.thresholds)
+                args = self.state + data_args + (target, m, self.thresholds)
                 if self.strategy == "mc":
                     out = fn(*args, rng)
                 elif self.strategy == "aleatoric":
@@ -259,7 +328,13 @@ class VolumeInferenceService:
         return result
 
     def _host_result(self, out, nz, scored, sigma_bounds):
-        if self.strategy == "aleatoric":
+        if self.strategy in ("auxiliary_feat", "auxiliary_segm"):
+            result = {
+                "prediction": np.asarray(out["prediction"])[:nz]
+                .astype(np.uint8),
+                "confidence": np.asarray(out["confidence"], np.float32)[:nz],
+            }
+        elif self.strategy == "aleatoric":
             if scored:
                 prediction = np.asarray(out["prediction"])[:nz]
                 sigma = np.asarray(out["sigma"], np.float32)[:nz]
@@ -358,7 +433,9 @@ def make_http_server(service: VolumeInferenceService, host: str = "0.0.0.0",
                     payload["images"],
                     target=payload["target"] if "target" in payload else None,
                     mask=payload["mask"] if "mask" in payload else None,
-                    sigma_bounds=sigma_bounds)
+                    sigma_bounds=sigma_bounds,
+                    baseline=payload["baseline"]
+                    if "baseline" in payload else None)
             except (ValueError, KeyError, OSError,
                     zipfile.BadZipFile) as exc:
                 # malformed payloads / bad shapes -> the client's fault

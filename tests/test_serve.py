@@ -301,6 +301,97 @@ class TestEnsembleService:
                                      sigma_bounds=(0.0, 1.0))
 
 
+class TestAuxiliaryServices:
+    @pytest.fixture(scope="class")
+    def feat_service(self, service, tmp_path_factory):
+        tmp_path = tmp_path_factory.mktemp("serve_feat")
+        store = make_store(str(tmp_path / "ds.h5"), channels=4)
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        post = strategies.train_auxiliary_feat(base_train_cfg(
+            tmp_path, store, split_file, name="srv_feat",
+            model={"postnet": {"in_channels": 4, "nb_classes": 2}},
+            others={"model_dir": service.model_dir, "test_at": "best"}))
+        return VolumeInferenceService(post.model_files.model_dir,
+                                      batch_size=2,
+                                      segm_model_dir=service.model_dir)
+
+    def test_feat_unscored(self, feat_service, service):
+        """Artifacts = PostNet confidence + the FROZEN segmenter's argmax."""
+        import jax
+        from rcu_tpu.eval.direct import _load_model_state
+        assert feat_service.strategy == "auxiliary_feat"
+        volume = np.random.RandomState(8).rand(2, *HW, 4).astype(np.float32)
+        out = feat_service.predict(volume)
+        assert set(out) == {"prediction", "confidence"}
+        assert 0.0 <= out["confidence"].min() \
+            and out["confidence"].max() <= 1.0
+        model, params, batch_stats = _load_model_state(
+            service.model_dir, "best", (1, *HW, 4))
+        segm = model.apply({"params": params, "batch_stats": batch_stats},
+                           volume, train=False)
+        np.testing.assert_array_equal(
+            out["prediction"],
+            np.argmax(np.asarray(segm.logits), axis=-1).astype(np.uint8))
+
+    def test_feat_scored_matches_fold_oracle(self, feat_service):
+        """Scoring = the confidence protocol: subject min-max rescale, fold
+        by the prediction, masked ECE."""
+        from tests.test_ops_calibration import oracle_ece
+        rng = np.random.RandomState(9)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+        target = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        out = feat_service.predict(volume, target=target)
+        conf = out["confidence"].astype(np.float64)
+        eps = 1e-5
+        rescaled = (conf - conf.min()) / (conf.max() - conf.min()) \
+            * (1 - 2 * eps) + eps
+        folded = np.where(out["prediction"] == 1, 1 - rescaled / 2,
+                          rescaled / 2)
+        probs2 = np.stack([1 - folded, folded], -1)
+        expect = oracle_ece(probs2, target.astype(np.float64))
+        np.testing.assert_allclose(float(out["ece"]), expect, rtol=1e-4,
+                                   atol=1e-6)
+        assert out["correction_tp"].shape == (11,)
+
+    @pytest.fixture(scope="class")
+    def segm_service(self, tmp_path_factory):
+        tmp_path = tmp_path_factory.mktemp("serve_segm")
+        store = make_store(str(tmp_path / "ds.h5"), channels=4,
+                           label_channels=2)
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        train = strategies.train_auxiliary_segm(base_train_cfg(
+            tmp_path, store, split_file, name="srv_segm",
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 5,
+                            "nb_classes": 2, "start_filters": 4}}))
+        return VolumeInferenceService(train.model_files.model_dir,
+                                      batch_size=2, aux_segm=True)
+
+    def test_segm_round_trip(self, segm_service):
+        assert segm_service.strategy == "auxiliary_segm"
+        rng = np.random.RandomState(10)
+        volume = rng.rand(2, *HW, 4).astype(np.float32)
+        baseline = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        out = segm_service.predict(volume, baseline=baseline)
+        # the prediction artifact is the baseline PASSTHROUGH
+        np.testing.assert_array_equal(out["prediction"], baseline)
+        assert out["confidence"].shape == (2, *HW)
+        target = (rng.rand(2, *HW) > 0.5).astype(np.uint8)
+        scored = segm_service.predict(volume, baseline=baseline,
+                                      target=target)
+        assert np.isfinite(float(scored["ece"]))
+
+    def test_segm_requires_baseline(self, segm_service):
+        with pytest.raises(ValueError, match="baseline"):
+            segm_service.predict(np.zeros((2, *HW, 4), np.float32))
+
+    def test_baseline_rejected_elsewhere(self, service):
+        with pytest.raises(ValueError, match="auxiliary-segm"):
+            service.predict(np.zeros((2, *HW, 4), np.float32),
+                            baseline=np.zeros((2, *HW), np.uint8))
+
+
 class TestProgramCacheLru:
     def test_scored_programs_evict_at_cap(self, service):
         """ADVICE r2: scored programs key on the exact slice count, so the
