@@ -222,8 +222,10 @@ def main():
         headline_best, headline_mean = staged_best, staged_mean
     headline_mfu = None
     if flops:
-        # the direct program runs 20 of the staged path's 21 forwards
-        headline_mfu = flops * (20.0 / 21.0) \
+        # the direct program runs 20 of the staged path's 21 forwards; the
+        # staged fallback keeps all 21, so only discount the direct config
+        forwards = 20.0 / 21.0 if headline_config == "direct_bf16" else 1.0
+        headline_mfu = flops * forwards \
             * (headline_best / (VOL_SLICES * H * W)) / V5E_BF16_PEAK_FLOPS
 
     bf16_best = direct_best = None

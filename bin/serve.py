@@ -66,7 +66,9 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
         for spec in prewarm.split(","):
             z, h, w = (int(v) for v in spec.lower().split("x"))
             logging.info("prewarming %dx%dx%d (unscored program)...", z, h, w)
-            service.predict(np.zeros((z, h, w, in_ch), np.float32))
+            kw = {"baseline": np.zeros((z, h, w), np.uint8)} \
+                if service.strategy == "auxiliary_segm" else {}
+            service.predict(np.zeros((z, h, w, in_ch), np.float32), **kw)
         logging.info("prewarmed programs: %s", service.compiled_shapes())
     server = make_http_server(service, host, port)
     logging.info("serving %s [%s] (mc=%d, batch=%d%s) on http://%s:%d",

@@ -111,6 +111,7 @@ def _load_ensemble_states(config, input_shape, dtype=None):
     all_dirs = ([(config.model_dir, _primary_test_at(config))]
                 if config.model_dir else []) \
         + [(d, member_at) for d in model_dirs]
+    from rcu_tpu.parallel.ensemble import stack_states
     members, model = [], None
     for i, (model_dir, at) in enumerate(all_dirs):
         logging.info("load ensemble model [%d/%d] %s", i + 1, len(all_dirs),
@@ -119,10 +120,8 @@ def _load_ensemble_states(config, input_shape, dtype=None):
                                                        input_shape,
                                                        dtype=dtype)
         members.append((params, batch_stats))
-    stack = lambda *xs: np.stack([np.asarray(x) for x in xs])  # noqa: E731
-    stacked_params = jax.tree_util.tree_map(stack, *[m[0] for m in members])
-    stacked_stats = jax.tree_util.tree_map(stack, *[m[1] for m in members])
-    return model, stacked_params, stacked_stats
+    return (model, stack_states([m[0] for m in members]),
+            stack_states([m[1] for m in members]))
 
 
 def _detect_strategy(config, dataset, strategy):
@@ -144,8 +143,13 @@ def _detect_strategy(config, dataset, strategy):
         return "ensemble"
     if isinstance(member_dirs, str):
         return "auxiliary_feat"
-    labels = np.asarray(dataset.read_volume(dataset.subjects[0], "labels"))
-    if labels.shape[-1] == 2 and labels.ndim >= 3:
+    # shape-only probe — decoding a whole labels volume just for its trailing
+    # dim would cost a full H5 read per run
+    shape_of = getattr(dataset, "shape", None)
+    labels_shape = tuple(shape_of(dataset.subjects[0], "labels")) if shape_of \
+        else np.asarray(dataset.read_volume(dataset.subjects[0],
+                                            "labels")).shape
+    if len(labels_shape) >= 3 and labels_shape[-1] == 2:
         return "auxiliary_segm"
     return "mc"
 

@@ -35,6 +35,21 @@ def add_background_probability(probability: jnp.ndarray):
     return jnp.stack([1.0 - probability, probability], axis=-1)
 
 
+def fold_sigma_host(sigma, prediction, sigma_min, sigma_max,
+                    epsilon: float = 1e-5):
+    """Numpy twin of ``rescale_linear`` + ``uncertainty_to_foreground_
+    probabilities`` for host-side paths (serving's unscored-with-bounds
+    confidence fold) — one home for the protocol's epsilon and fold formula
+    so the host and device paths cannot drift."""
+    import numpy as np
+    sigma = np.asarray(sigma, np.float32)
+    rescaled = (sigma - np.float32(sigma_min)) \
+        / (np.float32(sigma_max) - np.float32(sigma_min))
+    rescaled = rescaled * np.float32(1.0 - 2.0 * epsilon) + np.float32(epsilon)
+    return np.where(np.asarray(prediction) == 1,
+                    1.0 - rescaled * 0.5, rescaled * 0.5).astype(np.float32)
+
+
 def check_min_max(arr, min_=0.0, max_=1.0, only_warn: bool = False):
     """Host-side range check with warn/raise modes (reference helper.py:31-47)."""
     import warnings

@@ -101,16 +101,15 @@ class VolumeInferenceService:
             raise ValueError("members, segm_model_dir and aux_segm select "
                              "mutually exclusive serving strategies")
         if self.members:
+            from rcu_tpu.parallel.ensemble import stack_states
             self.strategy = "ensemble"
             stacks = [(params, batch_stats)]
             for member_dir in self.members:
                 _, p, bs = _load_model_state(member_dir, test_at, probe,
                                              dtype=dtype)
                 stacks.append((p, bs))
-            stack = lambda *xs: np.stack(  # noqa: E731
-                [np.asarray(x) for x in xs])
-            state = (jax.tree_util.tree_map(stack, *[s[0] for s in stacks]),
-                     jax.tree_util.tree_map(stack, *[s[1] for s in stacks]))
+            state = (stack_states([s[0] for s in stacks]),
+                     stack_states([s[1] for s in stacks]))
             member_sharded = True
         elif segm_model_dir:
             # auxiliary-feat: model_dir holds the PostNet, segm_model_dir
@@ -346,13 +345,9 @@ class VolumeInferenceService:
                 if sigma_bounds is not None:
                     # fold host-side: keeps the unscored program cache free
                     # of a bounds-specialized variant (elementwise, cheap)
-                    smin, smax = sigma_bounds
-                    eps = np.float32(1e-5)
-                    rescaled = (sigma - smin) / (smax - smin) \
-                        * (1 - 2 * eps) + eps
-                    confidence = np.where(prediction == 1,
-                                          1.0 - rescaled * 0.5,
-                                          rescaled * 0.5).astype(np.float32)
+                    from rcu_tpu.ops.prepare import fold_sigma_host
+                    confidence = fold_sigma_host(sigma, prediction,
+                                                 *sigma_bounds)
             result = {"prediction": prediction.astype(np.uint8),
                       "sigma": sigma}
             if not scored:
