@@ -156,52 +156,80 @@ def main(dtype="bfloat16"):
         prev = kind
 
 
+def matmul_peak():
+    """The chip's PRACTICAL bf16 MXU peak: a chained 4096^3 matmul (the
+    friendliest possible shape). Measured ~111 TFLOP/s on this image's v5e —
+    the reference point the pipeline's achieved TFLOP/s should be judged
+    against, not the 197 nominal."""
+    n, reps = 4096, 64
+    a = jnp.asarray(np.random.RandomState(0).rand(n, n), jnp.bfloat16)
+
+    @jax.jit
+    def chain(a):
+        x = a
+        for _ in range(reps):
+            x = jnp.dot(x, a, preferred_element_type=jnp.bfloat16)
+            x = x / jnp.float32(n)  # keep finite
+        return jnp.sum(x.astype(jnp.float32))
+
+    float(chain(a))
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(a))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    flops = 2.0 * n ** 3 * reps
+    print(json.dumps({
+        "what": "practical bf16 matmul peak (4096^3 x64)",
+        "achieved_tflops_per_s": round(flops / best / 1e12, 1),
+        "pct_of_nominal_197t": round(100 * flops / best / 197e12, 1),
+    }))
+
+
 def conv_levels(dtype="bfloat16"):
-    """Per-U-Net-level conv efficiency: a chained stack of 3x3 convs (+bias,
-    relu) at each level's (spatial, channel) shape, achieved TFLOP/s vs the
-    v5e bf16 peak. Each level carries the SAME FLOPs in the paper U-Net
+    """Per-U-Net-level conv efficiency: ONE 3x3 conv applied ``reps`` times
+    via lax.scan (weight-reused; ~1s of device work so the remote dispatch
+    round trip stops dominating — an unrolled chain at repeats=8 read every
+    level as ~2% of peak, pure tunnel latency) at each level's (spatial,
+    channel) shape. Each level carries the SAME FLOPs in the paper U-Net
     (spatial /4 and channels x4 cancel), so per-level efficiency directly
-    weights the whole forward."""
+    weights the whole forward. Judge against :func:`matmul_peak`, not the
+    nominal 197."""
     import flax.linen as nn
 
-    peak = 197e12
-    # enough chained convs that device time (~1s) amortizes the remote
-    # dispatch round trip — at repeats=8 the tunnel latency dominated and
-    # every level read as ~2% of peak
-    repeats = 128
-    for hw, ch in ((240, 32), (120, 64), (60, 128), (30, 256)):
-        jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
-
-        class Stack(nn.Module):
-            @nn.compact
-            def __call__(self, x):
-                for _ in range(repeats):
-                    x = nn.Conv(ch, (3, 3), padding=1, dtype=jdtype)(x)
-                    x = nn.relu(x)
-                return jnp.sum(x.astype(jnp.float32))
-
-        module = Stack()
-        x = jnp.asarray(np.random.RandomState(0).rand(BATCH, hw, hw, ch),
-                        jdtype)
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    for hw, ch, reps in ((240, 32, 96), (120, 64, 96), (60, 128, 96),
+                         (30, 256, 96)):
+        conv = nn.Conv(ch, (3, 3), padding=1, dtype=jdtype)
+        x0 = jnp.asarray(np.random.RandomState(0).rand(BATCH, hw, hw, ch),
+                         jdtype)
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            variables = jax.jit(module.init)(jax.random.PRNGKey(0),
-                                             jnp.zeros((1, hw, hw, ch),
-                                                       jdtype))
+            variables = jax.jit(conv.init)(jax.random.PRNGKey(0),
+                                           jnp.zeros((1, hw, hw, ch),
+                                                     jdtype))
         variables = jax.device_put(variables)
-        fn = jax.jit(module.apply)
-        float(fn(variables, x))
+
+        @jax.jit
+        def run(variables, x, conv=conv, reps=reps):
+            def body(x, _):
+                return conv.apply(variables, x), ()
+            y, _ = jax.lax.scan(body, x, None, length=reps)
+            return jnp.sum(y.astype(jnp.float32))
+
+        float(run(variables, x0))
         best = None
         for _ in range(3):
             t0 = time.perf_counter()
-            float(fn(variables, x))
+            float(run(variables, x0))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        flops = 2.0 * 9 * ch * ch * hw * hw * BATCH * repeats
+        flops = 2.0 * 9 * ch * ch * hw * hw * BATCH * reps
         print(json.dumps({
             "level_hw": hw, "channels": ch, "dtype": dtype,
+            "seconds": round(best, 3),
             "achieved_tflops_per_s": round(flops / best / 1e12, 2),
-            "pct_of_bf16_peak": round(100 * flops / best / peak, 1),
         }))
 
 
@@ -211,9 +239,13 @@ if __name__ == "__main__":
     parser.add_argument("--dtype", default="bfloat16")
     parser.add_argument("--levels", action="store_true",
                         help="per-U-Net-level conv efficiency microbench")
+    parser.add_argument("--peak", action="store_true",
+                        help="practical bf16 matmul peak calibration")
     args = parser.parse_args()
     dtype = None if args.dtype in ("f32", "float32", "none") else args.dtype
-    if args.levels:
+    if args.peak:
+        matmul_peak()
+    elif args.levels:
         conv_levels(args.dtype)
     else:
         main(dtype)

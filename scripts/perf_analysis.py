@@ -7,9 +7,16 @@ wall clock to show WHICH v5e roof binds each variant.
 Inference (``--section infer``, one JSON line per dtype):
 - f32: convs execute as 3 bf16 MXU passes, so the compute roof is
   peak_bf16 / 3 — the headline ~31-32% MFU is ~95% of that roof;
-- bf16: the conv roof lifts 3x but the pipeline becomes HBM-bound
-  (achieved bytes/s approaches the ~819 GB/s v5e HBM peak), which is why
-  bf16 only gains ~15% staged / ~30% on the direct path.
+- bf16: gains only ~15% staged / ~30% direct over f32. Attribution
+  (measured r3, scripts/bf16_gap_analysis.py): the elementwise epilogue —
+  per-sample softmax, MC mean, entropy, the whole fused eval — costs <= 4%
+  of the volume time COMBINED (cheapening it is closed out); ~96% is the
+  T=20 U-Net forward stack itself. Judged against the chip's PRACTICAL
+  peak (``--peak``: a chained 4096^3 bf16 matmul reaches ~111 TFLOP/s, not
+  the 197 nominal), the bf16 pipeline's ~77 TFLOP/s is ~70% of what the
+  MXU demonstrably delivers — the apparent "3x headroom to the nominal
+  roof" is mostly nominal-vs-practical peak plus conv-vs-matmul overhead,
+  not a recoverable epilogue cost.
 
 Training (``--section train``): fwd+bwd+adam+BN on 32x240x240x4 batches is
 **HBM-bound at both dtypes** (measured r3: f32 12.3 Mvox/s best = 28% of the

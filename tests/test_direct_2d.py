@@ -144,6 +144,24 @@ class TestDirect2dMatchesVolumePath:
         assert "eval_calibration_aleatoric_globalrescale.csv" in files
         assert "eval_summary_minmax_aleatoric.csv" in files
 
+    def test_aleatoric_mesh_matches_single_device(self, env, tmp_path):
+        """The chunked 2-D aleatoric programs' latency-mesh shardings (both
+        passes) must reproduce the single-device CSVs exactly."""
+        model = {"unet": {**env["unet3"]["unet"], "sigma_out": True}}
+        train = strategies.train_aleatoric(base_train_cfg(
+            env["tmp"], env["train_store"], env["split_file"], model=model,
+            others={"is_log_sigma": True}, name="d2d_aleam"))
+        cfg = base_test_cfg(env["tmp"], env["flat"], env["test_split"],
+                            train.model_files.model_dir,
+                            others={"is_log_sigma": True}, name="aleam")
+        cfg.test_data.batch_size = 2
+        single = str(tmp_path / "single")
+        evaluate_direct(cfg, single, run_id="aleatoric", masked=False)
+        meshed = str(tmp_path / "mesh")
+        evaluate_direct(cfg, meshed, run_id="aleatoric", masked=False,
+                        mesh=mesh_lib.make_mesh(n_devices=2))
+        assert_dirs_equal(single, meshed)
+
     def test_auxiliary_feat(self, env, tmp_path):
         postnet = {"postnet": {"in_channels": 4, "nb_classes": 2}}
         train = strategies.train_auxiliary_feat(base_train_cfg(

@@ -87,6 +87,25 @@ class TestService:
         with pytest.raises(ValueError, match="mask without a target"):
             service.predict(volume, mask=np.ones((2, *HW), np.uint8))
 
+    def test_deterministic_service_mc0(self, service):
+        """mc=0 serves the deterministic baseline protocol: the same
+        request twice is bit-identical (no dropout sampling) and matches
+        the plain forward."""
+        import jax
+        from rcu_tpu.eval.direct import _load_model_state
+        det = VolumeInferenceService(service.model_dir, mc=0, batch_size=2)
+        volume = np.random.RandomState(11).rand(2, *HW, 4).astype(np.float32)
+        a = det.predict(volume)
+        b = det.predict(volume)
+        np.testing.assert_array_equal(a["probabilities"], b["probabilities"])
+        model, params, batch_stats = _load_model_state(
+            service.model_dir, "best", (1, *HW, 4))
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          volume, train=False)
+        fg = np.asarray(jax.nn.softmax(out.logits, axis=-1))[..., 1]
+        np.testing.assert_allclose(a["probabilities"], fg, rtol=1e-5,
+                                   atol=1e-6)
+
     def test_mesh_service_matches_single_device(self, service):
         """Sharding each request over a mesh must not change the artifacts.
         Two FRESH services (same seed, same batch size -> same per-request
