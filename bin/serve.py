@@ -41,7 +41,7 @@ if BIN_DIR not in sys.path:
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          host="0.0.0.0", port=8475, prewarm=None, members=None,
          is_log_sigma=None, dtype=None, segm_model_dir=None,
-         aux_segm=False):
+         aux_segm=False, throughput=False):
     import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
@@ -59,7 +59,8 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
                                      members=members,
                                      is_log_sigma=is_log_sigma, dtype=dtype,
                                      segm_model_dir=segm_model_dir,
-                                     aux_segm=aux_segm)
+                                     aux_segm=aux_segm,
+                                     subject_parallel=throughput)
     if prewarm:
         import numpy as np
         in_ch = service.in_channels  # resolved from model.json at init
@@ -112,7 +113,14 @@ if __name__ == "__main__":
     parser.add_argument("-aux_segm", action="store_true",
                         help="auxiliary-segm error net: requests must carry "
                              "a 'baseline' prediction volume")
+    parser.add_argument("-throughput", action="store_true",
+                        help="with -devices N: replicate the model per "
+                             "device and run concurrent requests on "
+                             "different chips (server throughput ~N x) "
+                             "instead of sharding each request (lowest "
+                             "single-request latency)")
     args = parser.parse_args()
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
          args.devices, args.host, args.port, args.prewarm, args.member,
-         args.is_log_sigma, args.dtype, args.segm_model_dir, args.aux_segm)
+         args.is_log_sigma, args.dtype, args.segm_model_dir, args.aux_segm,
+         args.throughput)

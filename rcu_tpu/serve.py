@@ -43,11 +43,19 @@ Wire protocol (stdlib-only on both ends; arrays ride npz):
   GET  /v1/health   -> JSON {status, model_dir, strategy, mc, members,
                     batch_size, compiled_shapes}
 
-Device work is serialized through a lock (one XLA stream), while request
-parsing/serialization runs on the HTTP server's worker threads. The compiled
-program cache is a bounded LRU (``max_programs``): scored requests key on
-their exact slice count, so a long-lived server facing varied-Z volumes
-evicts cold programs instead of growing without bound.
+Two multi-chip modes mirror the direct-eval driver's:
+- latency (``mesh=...``): every request's volume shards ACROSS the mesh —
+  fastest single answer; device work serializes through a lock (one
+  program at a time spans all chips);
+- throughput (``mesh=..., subject_parallel=True``): the model state
+  replicates onto every mesh device and each request checks a whole device
+  out of a pool — concurrent HTTP requests run on different chips with
+  zero cross-chip traffic; server throughput scales ~linearly with the
+  device count.
+
+The compiled program cache is a bounded LRU (``max_programs``): scored
+requests key on their exact slice count, so a long-lived server facing
+varied-Z volumes evicts cold programs instead of growing without bound.
 """
 from __future__ import annotations
 
@@ -74,7 +82,8 @@ class VolumeInferenceService:
                  thresholds=DEFAULT_THRESHOLDS, seed: int = 0,
                  members: list = None, is_log_sigma: bool = None,
                  max_programs: int = 32, dtype: str = None,
-                 segm_model_dir: str = None, aux_segm: bool = False):
+                 segm_model_dir: str = None, aux_segm: bool = False,
+                 subject_parallel: bool = False):
         from rcu_tpu.engine import checkpoint as ckpt_lib
         from rcu_tpu.eval.direct import _load_model_state
         self.model_dir = model_dir
@@ -83,7 +92,9 @@ class VolumeInferenceService:
         self.thresholds = np.asarray(thresholds, np.float32)
         self.batch_size = int(batch_size)
         self.max_programs = int(max_programs)
-        if mesh is not None:
+        if mesh is not None and not subject_parallel:
+            # latency mode shards the slice-batch axis over the mesh; the
+            # throughput mode below runs whole requests on single devices
             from rcu_tpu.parallel.mesh import pad_batch_size_to_mesh
             self.batch_size = pad_batch_size_to_mesh(self.batch_size, mesh)
         # the init-probe spatial shape is irrelevant for conv params, but the
@@ -140,7 +151,22 @@ class VolumeInferenceService:
             state = (params, batch_stats)
         self.is_log_sigma = bool(is_log_sigma) if is_log_sigma is not None \
             else None
-        if mesh is not None:
+        self.subject_parallel = bool(subject_parallel and mesh is not None)
+        if self.subject_parallel:
+            # throughput mode: every mesh device holds a full state replica
+            # and whole requests check a device out of the pool (the serving
+            # twin of evaluate_direct's subject_parallel mode); programs
+            # compile single-device
+            import queue
+            devices = list(mesh.devices.flat)
+            self._device_state = {
+                d: tuple(jax.device_put(t, d) for t in state)
+                for d in devices}
+            self._device_pool = queue.Queue()
+            for d in devices:
+                self._device_pool.put(d)
+            self.mesh = None
+        elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from rcu_tpu.parallel.ensemble import MODEL_AXIS
             rep = NamedSharding(mesh, P())
@@ -152,7 +178,8 @@ class VolumeInferenceService:
         self._programs = collections.OrderedDict()  # bounded LRU
         self._rng = jax.random.PRNGKey(seed)
         self._requests = 0
-        self._lock = threading.Lock()
+        self._lock = threading.Lock()        # latency-mode device work
+        self._cache_lock = threading.Lock()  # program LRU + request counter
 
     # ------------------------------------------------------------- programs
     def _make_program(self, vol_slices: int, with_eval: bool, batch: int):
@@ -192,17 +219,18 @@ class VolumeInferenceService:
 
     def _program(self, vol_slices: int, with_eval: bool, batch: int):
         key = (vol_slices, with_eval, batch)
-        fn = self._programs.get(key)
-        if fn is not None:
-            self._programs.move_to_end(key)
+        with self._cache_lock:  # throughput mode races concurrent requests
+            fn = self._programs.get(key)
+            if fn is not None:
+                self._programs.move_to_end(key)
+                return fn
+            fn = self._make_program(vol_slices, with_eval, batch)
+            self._programs[key] = fn
+            while len(self._programs) > self.max_programs:
+                evicted, _ = self._programs.popitem(last=False)
+                logging.info("serve: evicted compiled program %s "
+                             "(cache cap %d)", evicted, self.max_programs)
             return fn
-        fn = self._make_program(vol_slices, with_eval, batch)
-        self._programs[key] = fn
-        while len(self._programs) > self.max_programs:
-            evicted, _ = self._programs.popitem(last=False)
-            logging.info("serve: evicted compiled program %s "
-                         "(cache cap %d)", evicted, self.max_programs)
-        return fn
 
     def _effective_batch(self, nz: int) -> int:
         """Shrink the slice batch to the volume: a 1-slice (native-2D)
@@ -293,38 +321,57 @@ class VolumeInferenceService:
                     f"volume's {(nz,) + volume.shape[1:3]}")
             data_args = (batched, _batched(baseline))
 
-        with self._lock:
+        m = None
+        if target is not None:
+            target = (np.asarray(target) > 0.5).astype(np.uint8)
+            if target.ndim == 2:
+                target = target[None]
+            want = (nz,) + volume.shape[1:3]
+            if target.shape != want:
+                raise ValueError(f"target shape {target.shape} does not "
+                                 f"match the volume's {want}")
+            m = np.ones(target.shape, bool) if mask is None \
+                else np.asarray(mask).reshape(target.shape) > 0
+
+        with self._cache_lock:
             self._requests += 1
-            rng = jax.random.fold_in(self._rng, self._requests)
+            request_index = self._requests
+        rng = jax.random.fold_in(self._rng, request_index)
+
+        def dispatch(state, put):
             if target is None:
                 # key the program on the PADDED slice count: near-identical
                 # volumes (e.g. 150-160 slices at batch 32) then share one
-                # compiled program, and the padded tail is trimmed host-side
+                # compiled program; the padded tail is trimmed host-side
                 fn = self._program(batched.shape[0] * batch,
                                    with_eval=False, batch=batch)
-                args = self.state + data_args
-                out = fn(*args, rng) if self.strategy == "mc" else fn(*args)
-            else:
-                target = (np.asarray(target) > 0.5).astype(np.uint8)
-                if target.ndim == 2:
-                    target = target[None]
-                want = (nz,) + volume.shape[1:3]
-                if target.shape != want:
-                    raise ValueError(f"target shape {target.shape} does not "
-                                     f"match the volume's {want}")
-                m = np.ones(target.shape, bool) if mask is None \
-                    else np.asarray(mask).reshape(target.shape) > 0
-                fn = self._program(nz, with_eval=True, batch=batch)
-                args = self.state + data_args + (target, m, self.thresholds)
-                if self.strategy == "mc":
-                    out = fn(*args, rng)
-                elif self.strategy == "aleatoric":
-                    out = fn(*args, *sigma_bounds)
-                else:
-                    out = fn(*args)
+                args = state + tuple(put(a) for a in data_args)
+                return fn(*args, put(rng)) if self.strategy == "mc" \
+                    else fn(*args)
+            fn = self._program(nz, with_eval=True, batch=batch)
+            args = state + tuple(put(a) for a in data_args) \
+                + (target, m, self.thresholds)
+            if self.strategy == "mc":
+                return fn(*args, put(rng))
+            if self.strategy == "aleatoric":
+                return fn(*args, *sigma_bounds)
+            return fn(*args)
 
-        result = self._host_result(out, nz, target is not None, sigma_bounds)
-        return result
+        if self.subject_parallel:
+            # throughput mode: check a whole device out of the pool —
+            # concurrent requests run on different chips (the committed
+            # device_put of the data args pins the program to that chip)
+            dev = self._device_pool.get()
+            try:
+                out = dispatch(self._device_state[dev],
+                               lambda a: jax.device_put(a, dev))
+            finally:
+                self._device_pool.put(dev)
+        else:
+            with self._lock:
+                out = dispatch(self.state, lambda a: a)
+
+        return self._host_result(out, nz, target is not None, sigma_bounds)
 
     def _host_result(self, out, nz, scored, sigma_bounds):
         if self.strategy in ("auxiliary_feat", "auxiliary_segm"):

@@ -106,6 +106,30 @@ class TestService:
         np.testing.assert_allclose(a["probabilities"], fg, rtol=1e-5,
                                    atol=1e-6)
 
+    def test_throughput_mode_matches_and_parallelizes(self, service):
+        """subject_parallel: per-device state replicas, concurrent requests
+        on different chips; deterministic (mc=0) results equal the
+        single-device service exactly."""
+        import concurrent.futures
+        from rcu_tpu.parallel import mesh as mesh_lib
+        pooled = VolumeInferenceService(
+            service.model_dir, mc=0, batch_size=2,
+            mesh=mesh_lib.make_mesh(n_devices=2), subject_parallel=True)
+        single = VolumeInferenceService(service.model_dir, mc=0,
+                                        batch_size=2)
+        rng = np.random.RandomState(12)
+        volumes = [rng.rand(2, *HW, 4).astype(np.float32) for _ in range(6)]
+
+        with concurrent.futures.ThreadPoolExecutor(4) as pool:
+            outs = list(pool.map(pooled.predict, volumes))
+        for volume, out in zip(volumes, outs):
+            expect = single.predict(volume)
+            np.testing.assert_allclose(out["probabilities"],
+                                       expect["probabilities"],
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_array_equal(out["prediction"],
+                                          expect["prediction"])
+
     def test_mesh_service_matches_single_device(self, service):
         """Sharding each request over a mesh must not change the artifacts.
         Two FRESH services (same seed, same batch size -> same per-request
