@@ -31,7 +31,7 @@ if BIN_DIR not in sys.path:
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
          throughput=False, unmasked=False, strategy=None, mc=None,
-         dtype=None):
+         dtype=None, eval_tree=False):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -42,7 +42,8 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
         os.path.dirname(config.model_dir or "."), "eval_direct")
     eces = evaluate_direct(config, out_dir, run_id=run_id, mesh=mesh,
                            subject_parallel=throughput, masked=not unmasked,
-                           strategy=strategy, mc=mc, dtype=dtype)
+                           strategy=strategy, mc=mc, dtype=dtype,
+                           layout="eval_tree" if eval_tree else "flat")
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -78,6 +79,12 @@ if __name__ == "__main__":
     parser.add_argument("-unmasked", action="store_true",
                         help="skip the BraTS t2>0 foreground mask (the ISIC "
                              "convention)")
+    parser.add_argument("-eval_tree", action="store_true",
+                        help="write the staged eval-dir layout "
+                             "(calibration/ ece*/ uncertainty/ minmax/ "
+                             "subdirs) so the analysis tables read out_dir "
+                             "directly")
     args = parser.parse_args()
     main(args.config_file, args.run_id, args.out_dir, args.devices,
-         args.throughput, args.unmasked, args.strategy, args.mc, args.dtype)
+         args.throughput, args.unmasked, args.strategy, args.mc, args.dtype,
+         args.eval_tree)

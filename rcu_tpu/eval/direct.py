@@ -154,25 +154,52 @@ def _detect_strategy(config, dataset, strategy):
     return "mc"
 
 
-class _EvalSinks:
-    """The direct run's CSV families: calibration bins + one correction CSV
-    per threshold (result id with the strategy's rescale suffix) + the run
-    minmax summary (un-suffixed id, like the staged minmax pass)."""
+_ECE_COLUMNS = ("ece", "dice", "tp", "tn", "fp", "fn", "n")
 
-    def __init__(self, out_dir, run_id, suffix, thresholds, confidence_entry):
-        os.makedirs(out_dir, exist_ok=True)
+
+class _EvalSinks:
+    """The direct run's CSV families: calibration bins, the ece_dice row,
+    one correction CSV per threshold (result id with the strategy's rescale
+    suffix) + the run minmax summary (un-suffixed id, like the staged minmax
+    pass).
+
+    ``layout='flat'`` writes every file into ``out_dir`` (the direct CLI's
+    own contract); ``layout='eval_tree'`` reproduces the staged eval dir
+    layout (``calibration/``, ``ece[_foreground]/``, ``uncertainty/``,
+    ``minmax/`` subdirs) so the analysis layer — ResultsData discovery and
+    the paper tables — consumes the output with ``base_dir=out_dir`` and no
+    file moves."""
+
+    def __init__(self, out_dir, run_id, suffix, thresholds, confidence_entry,
+                 layout: str = "flat", masked: bool = True):
+        if layout not in ("flat", "eval_tree"):
+            raise ValueError(f"unknown layout '{layout}'")
+
+        def sub(name):
+            d = out_dir if layout == "flat" else os.path.join(out_dir, name)
+            os.makedirs(d, exist_ok=True)
+            return d
+
         self.result_id = run_id + suffix
         self.run_id = run_id
         self.confidence_entry = confidence_entry
-        self.out_dir = out_dir
+        ece_cat = dirs.ECE_FOREGROUND_NAME if masked else dirs.ECE_NAME
         self.calib = ev_hooks.WriteBinsCsvHook(os.path.join(
-            out_dir, dirs.CALIBRATION_PLACEHOLDER.format(self.result_id)))
+            sub(dirs.CALIB_NAME),
+            dirs.CALIBRATION_PLACEHOLDER.format(self.result_id)))
+        self.ece = ev_hooks.WriteCsvHook(
+            os.path.join(sub(ece_cat),
+                         dirs.ECE_PLACEHOLDER.format(self.result_id)),
+            entries=_ECE_COLUMNS)
         self.corr = []
+        corr_dir = sub(dirs.UNCERTAINTY_NAME)
         for threshold in thresholds:
             threshold_str = f"{threshold:.2f}".replace(".", "")
             self.corr.append(ev_hooks.WriteCsvHook(os.path.join(
-                out_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(
+                corr_dir, dirs.UNCERTAINTY_PLACEHOLDER.format(
                     self.result_id, threshold_str)), None))
+        self.minmax_path = os.path.join(
+            sub(dirs.MINMAX_NAME), dirs.MINMAX_PLACEHOLDER.format(run_id))
         self.bounds = {"min": [], "max": []}
 
     def write_subject(self, subject, row_of):
@@ -188,6 +215,8 @@ class _EvalSinks:
             "ece": float(row_of("ece")),
             "dice": float(row_of("dice")),
         }, subject, self.result_id)
+        self.ece.on_subject({k: csv_value(k, row_of(k))
+                             for k in _ECE_COLUMNS}, subject, self.result_id)
         for ti, hook in enumerate(self.corr):
             hook.on_subject({k: csv_value(k, corr[k][ti])
                              for k in CORRECTION_KEYS}, subject,
@@ -199,13 +228,12 @@ class _EvalSinks:
 
     def finish(self):
         self.calib.on_run_end({}, self.result_id)
+        self.ece.on_run_end({}, self.result_id)
         for hook in self.corr:
             hook.on_run_end({}, self.result_id)
         if self.bounds["min"]:
             ev_hooks.WriteSummaryCsvHook(
-                os.path.join(self.out_dir,
-                             dirs.MINMAX_PLACEHOLDER.format(self.run_id)),
-                confidence_entry=self.confidence_entry,
+                self.minmax_path, confidence_entry=self.confidence_entry,
             ).on_run_end(self.bounds, self.run_id)
 
 
@@ -225,12 +253,15 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     run_id: str = "baseline", mc: int = None,
                     thresholds=DEFAULT_THRESHOLDS, mesh=None,
                     masked: bool = True, subject_parallel: bool = False,
-                    strategy: str = None, dtype: str = None) -> dict:
+                    strategy: str = None, dtype: str = None,
+                    layout: str = "flat") -> dict:
     """Run fused inference + eval for every test-split subject, one dispatch
     per volume (or per image chunk on native-2D datasets); write the
-    ``eval_calibration_*``, ``eval_uncertainty_*_th*`` and
-    ``eval_summary_minmax_*`` CSV families into ``out_dir``. Returns the
-    per-subject ECE dict.
+    ``eval_calibration_*``, ``eval_ece_*``, ``eval_uncertainty_*_th*`` and
+    ``eval_summary_minmax_*`` CSV families into ``out_dir`` (flat by
+    default; ``layout='eval_tree'`` reproduces the staged eval-dir layout so
+    the analysis tables read ``out_dir`` directly). Returns the per-subject
+    ECE dict.
 
     ``strategy`` picks the protocol explicitly (one of
     :data:`STRATEGIES`); by default it is auto-detected from the checkpoint
@@ -416,7 +447,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
     thresholds_arr = np.asarray(thresholds, np.float32)
     sinks = _EvalSinks(out_dir, run_id, _ID_SUFFIX[strategy], thresholds,
-                       _CONFIDENCE_ENTRY[strategy])
+                       _CONFIDENCE_ENTRY[strategy], layout=layout,
+                       masked=masked)
     rng = jax.random.PRNGKey(config.seed)
     eces = {}
     names = list(dataset.subjects)

@@ -83,16 +83,24 @@ def _trim(x, vol_slices: int):
     return x.reshape((-1,) + x.shape[2:])[:vol_slices]
 
 
+def _confusion(prediction, target):
+    """The ece_dice pass's unmasked confusion row (staged
+    kernels.ece_dice_confusion counterpart): tp/tn/fp/fn/n scalars."""
+    tp, tn, fp, fn, n = metrics_ops.confusion_counts(prediction, target)
+    return {"tp": tp, "tn": tn, "fp": fp, "fn": fn, "n": n}
+
+
 def _entropy_eval(fg, ent, target, mask, thresholds):
     """Shared eval reductions of the 'probabilities' confidence-entry
     protocol (baseline/center/mc/ensemble): ECE bins on the fg probability
-    map (masked), 11-threshold correction on the normalized entropy, plus the
-    run-minmax contribution of the confidence entry."""
+    map (masked), 11-threshold correction on the normalized entropy, the
+    unmasked confusion row (the ece_dice CSV family), plus the run-minmax
+    contribution of the confidence entry."""
     prediction = fg > 0.5
     ece, bins = cal_ops.ece_binary_with_bins(fg, target, mask)
     correction = u_ops.correction_eval(prediction, target, ent, thresholds)
     return {"ece": ece, **bins, "dice": correction["dice"][0],
-            "correction": correction,
+            "correction": correction, **_confusion(prediction, target),
             "conf_min": jnp.min(fg), "conf_max": jnp.max(fg)}
 
 
@@ -111,7 +119,7 @@ def _confidence_eval(confidence, prediction, target, mask, thresholds):
     correction = u_ops.correction_eval(prediction, target, rescaled,
                                        thresholds)
     return {"ece": ece, **bins, "dice": correction["dice"][0],
-            "correction": correction,
+            "correction": correction, **_confusion(prediction, target),
             "conf_min": jnp.min(confidence), "conf_max": jnp.max(confidence)}
 
 
@@ -220,7 +228,8 @@ def make_volume_aleatoric_eval_fn(model, batch_size: int, vol_slices: int,
         correction = u_ops.correction_eval(prediction, target, rescaled,
                                            thresholds)
         out = {"ece": ece, **bins, "dice": correction["dice"][0],
-               "correction": correction}
+               "correction": correction,
+               **_confusion(prediction, target)}
         if artifacts:
             out.update(prediction=prediction, sigma=sigma, confidence=folded)
         return out
@@ -645,7 +654,8 @@ def make_image_batch_aleatoric_eval_fn(model, is_log_sigma: bool, mesh=None):
             correction = u_ops.correction_eval(pred_i, target_i, rescaled,
                                                thresholds)
             return {"ece": ece, **bins, "dice": correction["dice"][0],
-                    "correction": correction}
+                    "correction": correction,
+                    **_confusion(pred_i, target_i)}
 
         return jax.vmap(one_image)(prediction, sigma, targets, masks)
 

@@ -19,6 +19,21 @@ Variants (all bf16 unless --dtype, batch 32, T=20, one BraTS volume):
 
 Prints one JSON line per variant with voxels/sec and the stage's share of
 the full program's time.
+
+Measured results (r3, one v5e chip):
+- ablation: the `logits` core is 96% of the full program's time; softmax /
+  mean / entropy / the whole eval pass are <= 4% COMBINED — the epilogue is
+  NOT the bf16 binder, cheapening it is closed out.
+- ``--peak``: a chained 4096^3 bf16 matmul reaches ~111 TFLOP/s — the
+  chip's PRACTICAL peak (56% of the 197 nominal). The bf16 pipeline's ~77
+  TFLOP/s is ~70% of practical.
+- ``--levels`` (batch 32 per dispatch): 240^2 x 32ch 10 TF/s, 120^2 x 64ch
+  29, 60^2 x 128ch 50, 30^2 x 256ch 32 — the small-channel TOP level is the
+  inefficient one at the staged batch size. The pipeline still sustains ~77
+  TF/s because the T=20 vmap raises the effective conv batch to T x 32 =
+  640, filling the MXU even at 32 output channels: the vmap-over-T design
+  is not just dispatch amortization, it is what makes the top-level convs
+  efficient.
 """
 import json
 import os

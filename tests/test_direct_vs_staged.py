@@ -71,7 +71,8 @@ def run_staged_eval(run_dir, eval_id, confidence_entry, eval_dir, gt_dir,
     entry = evaldata.get_brats_data(entry, in_dir=gt_dir,
                                     split_file=split_file)
     min_max_dir = os.path.join(eval_dir, dirs.MINMAX_NAME)
-    for action in act_lib.get_actions(["minmax", "calib", "bnf_ue"],
+    for action in act_lib.get_actions(["minmax", "ece_dice", "calib",
+                                       "bnf_ue"],
                                       min_max_dir, eval_dir, "foreground"):
         action.setup_eval(entry)
         action.start_eval()
@@ -108,14 +109,18 @@ def assert_csv_equal(staged_path, direct_path, rtol=1e-4, atol=1e-6):
 
 
 def assert_family_equal(eval_dir, direct_dir, result_id, run_id):
-    """Compare the calibration CSV, all 11 uncertainty CSVs and the minmax
-    summary between a staged eval dir (nested layout) and a direct out dir
-    (flat layout)."""
+    """Compare the calibration CSV, the ece_dice CSV, all 11 uncertainty
+    CSVs and the minmax summary between a staged eval dir (nested layout)
+    and a direct out dir (flat layout)."""
     assert_csv_equal(
         os.path.join(eval_dir, dirs.CALIB_NAME,
                      dirs.CALIBRATION_PLACEHOLDER.format(result_id)),
         os.path.join(direct_dir,
                      dirs.CALIBRATION_PLACEHOLDER.format(result_id)))
+    assert_csv_equal(
+        os.path.join(eval_dir, dirs.ECE_FOREGROUND_NAME,
+                     dirs.ECE_PLACEHOLDER.format(result_id)),
+        os.path.join(direct_dir, dirs.ECE_PLACEHOLDER.format(result_id)))
     for threshold in (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9,
                       0.95):
         tstr = f"{threshold:.2f}".replace(".", "")
@@ -290,6 +295,41 @@ class TestDirectVsStaged:
         assert set(eces) == set(SUBJECTS[2:])
         assert_family_equal(eval_dir, direct_dir, "auxiliary_segm_rescale",
                             "auxiliary_segm")
+
+    def test_eval_tree_layout_feeds_the_analysis_table(self, chain, tmp_path,
+                                                       monkeypatch):
+        """layout='eval_tree' must make a direct-only run a drop-in input
+        for the analysis layer: ResultsData discovery + the paper's main
+        ECE/UE/BnF/Dice table read the direct out_dir with no file moves."""
+        import numpy as np
+        cfg = _test_cfg(chain["tmp"], chain["test_h5"], chain["split_file"],
+                        chain["baseline"].model_files.model_dir, "dvs_tree")
+        out_dir = str(tmp_path / "tree")
+        evaluate_direct(cfg, out_dir, run_id="baseline", mc=0,
+                        layout="eval_tree")
+        assert os.path.isdir(os.path.join(out_dir, dirs.CALIB_NAME))
+        assert os.path.isdir(os.path.join(out_dir, dirs.ECE_FOREGROUND_NAME))
+
+        monkeypatch.setattr(dirs, "BRATS_EVAL_DIR", out_dir)
+        from rcu_tpu.analysis import resultdata as resdata
+        data = resdata.BratsResultData()
+        assert "baseline" in data.get_ids()
+        files, ids, cats, ths = data.get_files(["baseline"],
+                                               [dirs.UNCERTAINTY_NAME])
+        assert len(files) == 11
+
+        import sys
+        bin_dir = os.path.join(REPO_ROOT, "bin")
+        if bin_dir not in sys.path:
+            sys.path.insert(0, bin_dir)
+        table = load_module(os.path.join(bin_dir, "table_ece_ue_bnf_dice.py"),
+                            "dvs_table")
+        monkeypatch.setitem(resdata.brats_selection_id_name_dict,
+                            "baseline", "baseline")
+        df = table.gather_information("brats")
+        assert "baseline" in df.index
+        row = df.loc["baseline"]
+        assert np.isfinite(row["ece"]) and np.isfinite(row["error"])
 
     def test_ensemble_mesh_modes_match(self, chain, tmp_path):
         """Ensemble direct on a 1-D data mesh, a 2-D model x data (EP) mesh
