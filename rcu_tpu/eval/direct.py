@@ -298,6 +298,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     if config.split:
         from rcu_tpu.data.split import load_split
         _, _, subjects = load_split(config.split, config.others.get("split_k"))
+        if not subjects:
+            # fail with the cause, not an opaque IndexError in the data
+            # builder or a header-only CSV that looks like a successful run
+            raise ValueError(
+                f"no test subjects: split {config.split!r} has an empty "
+                "test set")
     data = databuild.build_data(config.test_data, subjects=subjects,
                                 seed=config.seed)
     dataset = data.dataset
@@ -452,6 +458,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     rng = jax.random.PRNGKey(config.seed)
     eces = {}
     names = list(dataset.subjects)
+    if not names:
+        # fail with the cause, not min()-of-empty in the bounds pass or a
+        # header-only CSV that looks like a successful empty run
+        raise ValueError(
+            f"no test subjects: the dataset {config.test_data.dataset!r} "
+            f"joined with split {config.split!r} resolved to zero subjects")
     window = 2 * len(devices) if devices else 1
 
     if is_2d:

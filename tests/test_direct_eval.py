@@ -104,6 +104,20 @@ class TestDirectEval:
         assert set(em) == set(eu)
         assert any(abs(em[s] - eu[s]) > 1e-9 for s in em)
 
+    def test_empty_test_split_fails_loudly(self, trained, tmp_path):
+        """Zero resolved subjects must raise with the cause, not crash in
+        the bounds pass or write a header-only CSV that looks like a run."""
+        tmp0, store, split_file, loop = trained
+        empty_split = str(tmp_path / "empty_split.json")
+        save_split(empty_split, ["s00"], ["s01"], [])
+        cfg = base_test_cfg(tmp_path, store, empty_split,
+                            loop.model_files.model_dir,
+                            others={"mc": 3}, name="empty")
+        cfg.test_data.batch_size = 2
+        with pytest.raises(ValueError, match="no test subjects"):
+            evaluate_direct(cfg, str(tmp_path / "empty_out"), mc=3,
+                            masked=False)
+
     def test_masked_requires_files_metadata(self, trained, tmp_path):
         from tests.test_strategies import make_store
         store = make_store(str(tmp_path / "nofiles.h5"), channels=4)
