@@ -447,9 +447,13 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         batched_baseline = _batched(baseline) if baseline is not None else None
         return batched, batched_baseline, target, mask, nz
 
-    # overlap the next subject's host H5 read with the current device pass
+    # overlap upcoming subjects' host H5 reads with the current device pass;
+    # throughput mode sizes the reader pool with the chip count (one decode
+    # thread would bind around 8 devices; h5py's lock caps useful threads)
     import concurrent.futures
-    pool = concurrent.futures.ThreadPoolExecutor(1, thread_name_prefix="direct")
+    pool = concurrent.futures.ThreadPoolExecutor(
+        max(1, min(4, len(devices))) if devices else 1,
+        thread_name_prefix="direct")
 
     thresholds_arr = np.asarray(thresholds, np.float32)
     sinks = _EvalSinks(out_dir, run_id, _ID_SUFFIX[strategy], thresholds,
@@ -586,18 +590,22 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
 
 def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int):
-    """Shared async driver for both direct-eval paths: load-ahead ONE item on
-    the pool thread, keep up to ``window`` device dispatches in flight, drain
-    in order (jax dispatch is async, so the window bounds on-device output
-    buffers without stalling the chips)."""
+    """Shared async driver for both direct-eval paths: load-ahead up to
+    ``window`` items on the pool's threads (in throughput mode the host H5
+    decode at ~62 Mvox/s/thread would otherwise bind around 8 chips), keep
+    up to ``window`` device dispatches in flight, drain in order (jax
+    dispatch is async, so the window bounds on-device output buffers
+    without stalling the chips)."""
     import collections
+    lookahead = max(1, window)
+    futures = collections.deque(
+        pool.submit(load_fn, item) for item in items[:lookahead])
     pending = collections.deque()
-    future = pool.submit(load_fn, items[0]) if items else None
     for i, item in enumerate(items):
         t0 = time.time()
-        loaded = future.result()
-        if i + 1 < len(items):
-            future = pool.submit(load_fn, items[i + 1])
+        loaded = futures.popleft().result()
+        if i + lookahead < len(items):
+            futures.append(pool.submit(load_fn, items[i + lookahead]))
         out = dispatch_fn(i, item, loaded)
         pending.append((item, out, t0))
         while len(pending) > window:
