@@ -35,8 +35,12 @@ Wire protocol (stdlib-only on both ends; arrays ride npz):
                     float32, optional ``target`` [Z,H,W] and — only together
                     with a target — ``mask`` [Z,H,W] (masks gate the eval
                     reductions, never the artifacts), optional
-                    ``sigma_min``/``sigma_max`` scalars (aleatoric) and
-                    ``baseline`` [Z,H,W] (auxiliary-segm, required there).
+                    ``sigma_min``/``sigma_max`` scalars (aleatoric),
+                    ``baseline`` [Z,H,W] (auxiliary-segm, required there)
+                    and a ``per_image`` flag (native-2D scoring: the leading
+                    axis holds independent images; returns per-image
+                    ``ece``/``dice`` vectors + ``correction_*`` [K,11]
+                    instead of pooled-subject scores and artifacts).
                     Returns ``.npz`` with the strategy's artifacts and, when
                     a target was sent, ``ece`` plus the per-threshold
                     ``correction_*`` vectors.
@@ -182,7 +186,27 @@ class VolumeInferenceService:
         self._cache_lock = threading.Lock()  # program LRU + request counter
 
     # ------------------------------------------------------------- programs
+    def _make_image_program(self):
+        """The chunked per-image eval program (native-2D protocol): K images
+        per dispatch, every image's OWN eval reductions vmapped."""
+        if self.strategy == "ensemble":
+            return pl.make_image_batch_ensemble_eval_fn(self.model,
+                                                        mesh=self.mesh)
+        if self.strategy == "auxiliary_feat":
+            return pl.make_image_batch_aux_feat_eval_fn(
+                self.segm_model, self.model, mesh=self.mesh)
+        if self.strategy == "auxiliary_segm":
+            return pl.make_image_batch_aux_segm_eval_fn(self.model,
+                                                        mesh=self.mesh)
+        if self.strategy == "aleatoric":
+            return pl.make_image_batch_aleatoric_eval_fn(
+                self.model, self.is_log_sigma, mesh=self.mesh)
+        return pl.make_image_batch_mc_eval_fn(self.model, self.mc,
+                                              mesh=self.mesh)
+
     def _make_program(self, vol_slices: int, with_eval: bool, batch: int):
+        if with_eval == "per_image":
+            return self._make_image_program()
         if self.strategy == "ensemble":
             factory = pl.make_volume_ensemble_eval_fn if with_eval \
                 else pl.make_volume_ensemble_fn
@@ -247,15 +271,25 @@ class VolumeInferenceService:
 
     def compiled_shapes(self):
         # snapshot: a concurrent predict() may be inserting a new program
-        return sorted(f"{nz}-slices-b{batch}{'-scored' if ev else ''}"
-                      for nz, ev, batch in list(self._programs))
+        def label(nz, ev, batch):
+            if ev == "per_image":
+                return "per-image"  # one jit object; retraces per K inside
+            return f"{nz}-slices-b{batch}{'-scored' if ev else ''}"
+        return sorted(label(*key) for key in list(self._programs))
 
     # -------------------------------------------------------------- predict
     def predict(self, images: np.ndarray, target: np.ndarray = None,
                 mask: np.ndarray = None, sigma_bounds=None,
-                baseline: np.ndarray = None) -> dict:
+                baseline: np.ndarray = None,
+                per_image: bool = False) -> dict:
         """One volume in, the strategy's serving artifacts out (numpy).
-        Thread-safe."""
+        Thread-safe.
+
+        ``per_image=True`` switches scoring to the native-2D protocol: the
+        leading axis holds K INDEPENDENT images and every image gets its own
+        eval row (``ece``/``dice`` vectors, ``correction_*`` [K, 11]) from
+        one chunked dispatch — scores only; fetch per-voxel artifacts with a
+        plain request."""
         if self.strategy == "auxiliary_segm" and baseline is None:
             raise ValueError(
                 "an auxiliary-segm service scores a BASELINE segmentation: "
@@ -285,6 +319,9 @@ class VolumeInferenceService:
                 "scoring an aleatoric request needs the run-level global "
                 "sigma bounds: send sigma_min/sigma_max (the offline "
                 "protocol's minmax pass over the whole run)")
+        if per_image:
+            return self._predict_per_image(images, target, mask,
+                                           sigma_bounds, baseline)
         volume = np.asarray(images, np.float32)
         if volume.ndim == 3:          # single image -> one-slice volume
             volume = volume[None]
@@ -372,6 +409,85 @@ class VolumeInferenceService:
                 out = dispatch(self.state, lambda a: a)
 
         return self._host_result(out, nz, target is not None, sigma_bounds)
+
+    def _predict_per_image(self, images, target, mask, sigma_bounds,
+                           baseline):
+        """Chunked per-image scoring (the native-2D eval protocol) — one
+        dispatch for K independent images; rows for padded tail images
+        (latency-mesh divisibility) are dropped host-side."""
+        if target is None:
+            raise ValueError(
+                "per_image requests are scored-only: send targets [K,H,W] "
+                "(use a plain request for the per-voxel artifacts)")
+        images = np.asarray(images, np.float32)
+        if images.ndim == 3:
+            images = images[None]
+        if images.ndim != 4:
+            raise ValueError(f"images must be [K,H,W,C] or [H,W,C], got "
+                             f"shape {images.shape}")
+        k = images.shape[0]
+        target = (np.asarray(target) > 0.5).astype(np.uint8)
+        if target.ndim == 2:
+            target = target[None]
+        want = (k,) + images.shape[1:3]
+        if target.shape != want:
+            raise ValueError(f"target shape {target.shape} does not match "
+                             f"the image stack's {want}")
+        m = np.ones(target.shape, bool) if mask is None \
+            else np.asarray(mask).reshape(target.shape) > 0
+        if baseline is not None:
+            baseline = (np.asarray(baseline) > 0.5).astype(np.uint8)
+            if baseline.ndim == 2:
+                baseline = baseline[None]
+            if baseline.shape != want:
+                raise ValueError(f"baseline shape {baseline.shape} does not "
+                                 f"match the image stack's {want}")
+
+        pad = 0
+        if self.mesh is not None:
+            from rcu_tpu.parallel.mesh import DATA_AXIS
+            pad = (-k) % dict(self.mesh.shape).get(DATA_AXIS, 1)
+
+        def _pad(arr, fill=0):
+            if pad:
+                filler = np.full((pad,) + arr.shape[1:], fill, arr.dtype)
+                arr = np.concatenate([arr, filler])
+            return arr
+
+        data = (_pad(images),) \
+            + ((_pad(baseline),) if baseline is not None else ()) \
+            + (_pad(target), _pad(m, True), self.thresholds)
+
+        with self._cache_lock:
+            self._requests += 1
+            request_index = self._requests
+        rng = jax.random.fold_in(self._rng, request_index)
+        fn = self._program(0, "per_image", 0)
+
+        def run(state, put):
+            args = state + tuple(put(a) for a in data)
+            if self.strategy == "mc":
+                return fn(*args, put(rng))
+            if self.strategy == "aleatoric":
+                return fn(*args, *sigma_bounds)
+            return fn(*args)
+
+        if self.subject_parallel:
+            dev = self._device_pool.get()
+            try:
+                out = run(self._device_state[dev],
+                          lambda a: jax.device_put(a, dev))
+            finally:
+                self._device_pool.put(dev)
+        else:
+            with self._lock:
+                out = run(self.state, lambda a: a)
+
+        result = {"ece": np.asarray(out["ece"], np.float32)[:k],
+                  "dice": np.asarray(out["dice"], np.float32)[:k]}
+        for key, value in out["correction"].items():
+            result[f"correction_{key}"] = np.asarray(value)[:k]
+        return result
 
     def _host_result(self, out, nz, scored, sigma_bounds):
         if self.strategy in ("auxiliary_feat", "auxiliary_segm"):
@@ -477,7 +593,9 @@ def make_http_server(service: VolumeInferenceService, host: str = "0.0.0.0",
                     mask=payload["mask"] if "mask" in payload else None,
                     sigma_bounds=sigma_bounds,
                     baseline=payload["baseline"]
-                    if "baseline" in payload else None)
+                    if "baseline" in payload else None,
+                    per_image=bool(payload["per_image"])
+                    if "per_image" in payload else False)
             except (ValueError, KeyError, OSError,
                     zipfile.BadZipFile) as exc:
                 # malformed payloads / bad shapes -> the client's fault

@@ -106,6 +106,31 @@ class TestService:
         np.testing.assert_allclose(a["probabilities"], fg, rtol=1e-5,
                                    atol=1e-6)
 
+    def test_per_image_scoring_matches_per_request(self, service):
+        """per_image=True scores K independent images in ONE dispatch; each
+        row must equal a separate single-image scored request exactly
+        (deterministic mc=0 service)."""
+        det = VolumeInferenceService(service.model_dir, mc=0, batch_size=2)
+        rng = np.random.RandomState(13)
+        images = rng.rand(3, *HW, 4).astype(np.float32)
+        targets = (rng.rand(3, *HW) > 0.5).astype(np.uint8)
+        out = det.predict(images, target=targets, per_image=True)
+        assert out["ece"].shape == (3,)
+        assert out["correction_corrected_dice"].shape == (3, 11)
+        assert "probabilities" not in out  # scores-only contract
+        for i in range(3):
+            single = det.predict(images[i][None], target=targets[i][None])
+            np.testing.assert_allclose(out["ece"][i], float(single["ece"]),
+                                       rtol=1e-5, atol=1e-7)
+            np.testing.assert_allclose(
+                out["correction_corrected_dice"][i],
+                single["correction_corrected_dice"], rtol=1e-5, atol=1e-7)
+
+    def test_per_image_requires_target(self, service):
+        with pytest.raises(ValueError, match="scored-only"):
+            service.predict(np.zeros((2, *HW, 4), np.float32),
+                            per_image=True)
+
     def test_throughput_mode_matches_and_parallelizes(self, service):
         """subject_parallel: per-device state replicas, concurrent requests
         on different chips; deterministic (mc=0) results equal the
