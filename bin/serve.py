@@ -69,7 +69,11 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
             logging.info("prewarming %dx%dx%d (unscored program)...", z, h, w)
             kw = {"baseline": np.zeros((z, h, w), np.uint8)} \
                 if service.strategy == "auxiliary_segm" else {}
-            service.predict(np.zeros((z, h, w, in_ch), np.float32), **kw)
+            # throughput mode compiles per device (executables key on the
+            # committed device); the FIFO pool rotates, so one call per
+            # pool device warms every chip
+            for _ in range(service.pool_size):
+                service.predict(np.zeros((z, h, w, in_ch), np.float32), **kw)
         logging.info("prewarmed programs: %s", service.compiled_shapes())
     server = make_http_server(service, host, port)
     logging.info("serving %s [%s] (mc=%d, batch=%d%s) on http://%s:%d",

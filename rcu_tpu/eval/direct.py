@@ -306,7 +306,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                 "test set")
     data = databuild.build_data(config.test_data, subjects=subjects,
                                 seed=config.seed)
-    dataset = data.dataset
+    dataset = data.dataset  # non-empty: build_data guards zero subjects
     transform = databuild.build_transform(config.test_data.transform)
 
     strategy = _detect_strategy(config, dataset, strategy)
@@ -451,9 +451,9 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     # throughput mode sizes the reader pool with the chip count (one decode
     # thread would bind around 8 devices; h5py's lock caps useful threads)
     import concurrent.futures
+    pool_workers = max(1, min(4, len(devices))) if devices else 1
     pool = concurrent.futures.ThreadPoolExecutor(
-        max(1, min(4, len(devices))) if devices else 1,
-        thread_name_prefix="direct")
+        pool_workers, thread_name_prefix="direct")
 
     thresholds_arr = np.asarray(thresholds, np.float32)
     sinks = _EvalSinks(out_dir, run_id, _ID_SUFFIX[strategy], thresholds,
@@ -461,13 +461,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                        masked=masked)
     rng = jax.random.PRNGKey(config.seed)
     eces = {}
-    names = list(dataset.subjects)
-    if not names:
-        # fail with the cause, not min()-of-empty in the bounds pass or a
-        # header-only CSV that looks like a successful empty run
-        raise ValueError(
-            f"no test subjects: the dataset {config.test_data.dataset!r} "
-            f"joined with split {config.split!r} resolved to zero subjects")
+    names = list(dataset.subjects)  # non-empty: guarded at dataset build
     window = 2 * len(devices) if devices else 1
 
     if is_2d:
@@ -590,14 +584,18 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
 
 def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int):
-    """Shared async driver for both direct-eval paths: load-ahead up to
-    ``window`` items on the pool's threads (in throughput mode the host H5
-    decode at ~62 Mvox/s/thread would otherwise bind around 8 chips), keep
-    up to ``window`` device dispatches in flight, drain in order (jax
-    dispatch is async, so the window bounds on-device output buffers
-    without stalling the chips)."""
+    """Shared async driver for both direct-eval paths: load-ahead a few
+    items on the pool's threads (in throughput mode the host H5 decode at
+    ~62 Mvox/s/thread would otherwise bind around 8 chips), keep up to
+    ``window`` device dispatches in flight, drain in order (jax dispatch is
+    async, so the window bounds on-device output buffers without stalling
+    the chips). The load-ahead depth is the pool width + 2, NOT the full
+    dispatch window — decoded volumes are ~200 MB each on the BraTS
+    workload, so buffering 2x-device-count of them would cost GBs of host
+    RAM for no extra throughput (the readers, not the buffer, are the
+    limit)."""
     import collections
-    lookahead = max(1, window)
+    lookahead = max(1, min(window, getattr(pool, "_max_workers", 1) + 2))
     futures = collections.deque(
         pool.submit(load_fn, item) for item in items[:lookahead])
     pending = collections.deque()

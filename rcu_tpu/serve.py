@@ -278,6 +278,48 @@ class VolumeInferenceService:
         return sorted(label(*key) for key in list(self._programs))
 
     # -------------------------------------------------------------- predict
+    @property
+    def pool_size(self) -> int:
+        """Device replicas answering requests (1 outside throughput mode) —
+        prewarm loops compile once per pool device."""
+        return len(self._device_state) if self.subject_parallel else 1
+
+    def _dispatch_pooled(self, run):
+        """Run ``run(state, put)`` on a checked-out pool device (throughput
+        mode; the committed device_put pins the program to that chip) or
+        under the latency lock on the shared state."""
+        if self.subject_parallel:
+            dev = self._device_pool.get()
+            try:
+                return run(self._device_state[dev],
+                           lambda a: jax.device_put(a, dev))
+            finally:
+                self._device_pool.put(dev)
+        with self._lock:
+            return run(self.state, lambda a: a)
+
+    def _next_rng(self):
+        with self._cache_lock:
+            self._requests += 1
+            request_index = self._requests
+        return jax.random.fold_in(self._rng, request_index)
+
+    @staticmethod
+    def _binarized(arr, want, name):
+        arr = (np.asarray(arr) > 0.5).astype(np.uint8)
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.shape != want:
+            raise ValueError(f"{name} shape {arr.shape} does not match the "
+                             f"request's {want}")
+        return arr
+
+    def _scored_arrays(self, target, mask, want):
+        target = self._binarized(target, want, "target")
+        m = np.ones(want, bool) if mask is None \
+            else np.asarray(mask).reshape(want) > 0
+        return target, m
+
     def predict(self, images: np.ndarray, target: np.ndarray = None,
                 mask: np.ndarray = None, sigma_bounds=None,
                 baseline: np.ndarray = None,
@@ -347,33 +389,17 @@ class VolumeInferenceService:
             return arr
 
         batched = _batched(volume)
+        want = (nz,) + volume.shape[1:3]
         data_args = (batched,)
         if baseline is not None:
-            baseline = (np.asarray(baseline) > 0.5).astype(np.uint8)
-            if baseline.ndim == 2:
-                baseline = baseline[None]
-            if baseline.shape != (nz,) + volume.shape[1:3]:
-                raise ValueError(
-                    f"baseline shape {baseline.shape} does not match the "
-                    f"volume's {(nz,) + volume.shape[1:3]}")
+            baseline = self._binarized(baseline, want, "baseline")
             data_args = (batched, _batched(baseline))
 
         m = None
         if target is not None:
-            target = (np.asarray(target) > 0.5).astype(np.uint8)
-            if target.ndim == 2:
-                target = target[None]
-            want = (nz,) + volume.shape[1:3]
-            if target.shape != want:
-                raise ValueError(f"target shape {target.shape} does not "
-                                 f"match the volume's {want}")
-            m = np.ones(target.shape, bool) if mask is None \
-                else np.asarray(mask).reshape(target.shape) > 0
+            target, m = self._scored_arrays(target, mask, want)
 
-        with self._cache_lock:
-            self._requests += 1
-            request_index = self._requests
-        rng = jax.random.fold_in(self._rng, request_index)
+        rng = self._next_rng()
 
         def dispatch(state, put):
             if target is None:
@@ -394,20 +420,7 @@ class VolumeInferenceService:
                 return fn(*args, *sigma_bounds)
             return fn(*args)
 
-        if self.subject_parallel:
-            # throughput mode: check a whole device out of the pool —
-            # concurrent requests run on different chips (the committed
-            # device_put of the data args pins the program to that chip)
-            dev = self._device_pool.get()
-            try:
-                out = dispatch(self._device_state[dev],
-                               lambda a: jax.device_put(a, dev))
-            finally:
-                self._device_pool.put(dev)
-        else:
-            with self._lock:
-                out = dispatch(self.state, lambda a: a)
-
+        out = self._dispatch_pooled(dispatch)
         return self._host_result(out, nz, target is not None, sigma_bounds)
 
     def _predict_per_image(self, images, target, mask, sigma_bounds,
@@ -425,23 +438,13 @@ class VolumeInferenceService:
         if images.ndim != 4:
             raise ValueError(f"images must be [K,H,W,C] or [H,W,C], got "
                              f"shape {images.shape}")
+        if images.size == 0:
+            raise ValueError(f"images array is empty: shape {images.shape}")
         k = images.shape[0]
-        target = (np.asarray(target) > 0.5).astype(np.uint8)
-        if target.ndim == 2:
-            target = target[None]
         want = (k,) + images.shape[1:3]
-        if target.shape != want:
-            raise ValueError(f"target shape {target.shape} does not match "
-                             f"the image stack's {want}")
-        m = np.ones(target.shape, bool) if mask is None \
-            else np.asarray(mask).reshape(target.shape) > 0
+        target, m = self._scored_arrays(target, mask, want)
         if baseline is not None:
-            baseline = (np.asarray(baseline) > 0.5).astype(np.uint8)
-            if baseline.ndim == 2:
-                baseline = baseline[None]
-            if baseline.shape != want:
-                raise ValueError(f"baseline shape {baseline.shape} does not "
-                                 f"match the image stack's {want}")
+            baseline = self._binarized(baseline, want, "baseline")
 
         pad = 0
         if self.mesh is not None:
@@ -458,10 +461,7 @@ class VolumeInferenceService:
             + ((_pad(baseline),) if baseline is not None else ()) \
             + (_pad(target), _pad(m, True), self.thresholds)
 
-        with self._cache_lock:
-            self._requests += 1
-            request_index = self._requests
-        rng = jax.random.fold_in(self._rng, request_index)
+        rng = self._next_rng()
         fn = self._program(0, "per_image", 0)
 
         def run(state, put):
@@ -472,17 +472,7 @@ class VolumeInferenceService:
                 return fn(*args, *sigma_bounds)
             return fn(*args)
 
-        if self.subject_parallel:
-            dev = self._device_pool.get()
-            try:
-                out = run(self._device_state[dev],
-                          lambda a: jax.device_put(a, dev))
-            finally:
-                self._device_pool.put(dev)
-        else:
-            with self._lock:
-                out = run(self.state, lambda a: a)
-
+        out = self._dispatch_pooled(run)
         result = {"ece": np.asarray(out["ece"], np.float32)[:k],
                   "dice": np.asarray(out["dice"], np.float32)[:k]}
         for key, value in out["correction"].items():

@@ -182,9 +182,13 @@ def matmul_peak():
     @jax.jit
     def chain(a):
         x = a
+        scale = jnp.bfloat16(1.0 / n)  # 2^-12: exact in bf16
         for _ in range(reps):
             x = jnp.dot(x, a, preferred_element_type=jnp.bfloat16)
-            x = x / jnp.float32(n)  # keep finite
+            # keep finite WITHOUT promoting: a f32 scale would make every
+            # later dot an f32-operand matmul whose speed depends on the
+            # default matmul-precision demotion
+            x = x * scale
         return jnp.sum(x.astype(jnp.float32))
 
     float(chain(a))

@@ -118,6 +118,22 @@ class TestDirectEval:
             evaluate_direct(cfg, str(tmp_path / "empty_out"), mc=3,
                             masked=False)
 
+    def test_empty_dataset_without_split_fails_loudly(self, trained,
+                                                      tmp_path):
+        """A split-less run over an empty store must also raise with the
+        cause — not IndexError in the strategy probe (self-review r3)."""
+        empty_store = str(tmp_path / "empty.h5")
+        with h5.DatasetWriter(empty_store):
+            pass
+        _, _, _, loop = trained
+        cfg = base_test_cfg(tmp_path, empty_store, None,
+                            loop.model_files.model_dir,
+                            others={"mc": 3}, name="nostore")
+        cfg.split = None
+        with pytest.raises(ValueError, match="zero subjects"):
+            evaluate_direct(cfg, str(tmp_path / "ns_out"), mc=3,
+                            masked=False)
+
     def test_masked_requires_files_metadata(self, trained, tmp_path):
         from tests.test_strategies import make_store
         store = make_store(str(tmp_path / "nofiles.h5"), channels=4)
