@@ -24,9 +24,9 @@ Measured results (r3, one v5e chip):
 - ablation: the `logits` core is 96% of the full program's time; softmax /
   mean / entropy / the whole eval pass are <= 4% COMBINED — the epilogue is
   NOT the bf16 binder, cheapening it is closed out.
-- ``--peak``: a chained 4096^3 bf16 matmul reaches ~111 TFLOP/s — the
-  chip's PRACTICAL peak (56% of the 197 nominal). The bf16 pipeline's ~77
-  TFLOP/s is ~70% of practical.
+- ``--peak``: a chained 4096^3 bf16 matmul reaches ~117 TFLOP/s — the
+  chip's PRACTICAL peak (59% of the 197 nominal). The bf16 pipeline's ~77
+  TFLOP/s is ~66% of practical.
 - ``--levels`` (batch 32 per dispatch): 240^2 x 32ch 10 TF/s, 120^2 x 64ch
   29, 60^2 x 128ch 50, 30^2 x 256ch 32 — the small-channel TOP level is the
   inefficient one at the staged batch size. The pipeline still sustains ~77
@@ -173,7 +173,7 @@ def main(dtype="bfloat16"):
 
 def matmul_peak():
     """The chip's PRACTICAL bf16 MXU peak: a chained 4096^3 matmul (the
-    friendliest possible shape). Measured ~111 TFLOP/s on this image's v5e —
+    friendliest possible shape). Measured ~117 TFLOP/s on this image's v5e —
     the reference point the pipeline's achieved TFLOP/s should be judged
     against, not the 197 nominal."""
     n, reps = 4096, 64

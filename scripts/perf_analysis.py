@@ -12,8 +12,8 @@ Inference (``--section infer``, one JSON line per dtype):
   per-sample softmax, MC mean, entropy, the whole fused eval — costs <= 4%
   of the volume time COMBINED (cheapening it is closed out); ~96% is the
   T=20 U-Net forward stack itself. Judged against the chip's PRACTICAL
-  peak (``--peak``: a chained 4096^3 bf16 matmul reaches ~111 TFLOP/s, not
-  the 197 nominal), the bf16 pipeline's ~77 TFLOP/s is ~70% of what the
+  peak (``--peak``: a chained 4096^3 bf16 matmul reaches ~117 TFLOP/s, not
+  the 197 nominal), the bf16 pipeline's ~77 TFLOP/s is ~66% of what the
   MXU demonstrably delivers — the apparent "3x headroom to the nominal
   roof" is mostly nominal-vs-practical peak plus conv-vs-matmul overhead,
   not a recoverable epilogue cost.
