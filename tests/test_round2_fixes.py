@@ -127,6 +127,28 @@ class TestReaderPool:
             for k in a:
                 np.testing.assert_array_equal(a[k], b[k])
 
+    def test_concurrent_volume_reads_are_bit_exact(self, tmp_path):
+        """Both the loader pool and the direct driver's reader pool read
+        whole volumes from ONE h5py handle across threads — h5py's global
+        lock must keep that bit-exact (pins the build's thread-safety
+        assumption)."""
+        import concurrent.futures
+        ds = self._store(tmp_path, nb_subjects=4, z=6)
+        serial = {s: np.asarray(ds.read_volume(s, "images")).copy()
+                  for s in ds.subjects}
+
+        def worker(i):
+            s = ds.subjects[i % len(ds.subjects)]
+            for _ in range(25):
+                if not np.array_equal(
+                        np.asarray(ds.read_volume(s, "images")), serial[s]):
+                    return f"mismatch:{s}"
+            return "ok"
+
+        with concurrent.futures.ThreadPoolExecutor(8) as pool:
+            results = set(pool.map(worker, range(16)))
+        assert results == {"ok"}
+
 
 class TestTrainTestCsvSchemas:
     """Pin the validation/test CSV column contracts (reference
