@@ -128,12 +128,14 @@ class Data:
 def build_data(data_config: DataConfiguration, subjects=None, seed: int = 0,
                batch_size: int = None, prediction_dir: str = None) -> Data:
     dataset = build_dataset(data_config, subjects, prediction_dir)
-    if not list(dataset.subjects):
+    if not dataset.subjects:
         # every consumer probes subjects[0] (categories, indexing, shape
-        # peeks) — fail here with the cause, not an opaque IndexError
+        # peeks) — fail here with the cause, not an opaque IndexError.
+        # (A non-empty selection with missing members already raised in the
+        # dataset ctor, so a non-None `subjects` here was an empty list.)
         raise ValueError(
             f"no subjects: the dataset {data_config.dataset!r} "
-            + (f"joined with the {len(subjects)}-subject selection "
+            + ("with an empty subject selection "
                if subjects is not None else "")
             + "resolved to zero subjects")
     indexing = build_indexing(data_config.indexing)

@@ -463,6 +463,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     eces = {}
     names = list(dataset.subjects)  # non-empty: guarded at dataset build
     window = 2 * len(devices) if devices else 1
+    lookahead = pool_workers + 2
 
     if is_2d:
         return _evaluate_direct_2d(
@@ -470,7 +471,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             transform, masked, foreground_mask, needs_baseline, _split_labels,
             mc, batch_size, n_data_shards, thresholds_arr, program_mesh,
             devices, per_device_state if devices else None, rng, pool, sinks,
-            eces)
+            eces, lookahead)
 
     # ------------------------------------------------- fused volume programs
     needs_rng = strategy in ("mc", "deterministic")
@@ -550,7 +551,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             sinks.add_bounds(mn, mx)
 
         _drive(pool, names, load_subject, minmax_dispatch, minmax_fetch,
-               window)
+               window, lookahead)
         gmin, gmax = _global_bounds(sinks.bounds, "sigma")
         logging.info("direct aleatoric: global sigma range [%.6f, %.6f]",
                      gmin, gmax)
@@ -562,7 +563,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                                          thresholds_arr)),
                       np.float32(gmin), np.float32(gmax))
 
-        _drive(pool, names, load_subject, al_dispatch, fetch, window)
+        _drive(pool, names, load_subject, al_dispatch, fetch, window,
+               lookahead)
         pool.shutdown()
         sinks.finish()
         return eces
@@ -577,25 +579,26 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
     # dispatches are async: keep up to 2x the device count in flight so every
     # chip stays busy while bounding on-device output memory
-    _drive(pool, names, load_subject, dispatch, fetch, window)
+    _drive(pool, names, load_subject, dispatch, fetch, window, lookahead)
     pool.shutdown()
     sinks.finish()
     return eces
 
 
-def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int):
-    """Shared async driver for both direct-eval paths: load-ahead a few
-    items on the pool's threads (in throughput mode the host H5 decode at
-    ~62 Mvox/s/thread would otherwise bind around 8 chips), keep up to
-    ``window`` device dispatches in flight, drain in order (jax dispatch is
-    async, so the window bounds on-device output buffers without stalling
-    the chips). The load-ahead depth is the pool width + 2, NOT the full
-    dispatch window — decoded volumes are ~200 MB each on the BraTS
-    workload, so buffering 2x-device-count of them would cost GBs of host
-    RAM for no extra throughput (the readers, not the buffer, are the
-    limit)."""
+def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int,
+           lookahead: int = 1):
+    """Shared async driver for both direct-eval paths: load-ahead
+    ``lookahead`` items on the pool's threads (in throughput mode the host
+    H5 decode at ~62 Mvox/s/thread would otherwise bind around 8 chips),
+    keep up to ``window`` device dispatches in flight, drain in order (jax
+    dispatch is async, so the window bounds on-device output buffers
+    without stalling the chips). Callers size ``lookahead`` to the reader
+    pool width + 2, NOT the full dispatch window — decoded volumes are
+    ~200 MB each on the BraTS workload, so buffering 2x-device-count of
+    them would cost GBs of host RAM for no extra throughput (the readers,
+    not the buffer, are the limit)."""
     import collections
-    lookahead = max(1, min(window, getattr(pool, "_max_workers", 1) + 2))
+    lookahead = max(1, min(window, lookahead))
     futures = collections.deque(
         pool.submit(load_fn, item) for item in items[:lookahead])
     pending = collections.deque()
@@ -616,7 +619,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                         dataset, names, transform, masked, foreground_mask,
                         needs_baseline, split_labels, mc, chunk_size,
                         n_data_shards, thresholds_arr, mesh, devices,
-                        per_device_state, rng, pool, sinks, eces):
+                        per_device_state, rng, pool, sinks, eces, lookahead):
     """Chunked native-2D eval for every strategy: K images per dispatch
     through the matching :mod:`rcu_tpu.eval.pipeline` image-batch program.
     Latency mode shards the image axis over the mesh; throughput mode
@@ -757,7 +760,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                     sinks.add_bounds(mn[i], mx[i])
 
         _drive(pool, groups, load_chunk, minmax_dispatch, minmax_fetch,
-               window)
+               window, lookahead)
         gmin, gmax = _global_bounds(sinks.bounds, "sigma")
         logging.info("direct 2d aleatoric: global sigma range [%.6f, %.6f]",
                      gmin, gmax)
@@ -765,9 +768,9 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                lambda ci, group, parts: dispatch(
                    ci, group, parts,
                    extra=(np.float32(gmin), np.float32(gmax))),
-               fetch, window)
+               fetch, window, lookahead)
     else:
-        _drive(pool, groups, load_chunk, dispatch, fetch, window)
+        _drive(pool, groups, load_chunk, dispatch, fetch, window, lookahead)
 
     pool.shutdown()
     sinks.finish()

@@ -314,8 +314,9 @@ class VolumeInferenceService:
                              f"request's {want}")
         return arr
 
-    def _scored_arrays(self, target, mask, want):
-        target = self._binarized(target, want, "target")
+    @classmethod
+    def _scored_arrays(cls, target, mask, want):
+        target = cls._binarized(target, want, "target")
         m = np.ones(want, bool) if mask is None \
             else np.asarray(mask).reshape(want) > 0
         return target, m
