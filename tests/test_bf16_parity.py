@@ -88,6 +88,29 @@ class TestBf16ParityGate:
                         dtype="bfloat16")
         assert_gate(f32_dir, bf16_dir, "eval_calibration_baseline_mc.csv")
 
+    def test_ensemble_strategy(self, env, tmp_path):
+        """Member-mean softmax confidences behave like the MC ones — the
+        stacked-ensemble direct path must clear the same 1e-3 gate at
+        bf16."""
+        tmp0, store, split_file = env
+        unet = {"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                         "nb_classes": 2, "start_filters": 8}}
+        primary = strategies.train_default(base_train_cfg(
+            tmp0, store, split_file, name="bf16_e1", epochs=3, model=unet))
+        member = strategies.train_default(base_train_cfg(
+            tmp0, store, split_file, name="bf16_e2", epochs=3, model=unet))
+        cfg = base_test_cfg(tmp0, store, split_file,
+                            primary.model_files.model_dir,
+                            others={"model_dir":
+                                    [member.model_files.model_dir],
+                                    "test_at": "best"}, name="bf16_e_t")
+        cfg.test_data.batch_size = 8
+        f32_dir, bf16_dir = str(tmp_path / "f32"), str(tmp_path / "bf16")
+        evaluate_direct(cfg, f32_dir, run_id="ensemble", masked=False)
+        evaluate_direct(cfg, bf16_dir, run_id="ensemble", masked=False,
+                        dtype="bfloat16")
+        assert_gate(f32_dir, bf16_dir, "eval_calibration_ensemble.csv")
+
     def test_aleatoric_envelope(self, env, tmp_path):
         """Sigma heads do NOT clear the 1e-3 production gate at bf16 (see
         module docstring) — bf16 stays opt-in for them. This pins the

@@ -193,6 +193,40 @@ class TestDirect2dMatchesVolumePath:
         cfg3d.test_data.batch_size = 1
         _run_pair(env, tmp_path, cfg2d, cfg3d, "auxiliary_segm")
 
+    def test_eval_tree_feeds_isic_analysis(self, env, tmp_path, monkeypatch):
+        """The unmasked (ISIC) eval_tree layout writes the ``ece`` category
+        dir and IsicResultData + the main table consume a 2-D direct run's
+        out_dir unchanged."""
+        import importlib.util
+        import sys
+        from rcu_tpu import directories as dirs
+        cfg2d, _ = _pair_cfgs(env, "tree2d",
+                              env["baseline"].model_files.model_dir)
+        out_dir = str(tmp_path / "tree2d")
+        evaluate_direct(cfg2d, out_dir, run_id="baseline", mc=0,
+                        masked=False, layout="eval_tree")
+        assert os.path.isdir(os.path.join(out_dir, dirs.ECE_NAME))
+
+        monkeypatch.setattr(dirs, "ISIC_EVAL_DIR", out_dir)
+        from rcu_tpu.analysis import resultdata as resdata
+        data = resdata.IsicResultData()
+        assert "baseline" in data.get_ids()
+
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))
+        bin_dir = os.path.join(repo_root, "bin")
+        if bin_dir not in sys.path:
+            sys.path.insert(0, bin_dir)
+        spec = importlib.util.spec_from_file_location(
+            "d2d_table", os.path.join(bin_dir, "table_ece_ue_bnf_dice.py"))
+        table = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(table)
+        monkeypatch.setitem(resdata.isic_selection_id_name_dict,
+                            "baseline", "baseline")
+        df = table.gather_information("isic")
+        assert "baseline" in df.index
+        assert np.isfinite(df.loc["baseline"]["ece"])
+
     def test_heterogeneous_chunks_under_latency_mesh(self, env, tmp_path):
         """ADVICE r2 (medium): a MID-chunk same-shape part whose length does
         not divide the mesh's data axis must pad up to it (every part, not
