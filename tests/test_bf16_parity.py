@@ -10,10 +10,11 @@ same bar BASELINE.json sets for parity against the reference. bench.py's
 headline (direct+bf16) cites this gate.
 
 Measured outcome (the reason the promotion is per-strategy):
-- **MC / softmax confidence** passes the 1e-3 gate — softmax probabilities
-  of a trained segmenter sit far from the bin edges, so the ~0.4% bf16
-  perturbation rarely moves a voxel across one. bf16 IS the production
-  dtype for the headline MC path; bench.py's headline cites this test.
+- **MC / ensemble (softmax confidence)** pass the 1e-3 gate — softmax (or
+  member-mean) probabilities of trained segmenters sit far from the bin
+  edges, so the ~0.4% bf16 perturbation rarely moves a voxel across one.
+  bf16 IS the production dtype for these paths; bench.py's headline cites
+  this test.
 - **Aleatoric / sigma confidence** does NOT reliably clear 1e-3: the
   predicted-class sigma spans a narrow range that the global rescale
   stretches across all 10 bins, so bf16's relative error on sigma (and on
