@@ -214,11 +214,16 @@ def main():
     # ECE/Dice <= 1e-3 vs f32)
     headline_best = headline_mean = None
     headline_config = "direct_bf16"
+    headline_metric = "brats_mc20_direct_eval_bf16_voxels_per_sec_per_chip"
     try:
         headline_best, headline_mean, _, _ = bench_tpu(
             dtype="bfloat16", need_flops=False, artifacts=False)
     except Exception:
+        # the metric NAME must reflect the configuration actually measured —
+        # consumers keying on "metric" would otherwise misattribute the
+        # fallback's f32 staged number to the bf16 direct path
         headline_config = "staged_f32 (bf16 leg failed)"
+        headline_metric = "brats_mc20_staged_eval_f32_voxels_per_sec_per_chip"
         headline_best, headline_mean = staged_best, staged_mean
     headline_mfu = None
     if flops:
@@ -255,7 +260,7 @@ def main():
     except Exception:
         ref_voxels_per_sec, ratio = None, None
     print(json.dumps({
-        "metric": "brats_mc20_direct_eval_bf16_voxels_per_sec_per_chip",
+        "metric": headline_metric,
         "value": round(headline_best, 1),
         "unit": "voxel/s",
         "vs_baseline": round(ratio, 2) if ratio else None,

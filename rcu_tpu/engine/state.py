@@ -17,13 +17,14 @@ class TrainState(struct.PyTreeNode):
     best_score: jnp.ndarray   # float32 scalar; -inf when unset
 
 
-def create_train_state(model, optimizer, input_shape, rng=None) -> TrainState:
-    """Initialize on the host CPU backend, then transfer.
+def init_variables(model, input_shape, rng=None) -> tuple:
+    """(params, batch_stats) template, initialized on the host CPU backend
+    and shipped to the default device.
 
     On this image's remote (axon) TPU backend a model-init compile costs
     60-100s of tunnel time; initializing on CPU and shipping the pytree takes
-    ~1s and is numerically identical.
-    """
+    ~1s and is numerically identical. Inference paths that only need a
+    checkpoint-restore template use this directly (no optimizer state)."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     try:
         cpu = jax.devices("cpu")[0]
@@ -42,6 +43,12 @@ def create_train_state(model, optimizer, input_shape, rng=None) -> TrainState:
     if cpu is not None and default != cpu:
         params = jax.device_put(params, default)
         batch_stats = jax.device_put(batch_stats, default)
+    return params, batch_stats
+
+
+def create_train_state(model, optimizer, input_shape, rng=None) -> TrainState:
+    """Full training state: :func:`init_variables` + fresh optimizer state."""
+    params, batch_stats = init_variables(model, input_shape, rng)
     opt_state = optimizer.init(params)
     return TrainState(params=params, batch_stats=batch_stats, opt_state=opt_state,
                       epoch=jnp.asarray(0, jnp.int32),

@@ -41,11 +41,11 @@ from rcu_tpu import directories as dirs
 from rcu_tpu.engine import checkpoint as ckpt_lib
 from rcu_tpu.engine import config as cfg_lib
 from rcu_tpu.engine import databuild
-from rcu_tpu.engine.state import create_train_state
+from rcu_tpu.engine.state import init_variables
 from rcu_tpu.eval import hooks as ev_hooks
 from rcu_tpu.eval import pipeline as pl
 from rcu_tpu.eval.actions import CORRECTION_KEYS, csv_value
-from rcu_tpu.models import get_model, get_optimizer
+from rcu_tpu.models import get_model
 
 DEFAULT_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
@@ -78,16 +78,16 @@ def _load_model_state(model_dir: str, test_at, input_shape,
     path = ckpt_lib.find_checkpoint_file(mf, test_at)
     if path is None:
         raise FileNotFoundError(f"no checkpoint '{test_at}' in {model_dir}")
-    optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
     # init with the CHECKPOINT's channel count, not the dataset's — an
     # auxiliary error net takes images+baseline (C+1), a PostNet takes the
-    # segmenter's feature channels
+    # segmenter's feature channels. Inference needs only the params/BN
+    # template, not a TrainState (no optimizer here).
     in_ch = int(params_dict.get("in_channels") or input_shape[-1])
-    state = create_train_state(model, optimizer, input_shape[:-1] + (in_ch,))
+    params_tpl, stats_tpl = init_variables(model, input_shape[:-1] + (in_ch,))
     raw = ckpt_lib.load_checkpoint(path)
     from flax import serialization
     restored = serialization.from_state_dict(
-        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": params_tpl, "batch_stats": stats_tpl},
         {"params": raw["params"], "batch_stats": raw["batch_stats"]})
     return model, restored["params"], restored["batch_stats"]
 
@@ -142,6 +142,14 @@ def _detect_strategy(config, dataset, strategy):
     if isinstance(member_dirs, (list, tuple)):
         return "ensemble"
     if isinstance(member_dirs, str):
+        # ambiguous config shape: an ensemble listing its single member as a
+        # string would be mis-detected here (_load_ensemble_states accepts
+        # the string form too) — say which protocol won and why
+        logging.warning(
+            "others.model_dir is a string (%s) -> inferring strategy "
+            "'auxiliary_feat' (frozen-segmenter confidence protocol). If it "
+            "is a single ensemble member, pass strategy='ensemble' "
+            "explicitly.", member_dirs)
         return "auxiliary_feat"
     # shape-only probe — decoding a whole labels volume just for its trailing
     # dim would cost a full H5 read per run
@@ -205,6 +213,17 @@ class _EvalSinks:
     def write_subject(self, subject, row_of):
         """``row_of(key)`` -> numpy value for 'bins_count' etc.; one subject
         (or one image of a 2-D chunk) per call."""
+        ece = float(row_of("ece"))
+        if not np.isfinite(ece):
+            # a constant confidence map makes the fused program's per-subject
+            # min-max rescale divide 0/0 (eval/pipeline.py _confidence_eval)
+            # and NaN would silently fill every CSV cell — the same failure
+            # _global_bounds catches loudly for the aleatoric protocol
+            raise ValueError(
+                f"subject '{subject}': non-finite ECE ({ece}) from the fused "
+                "eval — the confidence map is degenerate (e.g. a collapsed "
+                "head produced a constant map, so the subject rescale "
+                "divided 0/0)")
         corr = row_of("correction")
         self.calib.on_subject({
             "bins_count": np.asarray(row_of("bins_count")).astype(np.int64),
@@ -212,7 +231,7 @@ class _EvalSinks:
             "bins_positive_fraction":
                 np.asarray(row_of("bins_positive_fraction")),
             "bins_non_zero": np.asarray(row_of("bins_non_zero")),
-            "ece": float(row_of("ece")),
+            "ece": ece,
             "dice": float(row_of("dice")),
         }, subject, self.result_id)
         self.ece.on_subject({k: csv_value(k, row_of(k))
@@ -338,6 +357,13 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         state = (stacked_params, stacked_stats)
         member_sharded = (0, 1)
     elif strategy == "auxiliary_feat":
+        if not isinstance(config.others.get("model_dir"), str) \
+                or "test_at" not in config.others:
+            raise ValueError(
+                'missing "model_dir" or "test_at" entry in the configuration '
+                "(others): auxiliary_feat needs others.model_dir pointing at "
+                "the trained frozen-segmenter dir and others.test_at naming "
+                "its checkpoint")
         segm_model, segm_params, segm_stats = _load_model_state(
             config.others["model_dir"], config.others["test_at"], input_shape,
             provide_features=True, dtype=dtype)

@@ -57,6 +57,21 @@ Two multi-chip modes mirror the direct-eval driver's:
   zero cross-chip traffic; server throughput scales ~linearly with the
   device count.
 
+  Throughput mode deliberately maps ONE request to ONE device with no
+  cross-request batching. The workload makes coalescing a loss: a request
+  carries a whole subject whose slice axis already fills the conv batch
+  (``batch_size`` 32 slices x the T-sample vmap — the measured
+  memory-optimal MXU batch, scripts/perf_analysis.py), so merging two
+  requests cannot raise per-chip utilization; it can only couple their
+  latencies (the first-arriving request waits for a partner or a timeout)
+  and force a second compiled shape per pairing. Requests short enough to
+  underfill a device (tiny Z, ``per_image`` chunks) are latency-sensitive
+  scoring calls where queueing for a batch partner is exactly the wrong
+  trade. If a deployment ever serves floods of sub-batch-size requests,
+  the right lever is the existing ``per_image`` protocol (the CLIENT
+  stacks K independent images into one request) — batching at the wire
+  format, not in the server's dispatch path.
+
 The compiled program cache is a bounded LRU (``max_programs``): scored
 requests key on their exact slice count, so a long-lived server facing
 varied-Z volumes evicts cold programs instead of growing without bound.
