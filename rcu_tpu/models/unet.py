@@ -213,8 +213,16 @@ class UNet(nn.Module):
                                 kernel_init=conv_init,
                                 name=f"Conv_{self.depth}")
         if self.sigma_out:
+            # the sigma head always computes in f32, even under a bf16 compute
+            # dtype: the sigma protocol's GLOBAL min-max rescale stretches the
+            # narrow predicted-class sigma range across all 10 ECE bins, so
+            # bf16 relative error on the head measurably breaks the 1e-3
+            # parity gate (tests/test_bf16_parity.py). A f32 head (one 3x3
+            # conv at start_filters channels + the 1x1) costs a small slice of
+            # the T=1 aleatoric forward while the bf16 trunk keeps the MXU
+            # rate — the standard per-module mixed-precision split.
             self.sigma_cbr = ConvBnRelu(self.start_filters, self.dropout,
-                                        self.bn, dtype=self.dtype,
+                                        self.bn, dtype=None,
                                         name="ConvBnRelu_1")
             self.sigma_conv = nn.Conv(self.nb_classes, (1, 1),
                                       kernel_init=conv_init,
@@ -256,7 +264,9 @@ class UNet(nn.Module):
         logits = self.cls_conv(head.astype(jnp.float32))
         sigma = None
         if self.sigma_out:
-            sigma = self.sigma_conv(self.sigma_cbr(x, **kw).astype(jnp.float32))
+            # f32 head on the (possibly bf16) trunk features — see setup()
+            sigma = self.sigma_conv(
+                self.sigma_cbr(x.astype(jnp.float32), **kw))
         return UNetOutput(logits=logits, sigma=sigma, features=features)
 
     def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):

@@ -17,11 +17,17 @@ Measured outcome (the reason the promotion is per-strategy):
   this test.
 - **Aleatoric / sigma confidence** does NOT reliably clear 1e-3: the
   predicted-class sigma spans a narrow range that the global rescale
-  stretches across all 10 bins, so bf16's relative error on sigma (and on
-  the run's min/max bounds themselves) moves voxels between bins. Measured
-  per-subject ECE deltas: 0.7e-3 to 1.5e-3 on 2.3k-8.2k-voxel test volumes
-  across trained models. bf16 therefore stays OPT-IN for sigma heads; the
-  test pins the measured envelope (<= 5e-3) so a real regression (e.g. a
+  stretches across all 10 bins, so bf16's relative error on the sigma path
+  moves voxels between bins. The per-module mixed-precision split was
+  MEASURED (round 4): with the sigma head (ConvBnRelu_1 + 1x1) and the
+  rescale/fold epilogue forced to f32 (models/unet.py), per-subject ECE
+  deltas drop from 0.7-1.5e-3 to 0.1-1.05e-3 across trained models
+  (log/linear sigma, varied widths/seeds) — head/epilogue dtype was about
+  HALF the error; the residual is bf16 noise on the trunk features feeding
+  the head, i.e. the component that buys the MXU rate. The f32 head ships
+  (it is free for f32 models and halves the opt-in bf16 error), but bf16
+  stays OPT-IN for sigma heads; the test pins the measured envelope
+  (<= 2e-3, was 5e-3 before the f32 head) so a real regression (e.g. a
   bf16 sigma-path bug) still fails loudly.
 """
 import csv
@@ -38,7 +44,8 @@ from tests.test_strategies import base_test_cfg, base_train_cfg, make_store
 pytestmark = pytest.mark.slow
 
 GATE = 1e-3          # BASELINE.json "ECE/Dice parity to 1e-3"
-SIGMA_ENVELOPE = 5e-3  # measured bf16 sigma-protocol envelope (opt-in dtype)
+SIGMA_ENVELOPE = 2e-3  # measured bf16 sigma-protocol envelope with the f32
+#                        sigma head (opt-in dtype; see module docstring)
 
 
 def read_ece_dice(out_dir, calib_name):
@@ -113,10 +120,10 @@ class TestBf16ParityGate:
         assert_gate(f32_dir, bf16_dir, "eval_calibration_ensemble.csv")
 
     def test_aleatoric_envelope(self, env, tmp_path):
-        """Sigma heads do NOT clear the 1e-3 production gate at bf16 (see
-        module docstring) — bf16 stays opt-in for them. This pins the
-        measured envelope so a real bf16 sigma-path regression still
-        fails."""
+        """Sigma heads do NOT reliably clear the 1e-3 production gate at
+        bf16 even with the f32 head/epilogue split (see module docstring) —
+        bf16 stays opt-in for them. This pins the measured envelope so a
+        real bf16 sigma-path regression still fails."""
         tmp0, store, split_file = env
         loop = strategies.train_aleatoric(base_train_cfg(
             tmp0, store, split_file, name="bf16_alea", epochs=3,
