@@ -270,7 +270,8 @@ def make_volume_aleatoric_fn(model, batch_size: int, vol_slices: int,
     return jax.jit(run, in_shardings=(rep, rep, data), out_shardings=rep)
 
 
-def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None):
+def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None,
+                                n_chunks: int = 1):
     """Native-2D (ISIC) batched program: ONE dispatch runs the 21-forward MC
     protocol over K whole images at once (K rides the conv batch axis — full
     MXU utilization instead of the volume path's forced batch of 1) and then
@@ -279,13 +280,22 @@ def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None):
     (params, batch_stats, images[K,H,W,C], targets[K,H,W], masks[K,H,W],
     thresholds, rng) -> dict of per-image arrays: ece/bins (K,...), dice (K,),
     correction entries (K, n_thresholds).
+
+    ``n_chunks > 1`` scans that many K-image chunks inside the SAME dispatch
+    (images become [n_chunks*K, ...]; chunk ``i`` samples with
+    ``fold_in(rng, i)``, the volume program's per-step schedule) — the
+    dispatch-amortization lever for the remote-TPU link, where a single
+    K=32 chunk is ~0.2 s of device work and the per-dispatch round trip
+    would otherwise dominate (see scripts/bench_isic.py). ``n_chunks=1`` is
+    bit-identical to the historical single-chunk program.
     """
 
     def run(params, batch_stats, images, targets, masks, thresholds, rng):
+        batched = images.reshape((n_chunks, -1) + images.shape[1:])
         fg, ent, _ws = _mc_scan(model, mc_steps, params, batch_stats,
-                                images[None], rng)
-        fg = fg[0]                      # (K, H, W)
-        ent = ent[0] / jnp.log(2.0)
+                                batched, rng)
+        fg = fg.reshape((-1,) + fg.shape[2:])        # (n_chunks*K, H, W)
+        ent = ent.reshape((-1,) + ent.shape[2:]) / jnp.log(2.0)
 
         def one_image(fg_i, ent_i, target_i, mask_i):
             return _entropy_eval(fg_i, ent_i, target_i, mask_i, thresholds)
@@ -378,6 +388,64 @@ def _ensemble_scan(model, stacked_params, stacked_stats, batched):
     return out
 
 
+def _ensemble_scan_ep(model, mesh, stacked_params, stacked_stats, batched):
+    """EP twin of :func:`_ensemble_scan`: the member axis is mapped with an
+    EXPLICIT ``shard_map`` over the mesh's 'model' axis (each shard runs its
+    local members' convs unpartitioned; the member-mean is one psum), while
+    the batch axis stays a compiler-sharded (GSPMD) dimension like every
+    proven data-parallel path.
+
+    Explicit, not auto: letting GSPMD partition the vmapped member axis of a
+    conv CHAIN miscompiles on this jax/XLA build — measured round 4, each
+    member-batched conv is exact in isolation but chaining two diverges by
+    O(1) (e.g. member-mean probabilities off by 0.5 at trained parameter
+    scale; see tests/test_parallel.py TestEnsembleParallel). shard_map maps
+    the member dimension the way a TPU program should anyway — one member
+    per model-axis shard, collective only at the mean."""
+    from rcu_tpu.parallel.ensemble import MODEL_AXIS
+    P = jax.sharding.PartitionSpec
+    n_members = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+
+    def body(local_params, local_stats, local_batched):
+        def one_member(params, batch_stats):
+            def one_batch(_, images):
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, images,
+                    train=False)
+                return None, jax.nn.softmax(out.logits, axis=-1)
+
+            _, probs = jax.lax.scan(one_batch, None, local_batched)
+            return probs
+
+        local_probs = jax.vmap(one_member)(local_params, local_stats)
+        probabilities = jax.lax.psum(jnp.sum(local_probs, axis=0),
+                                     MODEL_AXIS) / n_members
+        ent = metrics_ops.entropy(probabilities, axis=-1)
+        return probabilities[..., 1], ent
+
+    member = P(MODEL_AXIS)
+    return jax.shard_map(body, mesh=mesh,
+                         axis_names=frozenset({MODEL_AXIS}),
+                         in_specs=(member, member, P()),
+                         out_specs=(P(), P()))(stacked_params, stacked_stats,
+                                               batched)
+
+
+def _is_ep_mesh(mesh) -> bool:
+    from rcu_tpu.parallel.ensemble import MODEL_AXIS
+    return mesh is not None and MODEL_AXIS in mesh.axis_names
+
+
+def _ensemble_probs_scan(model, mesh, stacked_params, stacked_stats, batched):
+    """Member-mean (fg, entropy) per scanned batch — EP shard_map when the
+    mesh has a 'model' axis, plain vmapped scan otherwise (members then
+    replicate; GSPMD handles replicated members exactly)."""
+    if _is_ep_mesh(mesh):
+        return _ensemble_scan_ep(model, mesh, stacked_params, stacked_stats,
+                                 batched)
+    return _ensemble_scan(model, stacked_params, stacked_stats, batched)
+
+
 def make_volume_ensemble_eval_fn(model, batch_size: int, vol_slices: int,
                                  mesh=None, artifacts: bool = False):
     """One dispatch per subject: (stacked_params, stacked_batch_stats,
@@ -387,7 +455,8 @@ def make_volume_ensemble_eval_fn(model, batch_size: int, vol_slices: int,
     additionally returns the per-voxel fg/entropy maps (serving)."""
 
     def run(stacked_params, stacked_stats, batched, target, mask, thresholds):
-        fg, ent = _ensemble_scan(model, stacked_params, stacked_stats, batched)
+        fg, ent = _ensemble_probs_scan(model, mesh, stacked_params,
+                                       stacked_stats, batched)
         fg = _trim(fg, vol_slices)
         ent = _trim(ent, vol_slices) / jnp.log(2.0)
         out = _entropy_eval(fg, ent, target, mask, thresholds)
@@ -410,7 +479,8 @@ def make_volume_ensemble_fn(model, batch_size: int, vol_slices: int,
     (member-mean probabilities; EP over a 2-D mesh's 'model' axis)."""
 
     def run(stacked_params, stacked_stats, batched):
-        fg, ent = _ensemble_scan(model, stacked_params, stacked_stats, batched)
+        fg, ent = _ensemble_probs_scan(model, mesh, stacked_params,
+                                       stacked_stats, batched)
         fg = _trim(fg, vol_slices)
         ent = _trim(ent, vol_slices) / jnp.log(2.0)
         return {"fg": fg, "entropy": ent, "prediction": fg > 0.5}
@@ -428,8 +498,8 @@ def make_image_batch_ensemble_eval_fn(model, mesh=None):
     members vmapped, per-image eval reductions vmapped."""
 
     def run(stacked_params, stacked_stats, images, targets, masks, thresholds):
-        fg, ent = _ensemble_scan(model, stacked_params, stacked_stats,
-                                 images[None])
+        fg, ent = _ensemble_probs_scan(model, mesh, stacked_params,
+                                       stacked_stats, images[None])
         fg = fg[0]
         ent = ent[0] / jnp.log(2.0)
 

@@ -43,12 +43,31 @@ def make_vmapped_ensemble_train_step(train_step_fn):
 
 def shard_ensemble_train_step(vmapped_step, mesh: Mesh, donate: bool = True):
     """jit the vmapped step over the 2-D mesh: member axis on 'model', batch
-    axis on 'data', per-member state sharded over 'model' only."""
+    axis on 'data', per-member state sharded over 'model' only.
+
+    The member axis is mapped with an EXPLICIT ``shard_map`` (each model-axis
+    shard runs its local members' full train step; the per-member batch axis
+    stays a compiler-sharded GSPMD dimension, so gradient/BN reductions over
+    'data' are inserted by XLA exactly like the proven 1-D DP path). Explicit
+    because letting GSPMD partition the vmapped member axis of conv chains
+    miscompiles on this jax/XLA build — measured round 4: member-sharded
+    chained convs return O(1)-wrong values while each conv is exact in
+    isolation (tests/test_parallel.py TestEnsembleParallel pins the fixed
+    equality bitwise-tight)."""
     state_sh = NamedSharding(mesh, P(MODEL_AXIS))
     batch_sh = NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS))
     rng_sh = NamedSharding(mesh, P(MODEL_AXIS))
+    member = P(MODEL_AXIS)
+
+    def step(stacked_state, stacked_batch, rngs):
+        return jax.shard_map(vmapped_step, mesh=mesh,
+                             axis_names=frozenset({MODEL_AXIS}),
+                             in_specs=(member, member, member),
+                             out_specs=(member, member))(
+            stacked_state, stacked_batch, rngs)
+
     return jax.jit(
-        vmapped_step,
+        step,
         in_shardings=(state_sh, batch_sh, rng_sh),
         out_shardings=(state_sh, state_sh),
         donate_argnums=(0,) if donate else (),
@@ -60,24 +79,58 @@ def shard_ensemble_predict_fn(model, mesh: Mesh, do_mi: bool = False,
     """EP x DP ensemble inference on a 2-D mesh: member params sharded over
     'model', batches sharded over 'data'. Each device holds K/n_model member
     replicas and computes their forwards on its batch shard; the member-mean
-    becomes an all-reduce over the 'model' axis (inserted by XLA). Replaces
-    the reference's sequential member loop (bin-dl/brats_test_ensemble.py:84-94)
-    at multi-chip scale; the member count must divide the 'model' axis."""
-    from rcu_tpu.engine.steps import multi_prediction_summary
+    is one psum over the 'model' axis. Replaces the reference's sequential
+    member loop (bin-dl/brats_test_ensemble.py:84-94) at multi-chip scale;
+    the member count must divide the 'model' axis.
+
+    The member axis is an EXPLICIT shard_map (GSPMD-partitioning a vmapped
+    member conv chain miscompiles on this build — see
+    shard_ensemble_train_step). MI/variance use the psum moment identities
+    (sum of per-member entropies; E[p^2]-E[p]^2), numerically equal to
+    steps.multi_prediction_summary within f32 roundoff."""
+    import jax.numpy as jnp
+
+    from rcu_tpu.ops import metrics as metrics_lib
 
     member_sh = NamedSharding(mesh, P(MODEL_AXIS))
     batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    member = P(MODEL_AXIS)
 
     def predict(stacked_params, stacked_batch_stats, batch):
-        images = batch["images"]
+        n_members = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
 
-        def one(params, batch_stats):
-            out = model.apply({"params": params, "batch_stats": batch_stats},
-                              images, train=False)
-            return jax.nn.softmax(out.logits, axis=-1)
+        def body(local_params, local_stats, local_batch):
+            images = local_batch["images"]
 
-        member_probs = jax.vmap(one)(stacked_params, stacked_batch_stats)
-        return multi_prediction_summary(member_probs, do_mi, do_var)
+            def one(params, batch_stats):
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, images,
+                    train=False)
+                return jax.nn.softmax(out.logits, axis=-1)
+
+            local_probs = jax.vmap(one)(local_params, local_stats)
+            probabilities = jax.lax.psum(jnp.sum(local_probs, axis=0),
+                                         MODEL_AXIS) / n_members
+            out = {"probabilities": probabilities,
+                   "entropy": metrics_lib.entropy(probabilities, axis=-1)}
+            if do_mi:
+                expected_entropy = jax.lax.psum(
+                    jnp.sum(metrics_lib.entropy(local_probs, axis=-1),
+                            axis=0), MODEL_AXIS) / n_members
+                out["mutual_info"] = out["entropy"] - expected_entropy
+            if do_var:
+                sum_sq = jax.lax.psum(jnp.sum(jnp.square(local_probs),
+                                              axis=0), MODEL_AXIS)
+                var = jnp.maximum(
+                    sum_sq / n_members - jnp.square(probabilities), 0.0)
+                out["variance"] = jnp.mean(var, axis=-1)
+            return out
+
+        return jax.shard_map(body, mesh=mesh,
+                             axis_names=frozenset({MODEL_AXIS}),
+                             in_specs=(member, member, P()),
+                             out_specs=P())(stacked_params,
+                                            stacked_batch_stats, batch)
 
     return jax.jit(predict, in_shardings=(member_sh, member_sh, batch_sh),
                    out_shardings=batch_sh)

@@ -311,28 +311,69 @@ class TestFusedEnsemble:
                                    float(solo_metrics["loss"]), rtol=1e-5)
 
     def test_ep_sharded_predict_matches_single_device(self):
-        """Members over 'model' x batch over 'data' == plain vmapped ensemble."""
+        """Members over 'model' x batch over 'data' == plain vmapped ensemble.
+
+        Params are scaled to trained-like magnitudes: round 3's loose 2e-3
+        tolerance here turned out to be masking a REAL GSPMD miscompile of
+        the member-sharded conv chain (member-mean probabilities off by up
+        to 0.5 at this scale). The EP paths now shard_map the member axis
+        explicitly, and the gate is f32-roundoff tight."""
         model, optimizer = tiny_model()
         states = [create_train_state(model, optimizer, (1, 16, 16, 2),
                                      jax.random.PRNGKey(i)) for i in range(4)]
+        states = [jax.tree_util.tree_map(
+            lambda x: x * 3.0 if x.dtype == np.float32 else x, s)
+            for s in states]
         stacked = ens_lib.stack_states(states)
         batch = tiny_batch(8)
 
-        plain = steps_lib.make_ensemble_predict_fn(model)
+        plain = steps_lib.make_ensemble_predict_fn(model, do_mi=True,
+                                                   do_var=True)
         ref = plain(stacked.params, stacked.batch_stats, batch)
 
         mesh = ens_lib.make_ensemble_mesh(2)  # 2 model x 4 data
-        sharded = ens_lib.shard_ensemble_predict_fn(model, mesh)
+        sharded = ens_lib.shard_ensemble_predict_fn(model, mesh, do_mi=True,
+                                                    do_var=True)
         got = sharded(stacked.params, stacked.batch_stats, batch)
-        # the EP program tiles its convs differently from the single-device
-        # one, so f32 reduction reassociation shows up; with an untrained
-        # model logits sit near 0 where that noise is largest (observed
-        # ~7e-4 absolute). Assert tight agreement in the mean and bounded
-        # worst case — a member-count/psum bug would be orders larger.
-        for key in ("probabilities", "entropy"):
-            a, b = np.asarray(ref[key]), np.asarray(got[key])
-            np.testing.assert_allclose(a, b, rtol=0, atol=2e-3)
-            assert float(np.abs(a - b).mean()) < 2e-4, key
+        for key in ("probabilities", "entropy", "mutual_info", "variance"):
+            np.testing.assert_allclose(np.asarray(ref[key]),
+                                       np.asarray(got[key]),
+                                       rtol=1e-4, atol=2e-5, err_msg=key)
+
+    def test_ep_sharded_train_step_matches_vmapped(self):
+        """The EP train step (shard_map members x GSPMD data) == the plain
+        vmapped step: loss/score tight; gradients agree to f32 roundoff.
+        (Comparing post-adam params instead would amplify ulp-level grad
+        noise into lr-sized sign flips at step 1 — m/sqrt(v) is +-1 for any
+        tiny gradient — so the gate is on what the sharding actually
+        computes.)"""
+        model, optimizer = tiny_model()
+        raw = steps_lib.make_train_step(model, optimizer, donate=False)
+        inner = raw.__wrapped__ if hasattr(raw, "__wrapped__") else raw
+        vstep = ens_lib.make_vmapped_ensemble_train_step(inner)
+        states = [create_train_state(model, optimizer, (1, 16, 16, 2),
+                                     jax.random.PRNGKey(i)) for i in range(2)]
+        states = [jax.tree_util.tree_map(
+            lambda x: x * 3.0 if x.dtype == np.float32 else x, s)
+            for s in states]
+        stacked = ens_lib.stack_states(states)
+        batches = [tiny_batch(8, seed=i) for i in range(2)]
+        sbatch = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        rngs = jax.random.split(jax.random.PRNGKey(3), 2)
+
+        ref_state, ref_metrics = jax.jit(vstep)(stacked, sbatch, rngs)
+        mesh = ens_lib.make_ensemble_mesh(2)
+        sharded = ens_lib.shard_ensemble_train_step(vstep, mesh, donate=False)
+        got_state, got_metrics = sharded(stacked, sbatch, rngs)
+        for key in ("loss", "dice"):
+            np.testing.assert_allclose(np.asarray(ref_metrics[key]),
+                                       np.asarray(got_metrics[key]),
+                                       rtol=1e-5, atol=1e-6, err_msg=key)
+        # batch_stats mutate smoothly (no optimizer normalization) — tight
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            ref_state.batch_stats, got_state.batch_stats)
 
     def test_ensemble_strategy_on_2d_mesh(self, tmp_path):
         """test_ensemble with a model x data mesh goes through the EP path."""

@@ -193,6 +193,49 @@ class TestImageBatchProgram:
             np.asarray(sharded["correction"]["tp"]),
             np.asarray(single["correction"]["tp"]))
 
+    def test_multi_chunk_scan_matches_single_chunks(self):
+        """n_chunks>1 scans G K-image chunks in one dispatch; chunk i uses
+        fold_in(rng, i) — chunk 0 therefore matches the single-chunk program
+        bitwise, and with mc=0 (rng-free deterministic protocol) EVERY chunk
+        matches its own single-chunk dispatch."""
+        model, state, volume, _, _ = setup()
+        K, G = 4, 2
+        rng = np.random.RandomState(9)
+        images = np.concatenate([volume[:K], volume[K:2 * K]])
+        targets = (rng.rand(G * K, HW, HW) > 0.5).astype(np.uint8)
+        masks = np.ones((G * K, HW, HW), bool)
+        key = jax.random.PRNGKey(6)
+
+        multi = pipeline.make_image_batch_mc_eval_fn(model, MC_T, n_chunks=G)(
+            state.params, state.batch_stats, images, targets, masks,
+            THRESHOLDS, key)
+        single = pipeline.make_image_batch_mc_eval_fn(model, MC_T)(
+            state.params, state.batch_stats, images[:K], targets[:K],
+            masks[:K], THRESHOLDS, key)
+        np.testing.assert_allclose(np.asarray(multi["ece"])[:K],
+                                   np.asarray(single["ece"]),
+                                   rtol=1e-6, atol=1e-8)
+        np.testing.assert_array_equal(
+            np.asarray(multi["correction"]["tp"])[:K],
+            np.asarray(single["correction"]["tp"]))
+
+        det_multi = pipeline.make_image_batch_mc_eval_fn(model, 0, n_chunks=G)(
+            state.params, state.batch_stats, images, targets, masks,
+            THRESHOLDS, key)
+        det_single_fn = pipeline.make_image_batch_mc_eval_fn(model, 0)
+        for g in range(G):
+            sl = slice(g * K, (g + 1) * K)
+            det_single = det_single_fn(
+                state.params, state.batch_stats, images[sl], targets[sl],
+                masks[sl], THRESHOLDS, key)
+            np.testing.assert_allclose(np.asarray(det_multi["ece"])[sl],
+                                       np.asarray(det_single["ece"]),
+                                       rtol=1e-6, atol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(det_multi["correction"]["corrected_dice"])[sl],
+                np.asarray(det_single["correction"]["corrected_dice"]),
+                rtol=1e-6, atol=1e-8)
+
 
 class TestAuxPredictUnderMesh:
     def test_aux_feat_sharded_matches_single_device(self):
