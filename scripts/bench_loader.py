@@ -1,16 +1,26 @@
-"""Host-loader microbench: serial vs reader-pool (P4) batch rates.
+"""Host-loader microbench: the 8-chip training feed question (P4 scaled).
 
 Builds a synthetic BraTS-slice-sized H5 store and measures SliceBatchLoader
-throughput for num_workers in {0, 2, 4, 8}. Prints one JSON line per setting.
-The pool overlaps H5 decode + transform numpy work across the batch; batches
-are bit-identical to serial (tests/test_round2_fixes.py::TestReaderPool).
+throughput three ways, printed one JSON line each:
 
-Measured on this image (page-cached store): ~33 batches/s at every worker
-count — h5py's global lock serializes raw reads, so the pool only pays off
-when per-item transform work dominates. At batch 32x240x240x4 that is a
-~60 Mvox/s host feed vs the ~5.6 Mvox/s device pipeline: the training/test
-loops are compute-bound, not input-bound, with an order of magnitude of
-headroom.
+1. ``collate: direct`` — the production fast path (HDF5 ``read_direct``
+   straight into the batch array; engages for transform-free slice loading,
+   which IS the BraTS training config after its torch-layout no-op
+   transforms collapse to None).
+2. ``collate: copying`` — the per-item read + ``np.stack`` path (forced via
+   an identity transform), at worker counts {0, 2, 4, 8}. h5py's global
+   lock serializes raw reads, so threads only pay off when per-item
+   transform numpy work dominates.
+3. ``shard`` — the per-host sharded feed (``shard=(k, n)``): each host of a
+   multi-host pod strides the globally shuffled epoch order, so per-host
+   demand divides by the host count.
+
+The target this answers (VERDICT r3 #4): 8-chip data-parallel bf16 training
+consumes ~8 x 17.4 = ~139 Mvox/s. A v5e-8 host carries >= 100 vCPUs in
+production; THIS image has 1, so the question is the per-core rate times
+cores available. Measured here (page-cached store, single core): the direct
+collate moves the per-core feed from ~60 to well past the full 8-chip
+demand — see the printed ``mvox_per_sec`` and ``pct_of_8chip_demand``.
 """
 import json
 import os
@@ -30,6 +40,9 @@ from rcu_tpu.data.nifti import ImageProperties  # noqa: E402
 
 SUBJECTS, SLICES, H, W, C = 8, 32, 240, 240, 4
 BATCH = 32
+# 8-chip DP bf16 training demand: 8 x the measured per-chip train rate
+# (17.4 Mvox/s best-of-chunks, scripts/bench_train.py r3)
+DEMAND_8CHIP_MVOX_S = 8 * 17.4
 
 
 def build_store(path):
@@ -44,24 +57,58 @@ def build_store(path):
     return path
 
 
+def _rate(loader):
+    list(loader)  # warm page cache / pool / pyobj caches
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = sum(1 for _ in loader)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return n / best
+
+
 def main():
     with tempfile.TemporaryDirectory() as tmp:
         store = build_store(os.path.join(tmp, "bench.h5"))
         dataset = h5_lib.SubjectDataset(store)
         items = [(s, z) for s in range(SUBJECTS) for z in range(SLICES)]
+        vox_per_batch = BATCH * H * W
+
+        bps = _rate(SliceBatchLoader(dataset, items, batch_size=BATCH))
+        mvox = bps * vox_per_batch / 1e6
+        print(json.dumps({
+            "metric": "loader_batches_per_sec", "collate": "direct",
+            "value": round(bps, 2), "batch": [BATCH, H, W, C],
+            "mvox_per_sec": round(mvox, 1),
+            "pct_of_8chip_demand": round(100 * mvox / DEMAND_8CHIP_MVOX_S, 1),
+        }))
+
         for workers in (0, 2, 4, 8):
             loader = SliceBatchLoader(dataset, items, batch_size=BATCH,
-                                      num_workers=workers)
-            list(loader)  # warm page cache / pool
-            t0 = time.perf_counter()
-            n = sum(1 for _ in loader)
-            dt = time.perf_counter() - t0
+                                      num_workers=workers,
+                                      transform=lambda d: d)
+            bps = _rate(loader)
             print(json.dumps({
-                "metric": "loader_batches_per_sec",
-                "num_workers": workers,
-                "value": round(n / dt, 2),
+                "metric": "loader_batches_per_sec", "collate": "copying",
+                "num_workers": workers, "value": round(bps, 2),
                 "batch": [BATCH, H, W, C],
+                "mvox_per_sec": round(bps * vox_per_batch / 1e6, 1),
             }))
+
+        # per-host sharded feed: 2 hosts, each reads half the epoch
+        shard_loaders = [SliceBatchLoader(dataset, items, batch_size=BATCH,
+                                          shuffle=True, shard=(k, 2))
+                         for k in range(2)]
+        bps = _rate(shard_loaders[0])
+        print(json.dumps({
+            "metric": "loader_batches_per_sec", "collate": "direct",
+            "shard": [0, 2], "value": round(bps, 2),
+            "batches_per_host_epoch": len(shard_loaders[0]),
+            "mvox_per_sec": round(bps * vox_per_batch / 1e6, 1),
+            "note": "per-host demand divides by host count; shards stride "
+                    "the same shuffled epoch order (disjoint, equal length)",
+        }))
 
 
 if __name__ == "__main__":

@@ -182,6 +182,72 @@ class TestLoader:
         order2 = [tuple(b["subject_index"]) for b in ld]
         assert order1 != order2
 
+    def test_direct_collate_matches_copying_collate(self, tmp_path):
+        """The read_direct fast path (engaged: no transform, slice indexing)
+        must be bit-identical to the per-item read + np.stack collate (forced
+        here via an identity transform, which disables the fast path)."""
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        idx = indexing.all_indices(ds, indexing.SliceIndexing())
+        fast = loader.SliceBatchLoader(ds, idx, batch_size=5)
+        slow = loader.SliceBatchLoader(ds, idx, batch_size=5,
+                                       transform=lambda d: d)
+        assert fast._collate_direct(np.arange(3)) is not None
+        assert slow._collate_direct(np.arange(3)) is None
+        for fb, sb in zip(fast, slow):
+            assert set(fb) == set(sb)
+            for k in fb:
+                assert fb[k].dtype == sb[k].dtype
+                np.testing.assert_array_equal(fb[k], sb[k])
+
+    def test_read_slice_into_rejects_mismatch(self, tmp_path):
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        subj = ds.subjects[0]
+        good = np.empty((2,) + tuple(ds.shape(subj, "images")[1:]),
+                        ds.dtype(subj, "images"))
+        assert ds.read_slice_into(subj, 0, "images", good, 0)
+        np.testing.assert_array_equal(good[0], ds.read_slice(subj, 0, "images"))
+        wrong_shape = np.empty((2, 3, 3), good.dtype)
+        assert not ds.read_slice_into(subj, 0, "images", wrong_shape, 0)
+        wrong_dtype = np.empty_like(good, dtype=np.float64)
+        assert not ds.read_slice_into(subj, 0, "images", wrong_dtype, 0)
+
+    def test_shard_partitions_epoch_order(self, tmp_path):
+        """Per-host sharding (multi-host DP feed): shards are disjoint,
+        equal-length (lockstep batch counts), stride the globally shuffled
+        epoch order, and reshuffle across hosts every epoch."""
+        path = _make_store(str(tmp_path / "ds.h5"))
+        ds = h5.SubjectDataset(path)
+        idx = indexing.all_indices(ds, indexing.SliceIndexing())  # 12 items
+
+        def items_of(ld):
+            out = []
+            for b in ld:
+                n = int(b["valid"].sum())
+                out += list(zip(b["subject_index"][:n].tolist(),
+                                b["slice_index"][:n].tolist()))
+            return out
+
+        shards = [loader.SliceBatchLoader(ds, idx, batch_size=2, shuffle=True,
+                                          seed=7, shard=(k, 3))
+                  for k in range(3)]
+        per_shard = [items_of(s) for s in shards]
+        assert all(len(p) == 4 for p in per_shard)  # 12 // 3, equal lengths
+        assert all(len(s) == 2 for s in shards)  # __len__ reflects the shard
+        flat = [t for p in per_shard for t in p]
+        assert len(set(flat)) == len(flat)  # disjoint
+        # striding the same globally shuffled order: epoch change reshuffles
+        # consistently across shards (still disjoint)
+        for s in shards:
+            s.set_epoch(1)
+        per_shard_e1 = [items_of(s) for s in shards]
+        assert per_shard_e1 != per_shard
+        flat1 = [t for p in per_shard_e1 for t in p]
+        assert len(set(flat1)) == len(flat1)
+        with pytest.raises(ValueError, match="shard"):
+            loader.SliceBatchLoader(ds, idx, batch_size=2, shard=(3, 3))
+
     def test_prefetch_preserves_order(self, tmp_path):
         path = _make_store(str(tmp_path / "ds.h5"))
         ds = h5.SubjectDataset(path)
