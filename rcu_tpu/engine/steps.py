@@ -80,16 +80,38 @@ def _batch_smooth_dice(logits, labels, valid):
 
 def make_train_step(model, optimizer, loss_kind: str = "ce",
                     is_log_sigma: bool = False, nb_samples: int = 10,
-                    donate: bool = True, mesh=None):
+                    donate: bool = True, mesh=None, remat: str = None):
     """CE (reference TrainStep, steps.py:20-42) or aleatoric
     (bin-dl/brats_train_aleatoric.py:52-74) training step. With ``mesh`` the
-    step jits with replicated state and data-sharded batches."""
+    step jits with replicated state and data-sharded batches.
+
+    ``remat`` picks the rematerialization policy for the backward pass —
+    both variants are MEASURED NEGATIVES on the HBM-bound BraTS step, kept
+    selectable for other shapes (numbers: scripts/perf_analysis.py):
+    - ``None`` (default): store activations — the fastest measured config;
+    - ``'conv'``: policy remat via ``jax.checkpoint`` saving only the
+      tagged conv outputs (models/unet.py ``checkpoint_name``) and
+      recomputing the fused dropout/BN/relu epilogues;
+    - ``'full'``: recompute the whole forward."""
+
+    def fwd(params, batch_stats, images, rng):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+
+    if remat == "full":
+        fwd = jax.checkpoint(fwd)
+    elif remat == "conv":
+        fwd = jax.checkpoint(
+            fwd,
+            policy=jax.checkpoint_policies.save_only_these_names("conv_out"))
+    elif remat is not None:
+        raise ValueError(f"unknown remat policy '{remat}'; "
+                         "choose None, 'conv' or 'full'")
 
     def loss_fn(params, batch_stats, batch, rng):
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            batch["images"], train=True, mutable=["batch_stats"],
-            rngs={"dropout": rng})
+        out, mutated = fwd(params, batch_stats, batch["images"], rng)
         labels = batch["labels"].astype(jnp.int32)
         valid = batch["valid"]
         if loss_kind == "aleatoric":

@@ -27,6 +27,7 @@ import typing
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 # torch Conv2d default init: kaiming_uniform(a=sqrt(5)) == variance_scaling
 # with scale 1/3, fan_in, uniform. Keeps init-scale parity with the reference.
@@ -57,6 +58,10 @@ class ConvBnRelu(nn.Module):
         x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
                     padding=self.padding, kernel_init=conv_init,
                     dtype=self.dtype)(x)
+        # policy-remat tag: under make_train_step(remat='conv') the bwd pass
+        # SAVES conv outputs and recomputes the fused dropout/BN/relu
+        # epilogue. A lowering-time no-op on every other path.
+        x = checkpoint_name(x, "conv_out")
         if self.dropout is not None:
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                            deterministic=not (train or mc_dropout))(x)

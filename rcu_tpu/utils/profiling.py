@@ -62,6 +62,43 @@ class ProfilerHook:
             self._active = False
 
 
+def measure_practical_hbm(n_elems: int = 128 * 1024 * 1024, steps: int = 10,
+                          rounds: int = 3) -> float:
+    """Measured PRACTICAL HBM bandwidth (bytes/s) of the default device.
+
+    A ``lax.scan`` of an elementwise multiply-add over a large f32 buffer:
+    each step must read and write the whole carry from/to HBM (XLA cannot
+    fuse across While iterations), so achieved bytes/s =
+    ``2 * buffer_bytes * steps / time``. This is the HBM analog of the
+    practical-MXU-peak matmul in ``scripts/bf16_gap_analysis.py --peak`` —
+    a roofline percentage against the NOMINAL figure (819 GB/s on v5e)
+    cannot distinguish "at the roof" from "30% headroom".
+
+    The multiply-add (not a plain copy) keeps XLA from eliding the chain;
+    the scan keeps the whole measurement ONE dispatch so the remote-tunnel
+    round trip does not contaminate it (CLAUDE.md: a dispatch needs ~1 s of
+    device work)."""
+    import jax.numpy as jnp
+
+    x = jnp.full((n_elems,), 1.0, jnp.float32)
+
+    @jax.jit
+    def stream(x0):
+        def step(y, _):
+            return y * jnp.float32(1.0000001) + jnp.float32(1e-7), None
+        y, _ = jax.lax.scan(step, x0, None, length=steps)
+        return y
+
+    float(stream(x)[0])  # compile + warm (value fetch = remote sync)
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(stream(x)[0])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return 2.0 * float(x.size) * 4 * steps / best
+
+
 class Timer:
     """Cheap wall-clock section timer for host-side phases."""
 

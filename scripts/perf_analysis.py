@@ -110,10 +110,13 @@ def analyze(dtype=None):
     }))
 
 
-def analyze_train(dtype=None):
+def analyze_train(dtype=None, hbm_practical=None, remat=None):
     """Train-step roofline: fwd+bwd+optax+BN via XLA cost analysis of the
     compiled step, same methodology as the inference section (bytes accessed
-    is an upper estimate of HBM traffic)."""
+    is an upper estimate of HBM traffic). ``hbm_practical`` (bytes/s, from
+    rcu_tpu.utils.profiling.measure_practical_hbm) restates the HBM
+    percentage against the MEASURED bandwidth; ``remat`` selects the
+    train-step rematerialization policy (see engine/steps.make_train_step)."""
     from rcu_tpu.engine import steps as steps_lib
     from rcu_tpu.engine.state import create_train_state
     from rcu_tpu.models import get_model, get_optimizer
@@ -126,7 +129,7 @@ def analyze_train(dtype=None):
     model = get_model("unet", kwargs)
     optimizer = get_optimizer("adam", {"lr": 1e-4})
     state = create_train_state(model, optimizer, (1, H, W, C))
-    train_step = steps_lib.make_train_step(model, optimizer)
+    train_step = steps_lib.make_train_step(model, optimizer, remat=remat)
 
     rng = np.random.RandomState(0)
     batch = {
@@ -156,19 +159,25 @@ def analyze_train(dtype=None):
     conv_roof = V5E_BF16_PEAK / (3 if dtype is None else 1)
     achieved_flops = flops * steps_per_sec
     achieved_bytes = bytes_accessed * steps_per_sec
+    hbm_roof = hbm_practical or V5E_HBM_BYTES_PER_S
     print(json.dumps({
         "section": "train",
         "dtype": dtype or "float32",
+        "remat": remat or "none",
         "voxels_per_sec": round(steps_per_sec * B * H * W, 1),
         "step_tflops": round(flops / 1e12, 2),
         "mfu": round(achieved_flops / V5E_BF16_PEAK, 4),
         "pct_of_conv_roof": round(100 * achieved_flops / conv_roof, 1),
         "step_gbytes_accessed": round(bytes_accessed / 1e9, 1),
-        "pct_of_hbm_peak": round(100 * achieved_bytes / V5E_HBM_BYTES_PER_S,
-                                 1),
+        "pct_of_hbm_nominal": round(
+            100 * achieved_bytes / V5E_HBM_BYTES_PER_S, 1),
+        "pct_of_hbm_practical": round(100 * achieved_bytes / hbm_practical,
+                                      1) if hbm_practical else None,
+        "hbm_practical_gb_per_s": round(hbm_practical / 1e9, 1)
+        if hbm_practical else None,
         "binding_roof": "hbm-bandwidth"
-        if achieved_bytes / V5E_HBM_BYTES_PER_S
-        > achieved_flops / conv_roof else "conv-compute",
+        if achieved_bytes / hbm_roof > achieved_flops / conv_roof
+        else "conv-compute",
     }))
 
 
@@ -182,8 +191,16 @@ def main():
         analyze()
         analyze("bfloat16")
     if args.section in ("train", "all"):
-        analyze_train()
-        analyze_train("bfloat16")
+        from rcu_tpu.utils.profiling import measure_practical_hbm
+        hbm_practical = measure_practical_hbm()
+        print(json.dumps({
+            "section": "train", "metric": "hbm_practical_gb_per_s",
+            "value": round(hbm_practical / 1e9, 1),
+            "nominal": round(V5E_HBM_BYTES_PER_S / 1e9, 1)}))
+        for remat in (None, "conv"):
+            analyze_train(hbm_practical=hbm_practical, remat=remat)
+            analyze_train("bfloat16", hbm_practical=hbm_practical,
+                          remat=remat)
 
 
 if __name__ == "__main__":

@@ -190,6 +190,55 @@ class TestTestLoop:
             TestLoop(tcfg).run()
 
 
+class TestRematPolicies:
+    def test_remat_policies_are_numerically_identical(self):
+        """remat='conv' (save tagged conv outputs, recompute the fused
+        elementwise epilogue) and remat='full' change WHAT the bwd stores,
+        never what it computes — one step must match remat=None exactly."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from rcu_tpu.engine import steps as steps_lib
+        from rcu_tpu.engine.state import create_train_state
+        from rcu_tpu.models import get_model, get_optimizer
+
+        model = get_model("unet", dict(nb_classes=2, in_channels=2, depth=2,
+                                       start_filters=4, dropout=0.1))
+        optimizer = get_optimizer("adam", {"lr": 1e-3})
+        rng = np.random.RandomState(0)
+        batch = {"images": jnp.asarray(rng.rand(4, 16, 16, 2), jnp.float32),
+                 "labels": jnp.asarray(rng.rand(4, 16, 16) > 0.5, jnp.int32),
+                 "valid": jnp.ones((4,), jnp.float32)}
+        key = jax.random.PRNGKey(0)
+        results = {}
+        for remat in (None, "conv", "full"):
+            state = create_train_state(model, optimizer, (1, 16, 16, 2),
+                                       jax.random.PRNGKey(7))
+            step = steps_lib.make_train_step(model, optimizer, donate=False,
+                                             remat=remat)
+            new_state, metrics = step(state, batch, key)
+            results[remat] = (float(metrics["loss"]), new_state.params)
+        for remat in ("conv", "full"):
+            assert results[remat][0] == results[None][0]
+            jax.tree_util.tree_map(
+                lambda a, b: np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b)),
+                results[remat][1], results[None][1])
+
+    def test_unknown_remat_rejected(self):
+        import pytest as _pytest
+
+        from rcu_tpu.engine import steps as steps_lib
+        from rcu_tpu.models import get_model, get_optimizer
+        model = get_model("unet", dict(nb_classes=2, in_channels=2, depth=2,
+                                       start_filters=4))
+        with _pytest.raises(ValueError, match="remat"):
+            steps_lib.make_train_step(model, get_optimizer("adam",
+                                                           {"lr": 1e-3}),
+                                      remat="everything")
+
+
 class TestMeshTraining:
     def test_sharded_training_runs(self, tmp_path):
         import jax
