@@ -445,7 +445,29 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             labels = labels[..., 0]
         return (labels > 0.5).astype(np.uint8), None
 
-    def load_subject(subject):
+    # pre-stage host->device transfers in the LOADER threads so uploads
+    # overlap the previous dispatch's device work (the dispatch thread would
+    # otherwise serialize upload -> execute -> fetch; over the remote-TPU
+    # tunnel at ~10-20 MB/s the upload of a decoded volume dominates).
+    # Placement matches the dispatch-time target exactly: round-robin device
+    # in throughput mode (same si % n_devices the dispatcher uses), the jit
+    # in_shardings under a latency mesh, the default device otherwise.
+    if devices:
+        def _stage(si, arr, data_axis=False):
+            return jax.device_put(arr, devices[si % len(devices)])
+    elif mesh is not None:
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+        from rcu_tpu.parallel.mesh import DATA_AXIS as _DATA
+        _data_sh = _NS(mesh, _P(None, _DATA))
+        _rep_sh = _NS(mesh, _P())
+
+        def _stage(si, arr, data_axis=False):
+            return jax.device_put(arr, _data_sh if data_axis else _rep_sh)
+    else:
+        def _stage(si, arr, data_axis=False):
+            return jax.device_put(arr)
+
+    def load_subject(si, subject):
         volume = np.asarray(dataset.read_volume(subject, "images"), np.float32)
         labels = np.asarray(dataset.read_volume(subject, "labels"))
         if transform is not None:
@@ -469,9 +491,11 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
             return arr.reshape((-1, batch_size) + arr.shape[1:])
 
-        batched = _batched(volume)
-        batched_baseline = _batched(baseline) if baseline is not None else None
-        return batched, batched_baseline, target, mask, nz
+        batched = _stage(si, _batched(volume), data_axis=True)
+        batched_baseline = _stage(si, _batched(baseline), data_axis=True) \
+            if baseline is not None else None
+        return (batched, batched_baseline, _stage(si, target),
+                _stage(si, mask), nz)
 
     # overlap upcoming subjects' host H5 reads with the current device pass;
     # throughput mode sizes the reader pool with the chip count (one decode
@@ -618,7 +642,9 @@ def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int,
     H5 decode at ~62 Mvox/s/thread would otherwise bind around 8 chips),
     keep up to ``window`` device dispatches in flight, drain in order (jax
     dispatch is async, so the window bounds on-device output buffers
-    without stalling the chips). Callers size ``lookahead`` to the reader
+    without stalling the chips). ``load_fn(i, item)`` receives the item's
+    dispatch index so it can pre-stage device transfers onto the exact
+    target the dispatcher will use. Callers size ``lookahead`` to the reader
     pool width + 2, NOT the full dispatch window — decoded volumes are
     ~200 MB each on the BraTS workload, so buffering 2x-device-count of
     them would cost GBs of host RAM for no extra throughput (the readers,
@@ -626,13 +652,15 @@ def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int,
     import collections
     lookahead = max(1, min(window, lookahead))
     futures = collections.deque(
-        pool.submit(load_fn, item) for item in items[:lookahead])
+        pool.submit(load_fn, i, item) for i, item in
+        enumerate(items[:lookahead]))
     pending = collections.deque()
     for i, item in enumerate(items):
         t0 = time.time()
         loaded = futures.popleft().result()
         if i + lookahead < len(items):
-            futures.append(pool.submit(load_fn, items[i + lookahead]))
+            futures.append(pool.submit(load_fn, i + lookahead,
+                                       items[i + lookahead]))
         out = dispatch_fn(i, item, loaded)
         pending.append((item, out, t0))
         while len(pending) > window:
@@ -694,7 +722,25 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
             return chunk_size
         return -(-n // n_data_shards) * n_data_shards
 
-    def load_chunk(group):
+    # pre-stage H2D in the loader threads onto the exact dispatch target —
+    # over the remote-TPU tunnel the ~20 MB chunk upload would otherwise
+    # serialize with the device work on the dispatch thread (see the volume
+    # path's _stage; measured in scripts/bench_isic.py driver leg)
+    if mesh is not None and not devices:
+        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+        from rcu_tpu.parallel.mesh import DATA_AXIS as _DATA
+        _data_sh = _NS(mesh, _P(_DATA))
+
+    def _stage_part(ci, pi, arrays):
+        if devices:
+            dev = devices[(ci + pi) % len(devices)]  # _dispatch_part's pick
+            return {k: jax.device_put(v, dev) for k, v in arrays.items()}
+        if mesh is not None:
+            return {k: jax.device_put(v, _data_sh)
+                    for k, v in arrays.items()}
+        return {k: jax.device_put(v) for k, v in arrays.items()}
+
+    def load_chunk(ci, group):
         """-> list of same-shape parts
         [(subjects, images, targets, masks, baselines)]. Padded entries are
         dropped host-side (only real subjects appear in ``subjects``)."""
@@ -717,7 +763,8 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                         filler = np.ones if key == "masks" else np.zeros
                         arrays[key] = np.concatenate(
                             [arr, filler((pad,) + arr.shape[1:], arr.dtype)])
-                parts.append(([t[0] for t in same], arrays))
+                parts.append(([t[0] for t in same],
+                              _stage_part(ci, len(parts), arrays)))
                 start = i
         return parts
 
