@@ -75,6 +75,10 @@ class SubjectDataset:
     def __init__(self, path: str, subject_subset: typing.Sequence[str] = None):
         self.dataset_path = path
         self._f = h5py.File(path, "r", swmr=False)
+        # h5py group traversal (f["data/<s>/<c>"]) costs ~0.25 ms per call —
+        # per-row that is ~8 ms on a 32-slice batch, a third of the collate
+        # budget (scripts/bench_loader.py). Handles are tiny; cache them.
+        self._handles: dict = {}
         all_subjects = [s.decode() if isinstance(s, bytes) else s
                         for s in self._f["subjects"][()]]
         if subject_subset is not None:
@@ -91,31 +95,49 @@ class SubjectDataset:
         subject = subject or self.subjects[0]
         return sorted(self._f[f"data/{subject}"].keys())
 
+    def _ds(self, subject: str, category: str):
+        key = (subject, category)
+        ds = self._handles.get(key)
+        if ds is None:
+            ds = self._handles[key] = self._f[f"data/{subject}/{category}"]
+        return ds
+
     def shape(self, subject: str, category: str = "images"):
-        return self._f[f"data/{subject}/{category}"].shape
+        return self._ds(subject, category).shape
 
     def dtype(self, subject: str, category: str = "images"):
-        return self._f[f"data/{subject}/{category}"].dtype
+        return self._ds(subject, category).dtype
 
     def read_slice(self, subject: str, index: int, category: str):
-        return self._f[f"data/{subject}/{category}"][index]
+        return self._ds(subject, category)[index]
 
     def read_slice_into(self, subject: str, index: int, category: str,
                         dest, dest_index: int) -> bool:
         """Read slice ``index`` straight into ``dest[dest_index]`` (HDF5
         ``read_direct`` — no intermediate array, no collate copy). Returns
         False when the stored slice shape/dtype doesn't match ``dest``'s row
-        so the caller can fall back to the copying path. The batch-collate
-        fast path: measured 2.4x over per-slice fancy reads + ``np.stack``
-        on the BraTS slice workload (scripts/bench_loader.py)."""
-        ds = self._f[f"data/{subject}/{category}"]
+        so the caller can fall back to the copying path."""
+        return self.read_slices_into(subject, index, index + 1, category,
+                                     dest, dest_index)
+
+    def read_slices_into(self, subject: str, start: int, stop: int,
+                         category: str, dest, dest_start: int) -> bool:
+        """Ranged ``read_direct``: slices ``[start, stop)`` straight into
+        ``dest[dest_start:dest_start+(stop-start)]``. One HDF5 call per run
+        of consecutive slices is ~3x over per-row calls and ~2x over
+        per-row fancy reads + ``np.stack`` on the BraTS slice workload
+        (scripts/bench_loader.py); the loader's collate coalesces each
+        batch into such runs. Returns False on shape/dtype mismatch so the
+        caller can fall back to the copying path."""
+        ds = self._ds(subject, category)
         if ds.shape[1:] != dest.shape[1:] or ds.dtype != dest.dtype:
             return False
-        ds.read_direct(dest, np.s_[index], np.s_[dest_index])
+        ds.read_direct(dest, np.s_[start:stop],
+                       np.s_[dest_start:dest_start + (stop - start)])
         return True
 
     def read_volume(self, subject: str, category: str):
-        return self._f[f"data/{subject}/{category}"][()]
+        return self._ds(subject, category)[()]
 
     def properties(self, subject: str) -> ImageProperties:
         attrs = self._f[f"props/{subject}"].attrs
@@ -137,4 +159,5 @@ class SubjectDataset:
         return json.loads(m["files"]) if "files" in m else {}
 
     def close(self):
+        self._handles.clear()
         self._f.close()

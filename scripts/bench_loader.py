@@ -3,10 +3,12 @@
 Builds a synthetic BraTS-slice-sized H5 store and measures SliceBatchLoader
 throughput three ways, printed one JSON line each:
 
-1. ``collate: direct`` — the production fast path (HDF5 ``read_direct``
-   straight into the batch array; engages for transform-free slice loading,
-   which IS the BraTS training config after its torch-layout no-op
-   transforms collapse to None).
+1. ``collate: direct`` — the production fast path (run-coalesced HDF5
+   ``read_direct`` straight into the batch array over cached dataset
+   handles; engages for transform-free slice loading, which IS the BraTS
+   training config after its torch-layout no-op transforms collapse to
+   None). Unshuffled epochs coalesce each batch to 1-2 ranged reads;
+   shuffled epochs degenerate to per-row reads on cached handles.
 2. ``collate: copying`` — the per-item read + ``np.stack`` path (forced via
    an identity transform), at worker counts {0, 2, 4, 8}. h5py's global
    lock serializes raw reads, so threads only pay off when per-item
@@ -18,9 +20,10 @@ throughput three ways, printed one JSON line each:
 The target this answers (VERDICT r3 #4): 8-chip data-parallel bf16 training
 consumes ~8 x 17.4 = ~139 Mvox/s. A v5e-8 host carries >= 100 vCPUs in
 production; THIS image has 1, so the question is the per-core rate times
-cores available. Measured here (page-cached store, single core): the direct
-collate moves the per-core feed from ~60 to well past the full 8-chip
-demand — see the printed ``mvox_per_sec`` and ``pct_of_8chip_demand``.
+cores available. Measured here (page-cached store, SINGLE core): unshuffled
+direct collate ~175 Mvox/s = ~126% of the full 8-chip demand; shuffled
+~100 Mvox/s (runs degenerate to per-row reads) = 72% — covered either by a
+second host shard (per-host demand halves) or a second reader core.
 """
 import json
 import os
@@ -75,14 +78,18 @@ def main():
         items = [(s, z) for s in range(SUBJECTS) for z in range(SLICES)]
         vox_per_batch = BATCH * H * W
 
-        bps = _rate(SliceBatchLoader(dataset, items, batch_size=BATCH))
-        mvox = bps * vox_per_batch / 1e6
-        print(json.dumps({
-            "metric": "loader_batches_per_sec", "collate": "direct",
-            "value": round(bps, 2), "batch": [BATCH, H, W, C],
-            "mvox_per_sec": round(mvox, 1),
-            "pct_of_8chip_demand": round(100 * mvox / DEMAND_8CHIP_MVOX_S, 1),
-        }))
+        for shuffle in (False, True):
+            bps = _rate(SliceBatchLoader(dataset, items, batch_size=BATCH,
+                                         shuffle=shuffle))
+            mvox = bps * vox_per_batch / 1e6
+            print(json.dumps({
+                "metric": "loader_batches_per_sec", "collate": "direct",
+                "shuffle": shuffle,
+                "value": round(bps, 2), "batch": [BATCH, H, W, C],
+                "mvox_per_sec": round(mvox, 1),
+                "pct_of_8chip_demand": round(
+                    100 * mvox / DEMAND_8CHIP_MVOX_S, 1),
+            }))
 
         for workers in (0, 2, 4, 8):
             loader = SliceBatchLoader(dataset, items, batch_size=BATCH,
