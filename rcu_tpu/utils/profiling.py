@@ -62,7 +62,7 @@ class ProfilerHook:
             self._active = False
 
 
-def measure_practical_hbm(n_elems: int = 128 * 1024 * 1024, steps: int = 10,
+def measure_practical_hbm(n_elems: int = 128 * 1024 * 1024, steps: int = 600,
                           rounds: int = 3) -> float:
     """Measured PRACTICAL HBM bandwidth (bytes/s) of the default device.
 
@@ -77,7 +77,8 @@ def measure_practical_hbm(n_elems: int = 128 * 1024 * 1024, steps: int = 10,
     The multiply-add (not a plain copy) keeps XLA from eliding the chain;
     the scan keeps the whole measurement ONE dispatch so the remote-tunnel
     round trip does not contaminate it (CLAUDE.md: a dispatch needs ~1 s of
-    device work)."""
+    device work — the default 600 steps move ~640 GB, ~0.8 s even at the
+    nominal 819 GB/s; steps=10 read back a tunnel-RTT number, ~205 GB/s)."""
     import jax.numpy as jnp
 
     x = jnp.full((n_elems,), 1.0, jnp.float32)
