@@ -35,6 +35,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from rcu_tpu import directories as dirs
@@ -376,6 +377,14 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                                                        dtype=dtype)
         state = (params, batch_stats)
 
+    # host-side input cast: under a compute-dtype override the model's first
+    # op is x.astype(dtype) (models/unet.py), and numpy's f32->bf16 cast is
+    # the same round-to-nearest-even — casting in the loader threads is
+    # bit-identical (tests/test_direct_misc.py pins it) and halves the
+    # dominant H2D bytes (remote-tunnel H2D measures ~34 MB/s either dtype
+    # and does not scale with upload threads: scripts/bench_isic.py)
+    input_dtype = jnp.dtype(dtype) if dtype else np.float32
+
     aleatoric = strategy == "aleatoric"
     if aleatoric and not getattr(model, "sigma_out", False):
         raise ValueError("strategy 'aleatoric' needs a sigma-headed "
@@ -479,6 +488,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             volume = np.stack(
                 [np.asarray(o["images"], np.float32) for o in outs])
             labels = np.stack([np.asarray(o["labels"]) for o in outs])
+        volume = volume.astype(input_dtype, copy=False)
         target, baseline = _split_labels(labels)
         mask = foreground_mask(subject, target.shape) if masked \
             else np.ones(target.shape, bool)
@@ -509,7 +519,6 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     sinks = _EvalSinks(out_dir, run_id, _ID_SUFFIX[strategy], thresholds,
                        _CONFIDENCE_ENTRY[strategy], layout=layout,
                        masked=masked)
-    rng = jax.random.PRNGKey(config.seed)
     eces = {}
     names = list(dataset.subjects)  # non-empty: guarded at dataset build
     window = 2 * len(devices) if devices else 1
@@ -520,11 +529,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             strategy, model, segm_model, state, is_log_sigma, dataset, names,
             transform, masked, foreground_mask, needs_baseline, _split_labels,
             mc, batch_size, n_data_shards, thresholds_arr, program_mesh,
-            devices, per_device_state if devices else None, rng, pool, sinks,
-            eces, lookahead)
+            devices, per_device_state if devices else None, config.seed, pool,
+            sinks, eces, lookahead, input_dtype)
 
     # ------------------------------------------------- fused volume programs
     needs_rng = strategy in ("mc", "deterministic")
+    keys = _host_fold_keys(config.seed, len(names)) if needs_rng else None
 
     def volume_factory(nz):
         if strategy in ("mc", "deterministic"):
@@ -569,17 +579,18 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         return (batched, target, mask, thresholds_arr)
 
     def fetch(subject, out, t0):
+        # one batched D2H for the whole output tree: per-leaf np.asarray
+        # costs a round trip per array over a remote-TPU link (~20 leaves
+        # x ~30 ms measured), jax.device_get coalesces the tree fetch
+        host = jax.device_get(out)
+
         def row_of(k):
-            if k == "correction":
-                return {c: np.asarray(v)
-                        for c, v in out["correction"].items()}
-            return np.asarray(out[k])
+            return host[k]
 
         sinks.write_subject(subject, row_of)
-        if "conf_min" in out:
-            sinks.add_bounds(np.asarray(out["conf_min"]),
-                             np.asarray(out["conf_max"]))
-        eces[subject] = float(out["ece"])
+        if "conf_min" in host:
+            sinks.add_bounds(host["conf_min"], host["conf_max"])
+        eces[subject] = float(host["ece"])
         logging.info("direct eval %s ece=%.5f (%.2fs)", subject,
                      eces[subject], time.time() - t0)
 
@@ -624,7 +635,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         fn = _fn("main", volume_factory, (nz, loaded[0].shape[0]))
         args = _device_args(si, data_args(loaded))
         if needs_rng:
-            return fn(*args, jax.random.fold_in(rng, si))
+            return fn(*args, keys[si])
         return fn(*args)
 
     # dispatches are async: keep up to 2x the device count in flight so every
@@ -633,6 +644,21 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     pool.shutdown()
     sinks.finish()
     return eces
+
+
+def _host_fold_keys(seed: int, n: int) -> np.ndarray:
+    """``fold_in(PRNGKey(seed), i)`` for ``i in range(n)``, computed on the
+    host CPU backend in one vmap — threefry bits are backend-invariant
+    (asserted equal to the per-index device fold_in), and a per-dispatch
+    ``fold_in`` on the default device is a tiny device program whose round
+    trip costs more than the dispatch itself over a remote-TPU link. Old
+    style PRNG keys are plain uint32 ``(2,)`` rows, so the np slice feeds
+    the jitted programs unchanged."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        rng = jax.random.PRNGKey(seed)
+        return np.asarray(jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(n, dtype=jnp.uint32)))
 
 
 def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int,
@@ -673,7 +699,8 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                         dataset, names, transform, masked, foreground_mask,
                         needs_baseline, split_labels, mc, chunk_size,
                         n_data_shards, thresholds_arr, mesh, devices,
-                        per_device_state, rng, pool, sinks, eces, lookahead):
+                        per_device_state, seed, pool, sinks, eces, lookahead,
+                        input_dtype=np.float32):
     """Chunked native-2D eval for every strategy: K images per dispatch
     through the matching :mod:`rcu_tpu.eval.pipeline` image-batch program.
     Latency mode shards the image axis over the mesh; throughput mode
@@ -709,6 +736,10 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
             out_t = transform({"images": image, "labels": labels})
             image = np.asarray(out_t["images"], np.float32)
             labels = np.asarray(out_t["labels"])
+        # host-side input cast (see evaluate_direct): halves the dominant
+        # tunnel H2D bytes under a bf16 compute dtype, bit-identical to the
+        # model's own x.astype(dtype) first op
+        image = image.astype(input_dtype, copy=False)
         target, baseline = split_labels(labels)
         mask = foreground_mask(subject, target.shape) if masked \
             else np.ones(target.shape, bool)
@@ -770,6 +801,10 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
 
     groups = [names[i:i + chunk_size]
               for i in range(0, len(names), chunk_size)]
+    # key index is ci * chunk_size + pi with pi < parts-per-chunk <= group
+    # size, so len(groups) * chunk_size rows cover every dispatch
+    keys = _host_fold_keys(seed, len(groups) * chunk_size) if needs_rng \
+        else None
 
     def part_args(arrays):
         if needs_baseline:
@@ -790,16 +825,16 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
         for pi, (subjects, arrays) in enumerate(parts):
             args = part_args(arrays) + tuple(extra)
             if needs_rng:
-                args = args + (jax.random.fold_in(rng, ci * chunk_size + pi),)
+                args = args + (keys[ci * chunk_size + pi],)
             outs.append((subjects, _dispatch_part(ci, pi, fn, args)))
         return outs
 
     def fetch(group, outs, t0):
         all_ece = []
         for subjects, out in outs:
-            host = {k: np.asarray(v) for k, v in out.items()
-                    if k != "correction"}
-            corr = {k: np.asarray(v) for k, v in out["correction"].items()}
+            # one batched D2H per part (see the volume path's fetch)
+            host = jax.device_get(out)
+            corr = host.pop("correction")
             for i, subject in enumerate(subjects):
                 def row_of(k, i=i):
                     if k == "correction":
@@ -828,7 +863,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
 
         def minmax_fetch(group, outs, t0):
             for subjects, (mn, mx) in outs:
-                mn, mx = np.asarray(mn), np.asarray(mx)
+                mn, mx = jax.device_get((mn, mx))  # one batched D2H
                 for i in range(len(subjects)):  # padded tails never counted
                     sinks.add_bounds(mn[i], mx[i])
 
