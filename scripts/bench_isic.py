@@ -173,6 +173,29 @@ def build_isic_store(path, n_images):
     return path
 
 
+def measure_h2d_mb_s(mb: int = 32, reps: int = 3):
+    """Contemporaneous host->device bandwidth: the driver leg below is
+    upload-bound over the remote-TPU tunnel (idle ~34 MB/s, congestion
+    takes it below 1), so every recorded driver rate must carry the link
+    bandwidth measured at the same moment to be interpretable."""
+    x = np.random.rand(mb * 1024 * 1024 // 4).astype(np.float32)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        d = jax.device_put(x)
+        float(d[-1])  # force completion over the tunnel
+        best = max(best, mb / (time.perf_counter() - t0))
+    return best
+
+
+def driver_upload_mb_per_image(dtype=None):
+    """Host->device bytes the driver uploads per image: the image at the
+    compute dtype (loader threads cast before upload) + uint8 target +
+    bool mask."""
+    img_itemsize = 2 if dtype else 4
+    return (H * W * C * img_itemsize + H * W + H * W) / 1e6
+
+
 def bench_driver(dtype=None, n_images=N_DRIVER_IMAGES):
     """The SHIPPED evaluate_direct 2-D driver end-to-end: store reads,
     chunking, async dispatch window, CSV writes."""
@@ -242,14 +265,22 @@ def main():
             "note": "round-3 methodology: one K-chunk per dispatch, "
                     "sync per chunk — RTT-contaminated"}))
 
+        h2d = measure_h2d_mb_s()
         drv = bench_driver(dtype)
         rows[(name, "driver")] = drv
+        ub_rate = h2d / driver_upload_mb_per_image(dtype)
         print(json.dumps({
             "metric": "isic_mc20_direct_driver_images_per_sec", "dtype": name,
             "value": round(drv, 2),
             "mvox_per_sec": round(drv * VOX / 1e6, 3),
             "images": N_DRIVER_IMAGES,
-            "seconds_for_set": round(N_DRIVER_IMAGES / drv, 1)}))
+            "seconds_for_set": round(N_DRIVER_IMAGES / drv, 1),
+            "tunnel_h2d_mb_per_s": round(h2d, 1),
+            "upload_bound_images_per_sec": round(ub_rate, 2),
+            "pct_of_upload_bound": round(100 * drv / ub_rate, 1),
+            "note": "remote-tunnel links are upload-bound; on a co-located "
+                    "host (PCIe H2D) the driver is device-bound at the "
+                    "chunk_scan rate"}))
 
     bf = rows.get(("bfloat16", "chunk_scan"))
     bf_sync = rows.get(("bfloat16", "chunk_sync"))
