@@ -18,7 +18,11 @@ bench separates the quantities:
    sync per chunk), kept to quantify the tunnel-RTT contamination.
 4. ``driver_e2e``  — the SHIPPED ``evaluate_direct`` 2-D driver (lookahead
    window, H5 reads overlapped) over a synthetic 600-image ISIC-shaped
-   store: the number a user actually gets for the full test set.
+   store: the number a user actually gets for the full test set. Over the
+   remote-TPU tunnel this leg is upload-bound, so it reports the link's
+   contemporaneous H2D bandwidth and the driver's fraction of the
+   upload-bound rate (on a co-located host, PCIe H2D makes the driver
+   device-bound at the chunk_scan rate).
 
 The ISIC test protocol matched: /root/reference/bin-dl/isic_test_default.py
 (T=20 MC over whole images). Compare Mvox/s with the BraTS headline in

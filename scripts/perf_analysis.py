@@ -28,9 +28,13 @@ the bwd instead of storing them — LOSES 15% (f32, 12.0 -> 10.2 Mvox/s) and
 17% (bf16, 17.4 -> 14.4), with XLA-counted bytes RISING 87 -> 104 GB (f32):
 XLA's fusion already avoids materializing the elementwise intermediates
 remat would save, so full-graph recompute only adds the extra forward's
-traffic and FLOPs. The input pipeline is not the binder either: the host
-loader feeds ~62 Mvox/s (scripts/bench_loader.py) vs the ~17 Mvox/s device
-step — 3.6x headroom.
+traffic and FLOPs (the selective 'conv' policy measures -12/-14%, same
+cause). The input pipeline is not the binder either, including at the
+8-chip v5e target: the single-core host loader feeds ~176 Mvox/s
+unshuffled / ~104 shuffled (scripts/bench_loader.py, ranged read_direct
+collate) vs the 8 x 17.4 = 139 Mvox/s 8-chip bf16 demand; fully shuffled
+multi-host runs cover the gap with the loader's per-host subject sharding
+(shard=(host, n_hosts)).
 
 Prints one JSON line per dtype. Run on the real chip: the persistent
 compile cache makes repeats fast.
