@@ -210,21 +210,26 @@ class _EvalSinks:
         self.minmax_path = os.path.join(
             sub(dirs.MINMAX_NAME), dirs.MINMAX_PLACEHOLDER.format(run_id))
         self.bounds = {"min": [], "max": []}
+        self.nonfinite = []  # subjects with NaN/inf ECE; finish() raises
 
     def write_subject(self, subject, row_of):
         """``row_of(key)`` -> numpy value for 'bins_count' etc.; one subject
         (or one image of a 2-D chunk) per call."""
         ece = float(row_of("ece"))
         if not np.isfinite(ece):
-            # a constant confidence map makes the fused program's per-subject
-            # min-max rescale divide 0/0 (eval/pipeline.py _confidence_eval)
-            # and NaN would silently fill every CSV cell — the same failure
-            # _global_bounds catches loudly for the aleatoric protocol
-            raise ValueError(
-                f"subject '{subject}': non-finite ECE ({ece}) from the fused "
-                "eval — the confidence map is degenerate (e.g. a collapsed "
-                "head produced a constant map, so the subject rescale "
-                "divided 0/0)")
+            # a constant confidence map (collapsed head: the per-subject
+            # min-max rescale divides 0/0, eval/pipeline._confidence_eval)
+            # or an empty eval mask (zero binned voxels) yields NaN. Write
+            # the row anyway (mirrors the reference's numpy behavior), keep
+            # the rest of the run's artifacts, and fail loudly in finish()
+            # so one degenerate subject can't silently pass NOR abort a
+            # multi-hour run mid-flight
+            self.nonfinite.append(subject)
+            logging.error(
+                "subject '%s': non-finite ECE (%s) from the fused eval — "
+                "either the confidence map is constant (collapsed head) or "
+                "the subject's eval mask is empty; continuing, finish() "
+                "will raise", subject, ece)
         corr = row_of("correction")
         self.calib.on_subject({
             "bins_count": np.asarray(row_of("bins_count")).astype(np.int64),
@@ -255,6 +260,18 @@ class _EvalSinks:
             ev_hooks.WriteSummaryCsvHook(
                 self.minmax_path, confidence_entry=self.confidence_entry,
             ).on_run_end(self.bounds, self.run_id)
+        if self.nonfinite:
+            shown = ", ".join(self.nonfinite[:5])
+            more = f" (+{len(self.nonfinite) - 5} more)" \
+                if len(self.nonfinite) > 5 else ""
+            raise ValueError(
+                f"{len(self.nonfinite)} subject(s) produced a non-finite "
+                f"ECE: {shown}{more} — either the confidence map was "
+                "constant (a collapsed head makes the per-subject min-max "
+                "rescale divide 0/0, eval/pipeline._confidence_eval) or the "
+                "subject's eval mask selected zero voxels. Every CSV was "
+                "still written (NaN rows mark the affected subjects) before "
+                "this error was raised.")
 
 
 def _global_bounds(bounds, what: str):
@@ -465,10 +482,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         def _stage(si, arr, data_axis=False):
             return jax.device_put(arr, devices[si % len(devices)])
     elif mesh is not None:
-        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
-        from rcu_tpu.parallel.mesh import DATA_AXIS as _DATA
-        _data_sh = _NS(mesh, _P(None, _DATA))
-        _rep_sh = _NS(mesh, _P())
+        # the programs' own in_shardings (single source: pipeline.py)
+        _rep_sh, _data_sh, _ = pl.staging_shardings(mesh)
 
         def _stage(si, arr, data_axis=False):
             return jax.device_put(arr, _data_sh if data_axis else _rep_sh)
@@ -536,6 +551,20 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     needs_rng = strategy in ("mc", "deterministic")
     keys = _host_fold_keys(config.seed, len(names)) if needs_rng else None
 
+    # thresholds are identical for every dispatch: stage once per target
+    # instead of re-uploading the numpy array on the dispatch thread each
+    # time (every per-dispatch H2D is a tunnel round trip)
+    if devices:
+        _th_by_dev = {d: jax.device_put(thresholds_arr, d) for d in devices}
+
+        def _th(si):
+            return _th_by_dev[devices[si % len(devices)]]
+    else:
+        _th_staged = _stage(0, thresholds_arr)
+
+        def _th(si):
+            return _th_staged
+
     def volume_factory(nz):
         if strategy in ("mc", "deterministic"):
             # artifacts=False: only the eval reductions come back, so no dead
@@ -572,11 +601,11 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         return per_device_state[dev] \
             + tuple(jax.device_put(a, dev) for a in arrays)
 
-    def data_args(loaded):
+    def data_args(si, loaded):
         batched, batched_baseline, target, mask, _nz = loaded
         if needs_baseline:
-            return (batched, batched_baseline, target, mask, thresholds_arr)
-        return (batched, target, mask, thresholds_arr)
+            return (batched, batched_baseline, target, mask, _th(si))
+        return (batched, target, mask, _th(si))
 
     def fetch(subject, out, t0):
         # one batched D2H for the whole output tree: per-leaf np.asarray
@@ -617,12 +646,26 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         logging.info("direct aleatoric: global sigma range [%.6f, %.6f]",
                      gmin, gmax)
 
+        # stage the run-global rescale bounds once per target, like _th
+        if devices:
+            _g_by_dev = {d: jax.device_put((np.float32(gmin),
+                                            np.float32(gmax)), d)
+                         for d in devices}
+
+            def _g(si):
+                return _g_by_dev[devices[si % len(devices)]]
+        else:
+            _g_staged = (_stage(0, np.float32(gmin)),
+                         _stage(0, np.float32(gmax)))
+
+            def _g(si):
+                return _g_staged
+
         def al_dispatch(si, subject, loaded):
             batched, _bb, target, mask, nz = loaded
             fn = _fn("main", volume_factory, (nz, batched.shape[0]))
-            return fn(*_device_args(si, (batched, target, mask,
-                                         thresholds_arr)),
-                      np.float32(gmin), np.float32(gmax))
+            return fn(*_device_args(si, (batched, target, mask, _th(si))),
+                      *_g(si))
 
         _drive(pool, names, load_subject, al_dispatch, fetch, window,
                lookahead)
@@ -633,7 +676,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     def dispatch(si, subject, loaded):
         nz = loaded[4]
         fn = _fn("main", volume_factory, (nz, loaded[0].shape[0]))
-        args = _device_args(si, data_args(loaded))
+        args = _device_args(si, data_args(si, loaded))
         if needs_rng:
             return fn(*args, keys[si])
         return fn(*args)
@@ -654,8 +697,15 @@ def _host_fold_keys(seed: int, n: int) -> np.ndarray:
     trip costs more than the dispatch itself over a remote-TPU link. Old
     style PRNG keys are plain uint32 ``(2,)`` rows, so the np slice feeds
     the jitted programs unchanged."""
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
+    import contextlib
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        # no CPU backend registered (same guard as engine.state
+        # init_variables): one vmapped fold on the default device still
+        # beats n per-dispatch round trips
+        ctx = contextlib.nullcontext()
+    with ctx:
         rng = jax.random.PRNGKey(seed)
         return np.asarray(jax.vmap(lambda i: jax.random.fold_in(rng, i))(
             jnp.arange(n, dtype=jnp.uint32)))
@@ -758,9 +808,8 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
     # serialize with the device work on the dispatch thread (see the volume
     # path's _stage; measured in scripts/bench_isic.py driver leg)
     if mesh is not None and not devices:
-        from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
-        from rcu_tpu.parallel.mesh import DATA_AXIS as _DATA
-        _data_sh = _NS(mesh, _P(_DATA))
+        # the image-batch programs' own in_shardings (source: pipeline.py)
+        _rep_sh, _, _data_sh = pl.staging_shardings(mesh)
 
     def _stage_part(ci, pi, arrays):
         if devices:
@@ -806,12 +855,25 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
     keys = _host_fold_keys(seed, len(groups) * chunk_size) if needs_rng \
         else None
 
-    def part_args(arrays):
+    # thresholds are identical for every dispatch: stage once per target
+    # (the dispatch thread otherwise re-uploads the numpy array per chunk)
+    if devices:
+        _th_by_dev = {d: jax.device_put(thresholds_arr, d) for d in devices}
+
+        def _th(ci, pi):
+            return _th_by_dev[devices[(ci + pi) % len(devices)]]
+    else:
+        _th_staged = jax.device_put(thresholds_arr, _rep_sh) \
+            if mesh is not None else jax.device_put(thresholds_arr)
+
+        def _th(ci, pi):
+            return _th_staged
+
+    def part_args(arrays, th):
         if needs_baseline:
             return (arrays["images"], arrays["baselines"], arrays["targets"],
-                    arrays["masks"], thresholds_arr)
-        return (arrays["images"], arrays["targets"], arrays["masks"],
-                thresholds_arr)
+                    arrays["masks"], th)
+        return (arrays["images"], arrays["targets"], arrays["masks"], th)
 
     def _dispatch_part(ci, pi, prog, args):
         if devices:
@@ -823,7 +885,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
     def dispatch(ci, group, parts, extra=()):
         outs = []
         for pi, (subjects, arrays) in enumerate(parts):
-            args = part_args(arrays) + tuple(extra)
+            args = part_args(arrays, _th(ci, pi)) + tuple(extra)
             if needs_rng:
                 args = args + (keys[ci * chunk_size + pi],)
             outs.append((subjects, _dispatch_part(ci, pi, fn, args)))

@@ -132,6 +132,19 @@ def _volume_shardings(mesh):
     return rep, data
 
 
+def staging_shardings(mesh):
+    """The in_shardings the direct driver pre-stages uploads onto from its
+    loader threads (eval/direct.py): ``(replicated, volume scan-batch data,
+    image-batch data)``. Single source of truth with the programs' own
+    ``in_shardings`` (:func:`_volume_shardings` / :func:`_jit_image_batch`)
+    — if a program's layout ever changes, pre-staging follows and dispatch
+    never silently re-shards a pre-committed array."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rcu_tpu.parallel.mesh import DATA_AXIS
+    rep, vol_data = _volume_shardings(mesh)
+    return rep, vol_data, NamedSharding(mesh, P(DATA_AXIS))
+
+
 def _member_sharding(mesh):
     """Stacked ensemble members shard over the 'model' axis when the mesh has
     one (EP; the member-mean becomes an XLA all-reduce over that axis),
@@ -313,10 +326,7 @@ def _jit_image_batch(run, mesh, n_state: int, n_data: int, n_tail: int,
     replicated trailing args (thresholds/rng/bounds)."""
     if mesh is None:
         return jax.jit(run)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from rcu_tpu.parallel.mesh import DATA_AXIS
-    rep = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(DATA_AXIS))  # images sharded over the mesh
+    rep, _, data = staging_shardings(mesh)  # images sharded over the mesh
     member = _member_sharding(mesh)
     lead = tuple(member if i in member_argnums else rep
                  for i in range(n_state))

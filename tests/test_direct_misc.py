@@ -13,7 +13,10 @@ see rcu_tpu/eval/direct.py):
    equal per-index ``jax.random.fold_in`` on the default backend — threefry
    bits are backend-invariant by construction.
 """
+import pathlib
+
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -59,3 +62,26 @@ def test_host_fold_keys_feed_jitted_programs():
     live = jax.random.fold_in(jax.random.PRNGKey(7), 1)
     np.testing.assert_array_equal(np.asarray(draw(keys[1])),
                                   np.asarray(draw(live)))
+
+
+def test_nonfinite_ece_completes_run_then_fails(tmp_path):
+    """One degenerate subject (constant confidence map or empty eval mask
+    -> NaN ECE) must neither silently pass NOR abort the run mid-flight:
+    every subject's CSV rows are written, then finish() raises naming the
+    affected subjects."""
+    from rcu_tpu.eval.direct import DEFAULT_THRESHOLDS, _EvalSinks
+    from tests.test_analysis_parity import _make_row
+
+    rng = np.random.RandomState(0)
+    sinks = _EvalSinks(str(tmp_path), "run", "", DEFAULT_THRESHOLDS,
+                       "probabilities", layout="eval_tree", masked=False)
+    good = _make_row(rng, 0, 0)
+    bad = dict(_make_row(rng, 0, 1), ece=float("nan"))
+    sinks.write_subject("subj_good", lambda k: good[k])
+    sinks.write_subject("subj_bad", lambda k: bad[k])
+    with pytest.raises(ValueError, match="subj_bad"):
+        sinks.finish()
+    csvs = list(pathlib.Path(tmp_path).rglob("*.csv"))
+    assert csvs, "finish() must write the CSVs before raising"
+    joined = "\n".join(p.read_text() for p in csvs)
+    assert "subj_good" in joined and "subj_bad" in joined
