@@ -551,14 +551,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     needs_rng = strategy in ("mc", "deterministic")
     keys = _host_fold_keys(config.seed, len(names)) if needs_rng else None
 
-    # thresholds are identical for every dispatch: stage once per target
-    # instead of re-uploading the numpy array on the dispatch thread each
-    # time (every per-dispatch H2D is a tunnel round trip)
     if devices:
-        _th_by_dev = {d: jax.device_put(thresholds_arr, d) for d in devices}
-
-        def _th(si):
-            return _th_by_dev[devices[si % len(devices)]]
+        _th = _stage_per_device(thresholds_arr, devices)
     else:
         _th_staged = _stage(0, thresholds_arr)
 
@@ -612,11 +606,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         # costs a round trip per array over a remote-TPU link (~20 leaves
         # x ~30 ms measured), jax.device_get coalesces the tree fetch
         host = jax.device_get(out)
-
-        def row_of(k):
-            return host[k]
-
-        sinks.write_subject(subject, row_of)
+        sinks.write_subject(subject, host.__getitem__)
         if "conf_min" in host:
             sinks.add_bounds(host["conf_min"], host["conf_max"])
         eces[subject] = float(host["ece"])
@@ -648,12 +638,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
         # stage the run-global rescale bounds once per target, like _th
         if devices:
-            _g_by_dev = {d: jax.device_put((np.float32(gmin),
-                                            np.float32(gmax)), d)
-                         for d in devices}
-
-            def _g(si):
-                return _g_by_dev[devices[si % len(devices)]]
+            _g = _stage_per_device((np.float32(gmin), np.float32(gmax)),
+                                   devices)
         else:
             _g_staged = (_stage(0, np.float32(gmin)),
                          _stage(0, np.float32(gmax)))
@@ -687,6 +673,15 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     pool.shutdown()
     sinks.finish()
     return eces
+
+
+def _stage_per_device(value, devices):
+    """Stage ``value`` (any pytree) once onto every pool device; returns
+    ``f(i) -> staged copy`` for dispatch index ``i`` (same round-robin the
+    dispatchers use). Dispatch-constant args — thresholds, rescale bounds —
+    would otherwise re-upload from numpy on every dispatch."""
+    staged = [jax.device_put(value, d) for d in devices]
+    return lambda i: staged[i % len(staged)]
 
 
 def _host_fold_keys(seed: int, n: int) -> np.ndarray:
@@ -858,10 +853,10 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
     # thresholds are identical for every dispatch: stage once per target
     # (the dispatch thread otherwise re-uploads the numpy array per chunk)
     if devices:
-        _th_by_dev = {d: jax.device_put(thresholds_arr, d) for d in devices}
+        _th_dev = _stage_per_device(thresholds_arr, devices)
 
         def _th(ci, pi):
-            return _th_by_dev[devices[(ci + pi) % len(devices)]]
+            return _th_dev(ci + pi)  # _dispatch_part's device pick
     else:
         _th_staged = jax.device_put(thresholds_arr, _rep_sh) \
             if mesh is not None else jax.device_put(thresholds_arr)
