@@ -290,12 +290,16 @@ def main():
     bf_sync = rows.get(("bfloat16", "chunk_sync"))
     bf_ne = rows.get(("bfloat16", "noeval_scan"))
     bf_drv = rows.get(("bfloat16", "driver"))
+    # a negative epilogue share means the no-eval leg measured SLOWER than
+    # the full program — pure run-to-run noise over the tunnel; report 0
+    # (the epilogue is free within noise) instead of a nonsense negative
+    epilogue = max(0.0, 100 * (1 - bf / bf_ne)) if bf and bf_ne else None
     print(json.dumps({
         "metric": "isic_attribution",
         "rtt_contamination_pct":
             round(100 * (1 - bf_sync / bf), 1) if bf and bf_sync else None,
         "eval_epilogue_pct":
-            round(100 * (1 - bf / bf_ne), 1) if bf and bf_ne else None,
+            round(epilogue, 1) if epilogue is not None else None,
         "driver_vs_chip_pct":
             round(100 * bf_drv / bf, 1) if bf and bf_drv else None,
     }))
