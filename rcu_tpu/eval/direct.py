@@ -291,7 +291,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     thresholds=DEFAULT_THRESHOLDS, mesh=None,
                     masked: bool = True, subject_parallel: bool = False,
                     strategy: str = None, dtype: str = None,
-                    layout: str = "flat") -> dict:
+                    layout: str = "flat", dispatch_chunks: int = 4) -> dict:
     """Run fused inference + eval for every test-split subject, one dispatch
     per volume (or per image chunk on native-2D datasets); write the
     ``eval_calibration_*``, ``eval_ece_*``, ``eval_uncertainty_*_th*`` and
@@ -326,7 +326,11 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     Native-2D datasets (image volume without a slice axis) run CHUNKED:
     ``test_data.batch_size`` whole images per dispatch on the conv batch
     axis, with every image's own eval reductions vmapped in the same program
-    (full MXU utilization; K-fold fewer dispatch round trips). The config's
+    (full MXU utilization; K-fold fewer dispatch round trips). For the
+    mc/deterministic protocols, ``dispatch_chunks`` further scans that many
+    K-image chunks inside ONE dispatch (lax.scan — same device work and
+    memory, 1/dispatch_chunks the execute/fetch round trips; matters on
+    remote-TPU links, free on co-located hosts). The config's
     transform pipeline is applied per item, exactly as the staged loader
     would.
     """
@@ -536,7 +540,9 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                        masked=masked)
     eces = {}
     names = list(dataset.subjects)  # non-empty: guarded at dataset build
-    window = 2 * len(devices) if devices else 1
+    window = 2 * len(devices) if devices else 2  # depth-2 pipeline:
+    # overlap the next item's staged upload with the current
+    # dispatch's device work and round trips
     lookahead = pool_workers + 2
 
     if is_2d:
@@ -545,7 +551,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             transform, masked, foreground_mask, needs_baseline, _split_labels,
             mc, batch_size, n_data_shards, thresholds_arr, program_mesh,
             devices, per_device_state if devices else None, config.seed, pool,
-            sinks, eces, lookahead, input_dtype)
+            sinks, eces, lookahead, input_dtype, dispatch_chunks)
 
     # ------------------------------------------------- fused volume programs
     needs_rng = strategy in ("mc", "deterministic")
@@ -745,7 +751,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                         needs_baseline, split_labels, mc, chunk_size,
                         n_data_shards, thresholds_arr, mesh, devices,
                         per_device_state, seed, pool, sinks, eces, lookahead,
-                        input_dtype=np.float32):
+                        input_dtype=np.float32, dispatch_chunks: int = 4):
     """Chunked native-2D eval for every strategy: K images per dispatch
     through the matching :mod:`rcu_tpu.eval.pipeline` image-batch program.
     Latency mode shards the image axis over the mesh; throughput mode
@@ -758,8 +764,20 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
     aleatoric = strategy == "aleatoric"
 
     if strategy in ("mc", "deterministic"):
-        fn = pl.make_image_batch_mc_eval_fn(
-            model, mc if strategy == "mc" else 0, mesh=mesh)
+        # one program per scan depth: ``n_chunks`` K-image chunks run inside
+        # a single dispatch (lax.scan — zero extra memory), so a remote link
+        # pays one execute/fetch round trip per ``dispatch_chunks`` chunks
+        # instead of per chunk (the driver_e2e leg of scripts/bench_isic.py)
+        _scan_fns = {}
+
+        def _fn_for(n_chunks):
+            if n_chunks not in _scan_fns:
+                _scan_fns[n_chunks] = pl.make_image_batch_mc_eval_fn(
+                    model, mc if strategy == "mc" else 0, mesh=mesh,
+                    n_chunks=n_chunks)
+            return _scan_fns[n_chunks]
+
+        fn = _fn_for(1)
     elif strategy == "ensemble":
         fn = pl.make_image_batch_ensemble_eval_fn(model, mesh=mesh)
     elif strategy == "auxiliary_feat":
@@ -793,7 +811,14 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
     def _pad_len(n, is_last):
         """Sub-batch padding target: the last part rounds up to the full
         chunk (static shape for the common tail-of-run case), every part
-        rounds up to the mesh's data-axis size so sharding divides."""
+        rounds up to the mesh's data-axis size so sharding divides. Under
+        the scanning program (mc/deterministic), any part spanning one or
+        more chunks pads to WHOLE chunks — the program reshapes to
+        (n_chunks, K); sub-chunk mid-run parts keep their small batch under
+        n_chunks=1 (padding them to K would waste K-fold forwards on
+        heterogeneous stores)."""
+        if needs_rng and (n >= chunk_size or is_last):
+            return -(-n // chunk_size) * chunk_size
         if is_last:
             return chunk_size
         return -(-n // n_data_shards) * n_data_shards
@@ -843,11 +868,18 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                 start = i
         return parts
 
-    groups = [names[i:i + chunk_size]
-              for i in range(0, len(names), chunk_size)]
-    # key index is ci * chunk_size + pi with pi < parts-per-chunk <= group
-    # size, so len(groups) * chunk_size rows cover every dispatch
-    keys = _host_fold_keys(seed, len(groups) * chunk_size) if needs_rng \
+    # mc/deterministic groups span ``dispatch_chunks`` chunks: the scanning
+    # program runs the whole super-group in ONE dispatch (same device work,
+    # 1/dispatch_chunks the round trips); other strategies' programs have no
+    # scan axis, so they keep one-chunk groups
+    group_span = chunk_size * max(1, int(dispatch_chunks)) if needs_rng \
+        else chunk_size
+    groups = [names[i:i + group_span]
+              for i in range(0, len(names), group_span)]
+    # key index is ci * group_span + pi with pi < parts-per-group <= group
+    # size, so len(groups) * group_span rows cover every dispatch (the
+    # scanning program folds each base key once more per chunk)
+    keys = _host_fold_keys(seed, len(groups) * group_span) if needs_rng \
         else None
 
     # thresholds are identical for every dispatch: stage once per target
@@ -881,9 +913,14 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
         outs = []
         for pi, (subjects, arrays) in enumerate(parts):
             args = part_args(arrays, _th(ci, pi)) + tuple(extra)
+            prog = fn
             if needs_rng:
-                args = args + (keys[ci * chunk_size + pi],)
-            outs.append((subjects, _dispatch_part(ci, pi, fn, args)))
+                # parts are padded to whole chunks (>= K) or stay sub-chunk
+                # (n_chunks=1, smaller batch) — see _pad_len
+                prog = _fn_for(max(1, arrays["images"].shape[0]
+                               // chunk_size))
+                args = args + (keys[ci * group_span + pi],)
+            outs.append((subjects, _dispatch_part(ci, pi, prog, args)))
         return outs
 
     def fetch(group, outs, t0):
@@ -907,7 +944,9 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                      group[0], group[-1], float(np.mean(all_ece)),
                      len(group), time.time() - t0)
 
-    window = 2 * len(devices) if devices else 1
+    window = 2 * len(devices) if devices else 2  # depth-2 pipeline:
+    # overlap the next item's staged upload with the current
+    # dispatch's device work and round trips
 
     if aleatoric:
         # pass A: per-image sigma bounds -> the run's global rescale range

@@ -227,6 +227,36 @@ class TestDirect2dMatchesVolumePath:
         assert "baseline" in df.index
         assert np.isfinite(df.loc["baseline"]["ece"])
 
+    def test_dispatch_chunks_invariance(self, env, tmp_path):
+        """Scanning G K-chunks inside one dispatch (``dispatch_chunks``)
+        must not change ANY deterministic CSV — the (n_chunks, K) reshape +
+        lax.scan is equal to per-chunk dispatches (the round-trip
+        amortization lever for remote links; pipeline program equality is
+        pinned in tests/test_pipeline.py)."""
+        cfg = base_test_cfg(env["tmp"], env["flat"], env["test_split"],
+                            env["baseline"].model_files.model_dir,
+                            name="dchunks")
+        cfg.test_data.batch_size = 1  # 3 one-image chunks -> one scan of 3
+        a, b = str(tmp_path / "g1"), str(tmp_path / "g3")
+        evaluate_direct(cfg, a, run_id="baseline", mc=0, masked=False,
+                        dispatch_chunks=1)
+        evaluate_direct(cfg, b, run_id="baseline", mc=0, masked=False,
+                        dispatch_chunks=3)
+        assert_dirs_equal(a, b)
+
+    def test_dispatch_chunks_mc_smoke(self, env, tmp_path):
+        """The MC protocol under a multi-chunk scan: per-chunk keys fold
+        inside the program (schedule differs from per-chunk dispatch by
+        design), every subject still gets a finite ECE row."""
+        cfg = base_test_cfg(env["tmp"], env["flat"], env["test_split"],
+                            env["baseline"].model_files.model_dir,
+                            name="dchunks_mc")
+        cfg.test_data.batch_size = 2
+        eces = evaluate_direct(cfg, str(tmp_path / "mc_g"), run_id="mc",
+                               mc=3, masked=False, dispatch_chunks=2)
+        assert set(eces) == set(TEST_SUBJECTS)
+        assert all(np.isfinite(v) for v in eces.values())
+
     def test_heterogeneous_chunks_under_latency_mesh(self, env, tmp_path):
         """ADVICE r2 (medium): a MID-chunk same-shape part whose length does
         not divide the mesh's data axis must pad up to it (every part, not
