@@ -1,0 +1,286 @@
+"""Per-op attribution of the remaining bf16 conv-stack gap (round 4).
+
+``bf16_gap_analysis.py`` closed the epilogue question (<=4%) and pinned the
+T=20 U-Net forward at ~66% of the chip's PRACTICAL bf16 matmul peak
+(~77 of ~117 TFLOP/s). This script asks WHERE inside the forward the other
+34% goes, by benchmarking every op family of the flagship forward —
+each ConvBnRelu (conv + channel dropout + inference BN + relu, exactly the
+fused unit the real program runs), each pool and upsample — standalone at
+the REAL effective batch (T x B = 640: the T=20 vmap batches every conv),
+then comparing the FLOP-weighted sum of best-case op times against the
+measured whole-forward time:
+
+- if the sum of parts ~= the whole, the gap is per-op shape inefficiency
+  (see which ops sit below the practical peak);
+- if the whole >> sum of parts, the gap is fusion/boundary overhead
+  between ops (HBM round trips XLA didn't elide).
+
+Legs:
+  --ops     per-op inventory (default)
+  --widen   C_out sweep at the 240^2 x 32ch level: is the 128-lane MXU
+            output dimension the binder for small-channel convs?
+  --forward measured T=20 whole-forward rate (same numbers as
+            bf16_gap_analysis's `logits` variant, re-measured here so the
+            sum-vs-whole comparison is contemporaneous)
+
+Every leg packs >= ~1s of device work per dispatch (lax.scan over reps)
+so the remote-tunnel round trip does not contaminate rates (CLAUDE.md).
+Shapes mirror the flagship BraTS config: depth 4, start_filters 32,
+4 input channels, 240^2 slices, batch 32, T=20
+(reference config/train_brats_baseline.yaml:6-12 workload).
+"""
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(REPO_ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+BATCH, MC_T = 32, 20          # flagship MC protocol (T=20 vmap, batch 32)
+B_EFF = BATCH * MC_T          # every conv in the vmapped forward sees this
+DEPTH, SF, IN_CH, RES = 4, 32, 4, 240
+RATE_GUESS_TFLOPS = 60.0      # sizes reps for ~1s of device work per leg
+TARGET_S = 0.9
+
+
+def _init_on_cpu(module, x_shape, dtype):
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(
+            lambda rngs, x: module.init(rngs, x, train=False,
+                                        mc_dropout=True))(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros(x_shape, dtype))
+    return jax.device_put(variables)
+
+
+def _device_input(shape, dtype):
+    """Generate the bench input ON DEVICE: effective-batch-640 activations
+    are GBs, and the remote tunnel cannot upload that (congestion takes it
+    below 1 MB/s) — every timed leg must be H2D-free."""
+    return jax.jit(lambda: jax.random.uniform(
+        jax.random.PRNGKey(7), shape, jnp.float32).astype(dtype))()
+
+
+def _time_best(fn, *args, warm=1, reps=3):
+    for _ in range(warm):
+        float(fn(*args))
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _scan_bench(apply_fn, x_shape, flops_per_call, dtype, needs_rng=False):
+    """Best-case seconds per call for ``apply_fn(x)`` measured under a
+    lax.scan whose per-iteration input is perturbed by a traced scalar
+    (prevents XLA from hoisting the loop-invariant op out of the scan even
+    when the op changes shape)."""
+    reps = int(max(4, min(512, round(
+        TARGET_S * RATE_GUESS_TFLOPS * 1e12 / max(flops_per_call, 1.0)))))
+    x0 = _device_input(x_shape, dtype)
+    salts = jnp.zeros((reps,), dtype)
+
+    @jax.jit
+    def run(x, salts):
+        def body(acc, s):
+            y = apply_fn(x + s)
+            return acc + jnp.sum(y.astype(jnp.float32)), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), salts)
+        return acc
+
+    best = _time_best(run, x0, salts)
+    return best / reps, reps
+
+
+def conv_bn_relu(out_ch, dtype, kernel=3):
+    from rcu_tpu.models.unet import ConvBnRelu
+    return ConvBnRelu(out_ch, dropout=0.2, bn=True,
+                      kernel=kernel, padding=kernel // 2, dtype=dtype)
+
+
+def _op_inventory():
+    """(name, in_ch, out_ch, hw, kind) for every op of the flagship forward.
+    kind: 'cbr' = ConvBnRelu (the real fused unit), 'pool', 'up' (nearest
+    2x upsample), 'upconv' (the 3x3 conv after upsample). FLOPs at 240^2
+    dominate; each resolution r carries enc a+b convs, a pool, and (except
+    the bottom) an upsample + upconv + dec a+b convs at the same r."""
+    ops = []
+    ch, res = SF, RES
+    in_ch = IN_CH
+    for i in range(DEPTH):
+        ops.append((f"enc{i}a_{res}x{in_ch}->{ch}", in_ch, ch, res, "cbr"))
+        ops.append((f"enc{i}b_{res}x{ch}->{ch}", ch, ch, res, "cbr"))
+        ops.append((f"pool{i}_{res}x{ch}", ch, ch, res, "pool"))
+        in_ch, ch, res = ch, ch * 2, res // 2
+    ops.append((f"bot_a_{res}x{in_ch}->{ch}", in_ch, ch, res, "cbr"))
+    ops.append((f"bot_b_{res}x{ch}->{ch}", ch, ch, res, "cbr"))
+    for k in range(DEPTH):
+        ch //= 2
+        ops.append((f"up{k}_{res}->{res*2}x{ch*2}", ch * 2, ch * 2, res, "up"))
+        res *= 2
+        ops.append((f"upconv{k}_{res}x{ch*2}->{ch}", ch * 2, ch, res, "upconv"))
+        ops.append((f"dec{k}a_{res}x{ch*2}->{ch}", ch * 2, ch, res, "cbr"))
+        ops.append((f"dec{k}b_{res}x{ch}->{ch}", ch, ch, res, "cbr"))
+    ops.append((f"head_{res}x{ch}->{ch}", ch, ch, res, "cbr"))
+    return ops
+
+
+def _op_flops(in_ch, out_ch, hw, kind):
+    if kind in ("cbr", "upconv"):
+        return 2.0 * 9 * in_ch * out_ch * hw * hw * B_EFF
+    return 0.0  # pool/up are bandwidth ops; report GB moved instead
+
+
+def run_ops(dtype_str):
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    total_s, total_flops = 0.0, 0.0
+    rows = []
+    for name, in_ch, out_ch, hw, kind in _op_inventory():
+        x_shape = (B_EFF, hw, hw, in_ch)
+        flops = _op_flops(in_ch, out_ch, hw, kind)
+        if kind in ("cbr", "upconv"):
+            if kind == "cbr":
+                mod = conv_bn_relu(out_ch, dtype)
+                variables = _init_on_cpu(mod, (1, hw, hw, in_ch), dtype)
+                rng = jax.random.PRNGKey(2)
+
+                def apply_fn(x, mod=mod, variables=variables, rng=rng):
+                    return mod.apply(variables, x, train=False,
+                                     mc_dropout=True, rngs={"dropout": rng})
+            else:
+                import flax.linen as nn
+                mod = nn.Conv(out_ch, (3, 3), padding=1, dtype=dtype)
+                cpu = jax.devices("cpu")[0]
+                with jax.default_device(cpu):
+                    variables = jax.jit(mod.init)(
+                        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, in_ch),
+                                                         dtype))
+                variables = jax.device_put(variables)
+
+                def apply_fn(x, mod=mod, variables=variables):
+                    return mod.apply(variables, x)
+        elif kind == "pool":
+            import flax.linen as nn
+
+            def apply_fn(x):
+                return nn.max_pool(x, (2, 2), strides=(2, 2))
+            flops = 0.0
+        else:  # up
+            from rcu_tpu.models.unet import _upsample_nearest_2x as apply_fn
+        sec, reps = _scan_bench(apply_fn, x_shape, flops or
+                                RATE_GUESS_TFLOPS * 1e12 * 0.02, dtype)
+        itemsize = 2 if dtype_str == "bfloat16" else 4
+        moved_gb = (np.prod(x_shape) * itemsize *
+                    (1 + (0.25 if kind == "pool" else 4 if kind == "up" else 1)
+                     * out_ch / in_ch)) / 1e9
+        row = {"op": name, "kind": kind, "seconds_per_call": round(sec, 5),
+               "reps": reps}
+        if flops:
+            row["tflops_per_s"] = round(flops / sec / 1e12, 1)
+        else:
+            row["approx_gb_per_s"] = round(moved_gb / sec, 1)
+        rows.append(row)
+        total_s += sec
+        total_flops += flops
+        print(json.dumps(row), flush=True)
+    print(json.dumps({
+        "what": f"sum of parts ({dtype_str}, effective batch {B_EFF})",
+        "sum_seconds_per_forward": round(total_s, 4),
+        "sum_conv_flops_per_forward": total_flops,
+        "flop_weighted_tflops_per_s": round(total_flops / total_s / 1e12, 1),
+    }), flush=True)
+    return total_s
+
+
+def run_forward(dtype_str):
+    """Measured whole T=20 vmapped forward (the `logits` ablation variant):
+    the number the per-op sum is judged against."""
+    from rcu_tpu.models.unet import UNet
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    model = UNet(nb_classes=2, in_channels=IN_CH, depth=DEPTH,
+                 start_filters=SF, dropout=0.2, dtype=dtype)
+    # init ON DEVICE: the flagship param tree is ~34 MB, which a congested
+    # tunnel cannot upload; one cached remote compile is cheaper.
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, RES, RES, IN_CH), dtype)))()
+    keys = jax.random.split(jax.random.PRNGKey(3), MC_T)
+    x0 = _device_input((BATCH, RES, RES, IN_CH), dtype)
+    reps = 8
+    salts = jnp.zeros((reps,), dtype)
+
+    @jax.jit
+    def run(variables, x, keys, salts):
+        def one(k, xs):
+            return model.apply(variables, xs, train=False, mc_dropout=True,
+                               rngs={"dropout": k}).logits
+
+        def body(acc, s):
+            logits = jax.vmap(one, in_axes=(0, None))(keys, x + s)
+            return acc + jnp.sum(logits.astype(jnp.float32)), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), salts)
+        return acc
+
+    best = _time_best(run, variables, x0, keys, salts)
+    sec = best / reps
+    flops = sum(_op_flops(i, o, hw, k) for _, i, o, hw, k in _op_inventory())
+    print(json.dumps({
+        "what": f"whole T={MC_T} forward ({dtype_str}, batch {BATCH})",
+        "seconds_per_forward": round(sec, 4),
+        "conv_tflops_per_s": round(flops / sec / 1e12, 1),
+    }), flush=True)
+    return sec
+
+
+def run_widen(dtype_str):
+    """C_out sweep at the top level: rate ~ C_out means the MXU's 128-lane
+    output dim binds small-channel convs; flat rate means it doesn't."""
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    for out_ch in (8, 16, 32, 64, 128):
+        mod = conv_bn_relu(out_ch, dtype)
+        variables = _init_on_cpu(mod, (1, RES, RES, SF), dtype)
+        rng = jax.random.PRNGKey(2)
+
+        def apply_fn(x, mod=mod, variables=variables, rng=rng):
+            return mod.apply(variables, x, train=False, mc_dropout=True,
+                             rngs={"dropout": rng})
+        flops = 2.0 * 9 * SF * out_ch * RES * RES * B_EFF
+        sec, reps = _scan_bench(apply_fn, (B_EFF, RES, RES, SF), flops, dtype)
+        print(json.dumps({
+            "what": f"widen 240^2 x {SF}ch -> C_out={out_ch}",
+            "seconds_per_call": round(sec, 5),
+            "tflops_per_s": round(flops / sec / 1e12, 1),
+            "reps": reps,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    import argparse
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dtype", default="bfloat16")
+    parser.add_argument("--ops", action="store_true")
+    parser.add_argument("--widen", action="store_true")
+    parser.add_argument("--forward", action="store_true")
+    args = parser.parse_args()
+    if args.widen:
+        run_widen(args.dtype)
+    elif args.forward:
+        run_forward(args.dtype)
+    else:
+        run_ops(args.dtype)
+        run_forward(args.dtype)
