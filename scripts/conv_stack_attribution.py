@@ -54,15 +54,13 @@ RATE_GUESS_TFLOPS = 60.0      # sizes reps for ~1s of device work per leg
 TARGET_S = 0.9
 
 
-def _init_on_cpu(module, x_shape, dtype):
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = jax.jit(
-            lambda rngs, x: module.init(rngs, x, train=False,
-                                        mc_dropout=True))(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            jnp.zeros(x_shape, dtype))
-    return jax.device_put(variables)
+def _init_on_device(module, x_shape, dtype):
+    """Init params ON DEVICE (one cached remote compile) — the largest
+    per-op module carries ~9 MB of f32 conv weights, which a congested
+    tunnel cannot upload (same rationale as run_forward's init)."""
+    return jax.jit(lambda: module.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros(x_shape, dtype), train=False, mc_dropout=True))()
 
 
 def _device_input(shape, dtype):
@@ -156,7 +154,7 @@ def run_ops(dtype_str):
         if kind in ("cbr", "upconv"):
             if kind == "cbr":
                 mod = conv_bn_relu(out_ch, dtype)
-                variables = _init_on_cpu(mod, (1, hw, hw, in_ch), dtype)
+                variables = _init_on_device(mod, (1, hw, hw, in_ch), dtype)
                 rng = jax.random.PRNGKey(2)
 
                 def apply_fn(x, mod=mod, variables=variables, rng=rng):
@@ -165,12 +163,9 @@ def run_ops(dtype_str):
             else:
                 import flax.linen as nn
                 mod = nn.Conv(out_ch, (3, 3), padding=1, dtype=dtype)
-                cpu = jax.devices("cpu")[0]
-                with jax.default_device(cpu):
-                    variables = jax.jit(mod.init)(
-                        jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, in_ch),
-                                                         dtype))
-                variables = jax.device_put(variables)
+                variables = jax.jit(lambda: mod.init(
+                    jax.random.PRNGKey(0),
+                    jnp.zeros((1, hw, hw, in_ch), dtype)))()
 
                 def apply_fn(x, mod=mod, variables=variables):
                     return mod.apply(variables, x)
@@ -253,7 +248,7 @@ def run_widen(dtype_str):
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     for out_ch in (8, 16, 32, 64, 128):
         mod = conv_bn_relu(out_ch, dtype)
-        variables = _init_on_cpu(mod, (1, RES, RES, SF), dtype)
+        variables = _init_on_device(mod, (1, RES, RES, SF), dtype)
         rng = jax.random.PRNGKey(2)
 
         def apply_fn(x, mod=mod, variables=variables, rng=rng):
