@@ -22,6 +22,9 @@ Legs:
   --forward measured T=20 whole-forward rate (same numbers as
             bf16_gap_analysis's `logits` variant, re-measured here so the
             sum-vs-whole comparison is contemporaneous)
+  --boundary concat-vs-split-kernel probe at every decoder level: is the
+            skip concat an unfused HBM cost the split-kernel rewrite
+            (conv_a(up) + conv_b(skip), checkpoint-compatible) would avoid?
 
 Every leg packs >= ~1s of device work per dispatch (lax.scan over reps)
 so the remote-tunnel round trip does not contaminate rates (CLAUDE.md).
@@ -242,6 +245,51 @@ def run_forward(dtype_str):
     return sec
 
 
+def run_boundary(dtype_str):
+    """concat-vs-split probe at every decoder level: conv(concat(a, b)) ==
+    conv_a(a) + conv_b(b) with the kernel split along input channels — same
+    FLOPs, same params, but the 2*ch concat activation is never written. If
+    the split form is faster standalone, the decoder concats are a real
+    (unfused) HBM cost inside the whole forward, and the rewrite is a
+    checkpoint-compatible optimization candidate."""
+    import flax.linen as nn
+    dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
+    ch, res = SF * (2 ** (DEPTH - 1)), RES // (2 ** (DEPTH - 1))
+    for _ in range(DEPTH):
+        mod = nn.Conv(ch, (3, 3), padding=1, dtype=dtype)
+        variables = jax.jit(lambda mod=mod, c=ch: mod.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, res, res, 2 * c), dtype)))()
+        kernel = variables["params"]["kernel"]
+        k_a, k_b = kernel[:, :, :ch], kernel[:, :, ch:]
+        bias = variables["params"]["bias"]
+        dn = jax.lax.conv_dimension_numbers(
+            (1, res, res, ch), (3, 3, ch, ch), ("NHWC", "HWIO", "NHWC"))
+
+        # input is a STACKED pair (2, B, r, r, ch) so the concat form really
+        # has to gather two separate operands, exactly like up+skip do
+        def fused(x, variables=variables, mod=mod):
+            return mod.apply(variables, jnp.concatenate([x[0], x[1]], -1))
+
+        def split(x, k_a=k_a, k_b=k_b, bias=bias, dn=dn):
+            ya = jax.lax.conv_general_dilated(x[0], k_a, (1, 1), "SAME",
+                                              dimension_numbers=dn)
+            yb = jax.lax.conv_general_dilated(x[1], k_b, (1, 1), "SAME",
+                                              dimension_numbers=dn)
+            return ya + yb + bias
+        flops = 2.0 * 9 * (2 * ch) * ch * res * res * B_EFF
+        for name, fn in (("fused", fused), ("split", split)):
+            sec, reps = _scan_bench(fn, (2, B_EFF, res, res, ch), flops,
+                                    dtype)
+            print(json.dumps({
+                "what": f"dec concat {res}^2 x {2*ch}->{ch} [{name}]",
+                "seconds_per_call": round(sec, 5),
+                "tflops_per_s": round(flops / sec / 1e12, 1),
+                "reps": reps,
+            }), flush=True)
+        ch //= 2
+        res *= 2
+
+
 def run_widen(dtype_str):
     """C_out sweep at the top level: rate ~ C_out means the MXU's 128-lane
     output dim binds small-channel convs; flat rate means it doesn't."""
@@ -271,9 +319,12 @@ if __name__ == "__main__":
     parser.add_argument("--ops", action="store_true")
     parser.add_argument("--widen", action="store_true")
     parser.add_argument("--forward", action="store_true")
+    parser.add_argument("--boundary", action="store_true")
     args = parser.parse_args()
     if args.widen:
         run_widen(args.dtype)
+    elif args.boundary:
+        run_boundary(args.dtype)
     elif args.forward:
         run_forward(args.dtype)
     else:
