@@ -214,8 +214,16 @@ class UNet(nn.Module):
         self.up_blocks = tuple(up_blocks)
         self.head_cbr = ConvBnRelu(self.start_filters, self.dropout, self.bn,
                                    dtype=self.dtype, name="ConvBnRelu_0")
+        # the 1x1 class conv computes in the compute dtype and casts only its
+        # nb_classes-channel OUTPUT to f32: casting its start_filters-channel
+        # INPUT instead materializes a 16x-wider f32 activation at full
+        # resolution (~7 GB extra HBM traffic per T=20 flagship forward, ~5%
+        # at the measured 635 GB/s stream — scripts/conv_stack_attribution.py
+        # names the inter-op boundaries as the forward's remaining gap).
+        # Parity-gated at 1e-3 by tests/test_bf16_parity.py; f32 models are
+        # bit-identical either way.
         self.cls_conv = nn.Conv(self.nb_classes, (1, 1),
-                                kernel_init=conv_init,
+                                kernel_init=conv_init, dtype=self.dtype,
                                 name=f"Conv_{self.depth}")
         if self.sigma_out:
             # the sigma head always computes in f32, even under a bf16 compute
@@ -265,8 +273,9 @@ class UNet(nn.Module):
 
         features = x if self.provide_features else None
         head = self.head_cbr(x, **kw)
-        # heads emit float32 logits regardless of compute dtype
-        logits = self.cls_conv(head.astype(jnp.float32))
+        # heads emit float32 logits regardless of compute dtype (cast on the
+        # narrow output, not the wide input — see setup())
+        logits = self.cls_conv(head).astype(jnp.float32)
         sigma = None
         if self.sigma_out:
             # f32 head on the (possibly bf16) trunk features — see setup()
@@ -320,6 +329,7 @@ class PostNet(nn.Module):
         for _ in range(self.nb_convs):
             x = ConvBnRelu(ch, self.dropout, kernel=1, padding=0,
                            dtype=self.dtype)(x, train=train, mc_dropout=mc_dropout)
-        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
-            x.astype(jnp.float32))
+        # same narrow-output f32 cast as UNet.cls_conv (see UNet.setup())
+        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init,
+                         dtype=self.dtype)(x).astype(jnp.float32)
         return UNetOutput(logits=logits)
