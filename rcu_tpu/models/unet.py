@@ -329,7 +329,10 @@ class PostNet(nn.Module):
         for _ in range(self.nb_convs):
             x = ConvBnRelu(ch, self.dropout, kernel=1, padding=0,
                            dtype=self.dtype)(x, train=train, mc_dropout=mc_dropout)
-        # same narrow-output f32 cast as UNet.cls_conv (see UNet.setup())
-        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init,
-                         dtype=self.dtype)(x).astype(jnp.float32)
+        # unlike UNet.cls_conv, the head stays in f32 deliberately: PostNet is
+        # a tiny T=1 net (no 7-GB cast to save), and its softmax confidence
+        # feeds the per-subject min-max rescale — the exact narrow-range
+        # mechanism that breaks the 1e-3 gate for the bf16 sigma head
+        logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
+            x.astype(jnp.float32))
         return UNetOutput(logits=logits)
