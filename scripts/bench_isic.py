@@ -294,10 +294,12 @@ def main():
     # the full program — pure run-to-run noise over the tunnel; report 0
     # (the epilogue is free within noise) instead of a nonsense negative
     epilogue = max(0.0, 100 * (1 - bf / bf_ne)) if bf and bf_ne else None
+    # same clamp for the RTT share: a sync'd leg measuring FASTER than the
+    # async leg is the same run-to-run tunnel noise
+    rtt = max(0.0, 100 * (1 - bf_sync / bf)) if bf and bf_sync else None
     print(json.dumps({
         "metric": "isic_attribution",
-        "rtt_contamination_pct":
-            round(100 * (1 - bf_sync / bf), 1) if bf and bf_sync else None,
+        "rtt_contamination_pct": round(rtt, 1) if rtt is not None else None,
         "eval_epilogue_pct":
             round(epilogue, 1) if epilogue is not None else None,
         "driver_vs_chip_pct":

@@ -54,6 +54,7 @@ BATCH, MC_T = 32, 20          # flagship MC protocol (T=20 vmap, batch 32)
 B_EFF = BATCH * MC_T          # every conv in the vmapped forward sees this
 DEPTH, SF, IN_CH, RES = 4, 32, 4, 240
 RATE_GUESS_TFLOPS = 60.0      # sizes reps for ~1s of device work per leg
+HBM_GUESS_GBPS = 600.0        # sizes reps for bandwidth ops (pool/upsample)
 TARGET_S = 0.9
 
 
@@ -91,7 +92,7 @@ def _scan_bench(apply_fn, x_shape, flops_per_call, dtype, needs_rng=False):
     lax.scan whose per-iteration input is perturbed by a traced scalar
     (prevents XLA from hoisting the loop-invariant op out of the scan even
     when the op changes shape)."""
-    reps = int(max(4, min(512, round(
+    reps = int(max(4, min(4096, round(
         TARGET_S * RATE_GUESS_TFLOPS * 1e12 / max(flops_per_call, 1.0)))))
     x0 = _device_input(x_shape, dtype)
     salts = jnp.zeros((reps,), dtype)
@@ -180,12 +181,16 @@ def run_ops(dtype_str):
             flops = 0.0
         else:  # up
             from rcu_tpu.models.unet import _upsample_nearest_2x as apply_fn
-        sec, reps = _scan_bench(apply_fn, x_shape, flops or
-                                RATE_GUESS_TFLOPS * 1e12 * 0.02, dtype)
         itemsize = 2 if dtype_str == "bfloat16" else 4
         moved_gb = (np.prod(x_shape) * itemsize *
                     (1 + (0.25 if kind == "pool" else 4 if kind == "up" else 1)
                      * out_ch / in_ch)) / 1e9
+        # bandwidth ops: size reps from bytes moved at a stream-rate guess so
+        # the deep (small) levels still pack ~1 s per dispatch; a fixed rep
+        # count left them RTT-contaminated on the remote tunnel
+        est_flops = flops or (moved_gb / HBM_GUESS_GBPS *
+                              RATE_GUESS_TFLOPS * 1e12)
+        sec, reps = _scan_bench(apply_fn, x_shape, est_flops, dtype)
         row = {"op": name, "kind": kind, "seconds_per_call": round(sec, 5),
                "reps": reps}
         if flops:
@@ -259,9 +264,11 @@ def run_boundary(dtype_str):
         mod = nn.Conv(ch, (3, 3), padding=1, dtype=dtype)
         variables = jax.jit(lambda mod=mod, c=ch: mod.init(
             jax.random.PRNGKey(0), jnp.zeros((1, res, res, 2 * c), dtype)))()
-        kernel = variables["params"]["kernel"]
+        # raw lax.conv does not promote dtypes (flax casts for the fused
+        # leg); cast the split kernels/bias to the bench dtype explicitly
+        kernel = variables["params"]["kernel"].astype(dtype)
         k_a, k_b = kernel[:, :, :ch], kernel[:, :, ch:]
-        bias = variables["params"]["bias"]
+        bias = variables["params"]["bias"].astype(dtype)
         dn = jax.lax.conv_dimension_numbers(
             (1, res, res, ch), (3, 3, ch, ch), ("NHWC", "HWIO", "NHWC"))
 
