@@ -31,7 +31,7 @@ if BIN_DIR not in sys.path:
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
          throughput=False, unmasked=False, strategy=None, mc=None,
-         dtype=None, eval_tree=False):
+         dtype=None, eval_tree=False, dispatch_chunks=4):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -43,7 +43,8 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
     eces = evaluate_direct(config, out_dir, run_id=run_id, mesh=mesh,
                            subject_parallel=throughput, masked=not unmasked,
                            strategy=strategy, mc=mc, dtype=dtype,
-                           layout="eval_tree" if eval_tree else "flat")
+                           layout="eval_tree" if eval_tree else "flat",
+                           dispatch_chunks=dispatch_chunks)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -79,6 +80,10 @@ if __name__ == "__main__":
     parser.add_argument("-unmasked", action="store_true",
                         help="skip the BraTS t2>0 foreground mask (the ISIC "
                              "convention)")
+    parser.add_argument("-dispatch_chunks", type=int, default=4,
+                        help="native-2D only: K-image chunks scanned per "
+                             "dispatch (round-trip amortization on remote "
+                             "links; the MC stream is invariant to this)")
     parser.add_argument("-eval_tree", action="store_true",
                         help="write the staged eval-dir layout "
                              "(calibration/ ece*/ uncertainty/ minmax/ "
@@ -87,4 +92,4 @@ if __name__ == "__main__":
     args = parser.parse_args()
     main(args.config_file, args.run_id, args.out_dir, args.devices,
          args.throughput, args.unmasked, args.strategy, args.mc, args.dtype,
-         args.eval_tree)
+         args.eval_tree, args.dispatch_chunks)

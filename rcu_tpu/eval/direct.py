@@ -712,6 +712,29 @@ def _host_fold_keys(seed: int, n: int) -> np.ndarray:
             jnp.arange(n, dtype=jnp.uint32)))
 
 
+def _host_chunk_keys(seed: int, indices) -> np.ndarray:
+    """Final per-chunk MC keys ``fold_in(fold_in(PRNGKey(seed), i), 0)`` for
+    an array of global image offsets ``i`` — both folds happen on the host
+    CPU backend (threefry is backend-invariant, pinned by
+    tests/test_direct_misc.py). The historical schedule staged
+    ``fold_in(PRNGKey(seed), chunk_offset)`` and let the program fold once
+    more with the chunk's position in its dispatch; deriving the second fold
+    from the GLOBAL offset instead makes the sampled MC stream invariant to
+    ``dispatch_chunks`` grouping (bit-identical to the historical
+    one-chunk-per-dispatch stream on homogeneous-shape stores — the ISIC
+    protocol's case)."""
+    import contextlib
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        rng = jax.random.PRNGKey(seed)
+        return np.asarray(jax.vmap(
+            lambda i: jax.random.fold_in(jax.random.fold_in(rng, i), 0))(
+            jnp.asarray(indices, dtype=jnp.uint32)))
+
+
 def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int,
            lookahead: int = 1):
     """Shared async driver for both direct-eval paths: load-ahead
@@ -842,11 +865,16 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
 
     def load_chunk(ci, group):
         """-> list of same-shape parts
-        [(subjects, images, targets, masks, baselines)]. Padded entries are
-        dropped host-side (only real subjects appear in ``subjects``)."""
+        [(subjects, staged_arrays, chunk_keys_or_None)]. Padded entries are
+        dropped host-side (only real subjects appear in ``subjects``). Each
+        mc/deterministic part carries its ``(n_chunks, 2)`` per-chunk key
+        array, derived from the chunks' GLOBAL padded image offsets
+        (group start + within-group offset) — the MC stream therefore does
+        not depend on how chunks are grouped into dispatches."""
         quads = [(s, *load_image(s)) for s in group]
         parts = []
         start = 0
+        off = 0  # padded image offset within the group
         for i in range(1, len(quads) + 1):
             if i == len(quads) or quads[i][1].shape != quads[start][1].shape:
                 same = quads[start:i]
@@ -857,30 +885,41 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                 }
                 if needs_baseline:
                     arrays["baselines"] = np.stack([t[4] for t in same])
-                pad = _pad_len(len(same), i == len(quads)) - len(same)
+                padded = _pad_len(len(same), i == len(quads))
+                pad = padded - len(same)
                 if pad:
                     for key, arr in arrays.items():
                         filler = np.ones if key == "masks" else np.zeros
                         arrays[key] = np.concatenate(
                             [arr, filler((pad,) + arr.shape[1:], arr.dtype)])
+                chunk_keys = None
+                if needs_rng:
+                    m = max(1, padded // chunk_size)
+                    chunk_keys = _host_chunk_keys(
+                        seed, group_starts[ci] + off +
+                        chunk_size * np.arange(m))
                 parts.append(([t[0] for t in same],
-                              _stage_part(ci, len(parts), arrays)))
+                              _stage_part(ci, len(parts), arrays),
+                              chunk_keys))
+                off += padded
                 start = i
         return parts
 
     # mc/deterministic groups span ``dispatch_chunks`` chunks: the scanning
     # program runs the whole super-group in ONE dispatch (same device work,
     # 1/dispatch_chunks the round trips); other strategies' programs have no
-    # scan axis, so they keep one-chunk groups
+    # scan axis, so they keep one-chunk groups. The tail that doesn't fill a
+    # full span splits into ONE-chunk groups: they reuse the universal
+    # n_chunks=1 program (shared with every dispatch_chunks config and the
+    # persistent compile cache) instead of compiling a tail-sized scan
+    # program (a 20-300 s cold remote compile for a few saved round trips).
     group_span = chunk_size * max(1, int(dispatch_chunks)) if needs_rng \
         else chunk_size
-    groups = [names[i:i + group_span]
-              for i in range(0, len(names), group_span)]
-    # key index is ci * group_span + pi with pi < parts-per-group <= group
-    # size, so len(groups) * group_span rows cover every dispatch (the
-    # scanning program folds each base key once more per chunk)
-    keys = _host_fold_keys(seed, len(groups) * group_span) if needs_rng \
-        else None
+    n_full = (len(names) // group_span) * group_span
+    group_starts = list(range(0, n_full, group_span)) + \
+        list(range(n_full, len(names), chunk_size))
+    groups = [names[s:s + (group_span if s < n_full else chunk_size)]
+              for s in group_starts]
 
     # thresholds are identical for every dispatch: stage once per target
     # (the dispatch thread otherwise re-uploads the numpy array per chunk)
@@ -911,7 +950,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
 
     def dispatch(ci, group, parts, extra=()):
         outs = []
-        for pi, (subjects, arrays) in enumerate(parts):
+        for pi, (subjects, arrays, chunk_keys) in enumerate(parts):
             args = part_args(arrays, _th(ci, pi)) + tuple(extra)
             prog = fn
             if needs_rng:
@@ -919,7 +958,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                 # (n_chunks=1, smaller batch) — see _pad_len
                 prog = _fn_for(max(1, arrays["images"].shape[0]
                                // chunk_size))
-                args = args + (keys[ci * group_span + pi],)
+                args = args + (chunk_keys,)
             outs.append((subjects, _dispatch_part(ci, pi, prog, args)))
         return outs
 
@@ -952,7 +991,7 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
         # pass A: per-image sigma bounds -> the run's global rescale range
         def minmax_dispatch(ci, group, parts):
             outs = []
-            for pi, (subjects, arrays) in enumerate(parts):
+            for pi, (subjects, arrays, _keys) in enumerate(parts):
                 outs.append((subjects, _dispatch_part(
                     ci, pi, minmax_fn, (arrays["images"],))))
             return outs

@@ -49,14 +49,23 @@ def _mc_scan(model, mc_steps, params, batch_stats, batched, rng):
     (n_batches, batch, H, W). ``mc_steps=0`` is the deterministic protocol
     (baseline/center runs without ``others.mc``): the single weight-scaling
     forward IS the probability map, exactly as the staged
-    SegmentationPredictStep writes it."""
+    SegmentationPredictStep writes it.
+
+    ``rng`` is either a single ``(2,)`` key — batch ``i`` samples with
+    ``fold_in(rng, i)``, the volume path's schedule — or an explicit
+    ``(n_batches, 2)`` per-batch key array (the chunked 2-D driver passes
+    keys derived from each chunk's GLOBAL image offset, making the MC
+    stream invariant to how chunks are grouped into dispatches)."""
     variables = {"params": params, "batch_stats": batch_stats}
 
     from rcu_tpu.engine.steps import mc_forward
 
+    per_batch_keys = getattr(rng, "ndim", 1) == 2
+
     def one_batch(_, inp):
         images, batch_index = inp
-        key = jax.random.fold_in(rng, batch_index)
+        key = rng[batch_index] if per_batch_keys \
+            else jax.random.fold_in(rng, batch_index)
 
         # weight-scaling forward (the reference protocol's 21st forward,
         # customsteps.py:23-25; kept so the workload stays comparable)
@@ -295,11 +304,14 @@ def make_image_batch_mc_eval_fn(model, mc_steps: int, mesh=None,
     correction entries (K, n_thresholds).
 
     ``n_chunks > 1`` scans that many K-image chunks inside the SAME dispatch
-    (images become [n_chunks*K, ...]; chunk ``i`` samples with
-    ``fold_in(rng, i)``, the volume program's per-step schedule) — the
-    dispatch-amortization lever for the remote-TPU link, where a single
-    K=32 chunk is ~0.2 s of device work and the per-dispatch round trip
-    would otherwise dominate (see scripts/bench_isic.py). ``n_chunks=1`` is
+    (images become [n_chunks*K, ...]) — the dispatch-amortization lever for
+    the remote-TPU link, where a single K=32 chunk is ~0.2 s of device work
+    and the per-dispatch round trip would otherwise dominate (see
+    scripts/bench_isic.py). ``rng`` may be a single ``(2,)`` key (chunk
+    ``i`` samples with ``fold_in(rng, i)`` — the serving path) or an
+    ``(n_chunks, 2)`` per-chunk key array (the direct driver passes
+    global-offset-derived keys so the MC stream does not depend on
+    ``dispatch_chunks`` grouping). ``n_chunks=1`` with a single key is
     bit-identical to the historical single-chunk program.
     """
 

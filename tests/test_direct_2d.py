@@ -244,18 +244,24 @@ class TestDirect2dMatchesVolumePath:
                         dispatch_chunks=3)
         assert_dirs_equal(a, b)
 
-    def test_dispatch_chunks_mc_smoke(self, env, tmp_path):
-        """The MC protocol under a multi-chunk scan: per-chunk keys fold
-        inside the program (schedule differs from per-chunk dispatch by
-        design), every subject still gets a finite ECE row."""
+    def test_dispatch_chunks_mc_invariance(self, env, tmp_path):
+        """The MC protocol is dispatch-grouping-invariant: every chunk's
+        keys derive from its GLOBAL image offset (_host_chunk_keys), so
+        grouping G chunks into one scanned dispatch samples the exact same
+        MC stream as one-chunk dispatches — CSVs must be equal, not just
+        finite."""
         cfg = base_test_cfg(env["tmp"], env["flat"], env["test_split"],
                             env["baseline"].model_files.model_dir,
                             name="dchunks_mc")
         cfg.test_data.batch_size = 2
-        eces = evaluate_direct(cfg, str(tmp_path / "mc_g"), run_id="mc",
-                               mc=3, masked=False, dispatch_chunks=2)
+        a, b = str(tmp_path / "mc_g1"), str(tmp_path / "mc_g2")
+        eces = evaluate_direct(cfg, a, run_id="mc", mc=3, masked=False,
+                               dispatch_chunks=1)
+        evaluate_direct(cfg, b, run_id="mc", mc=3, masked=False,
+                        dispatch_chunks=2)
         assert set(eces) == set(TEST_SUBJECTS)
         assert all(np.isfinite(v) for v in eces.values())
+        assert_dirs_equal(a, b)
 
     def test_heterogeneous_chunks_under_latency_mesh(self, env, tmp_path):
         """ADVICE r2 (medium): a MID-chunk same-shape part whose length does

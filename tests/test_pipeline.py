@@ -219,6 +219,18 @@ class TestImageBatchProgram:
             np.asarray(multi["correction"]["tp"])[:K],
             np.asarray(single["correction"]["tp"]))
 
+        # explicit (n_chunks, 2) per-chunk keys: rngs[i] replaces
+        # fold_in(rng, i), so stacking the folds reproduces the single-key
+        # program bitwise (the direct driver's dispatch-invariant form)
+        stacked_keys = np.stack(
+            [np.asarray(jax.random.fold_in(key, i)) for i in range(G)])
+        explicit = pipeline.make_image_batch_mc_eval_fn(model, MC_T,
+                                                        n_chunks=G)(
+            state.params, state.batch_stats, images, targets, masks,
+            THRESHOLDS, stacked_keys)
+        np.testing.assert_array_equal(np.asarray(multi["ece"]),
+                                      np.asarray(explicit["ece"]))
+
         det_multi = pipeline.make_image_batch_mc_eval_fn(model, 0, n_chunks=G)(
             state.params, state.batch_stats, images, targets, masks,
             THRESHOLDS, key)
