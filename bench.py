@@ -281,5 +281,30 @@ def main():
     }))
 
 
+def _wait_for_backend(budget_s: float) -> None:
+    """Bounded wait for the (remote) TPU backend: the tunnel to the chip has
+    measured multi-minute full outages (backend init raises UNAVAILABLE),
+    and the driver runs this bench unattended at round end — a transient
+    outage should delay the measurement, not lose it. Re-raises the last
+    init error once the budget is spent."""
+    deadline = time.time() + budget_s
+    while True:
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if time.time() >= deadline:
+                raise
+            print(f"# TPU backend unavailable ({e}); retrying for another "
+                  f"{deadline - time.time():.0f}s", file=sys.stderr)
+            try:
+                from jax.extend import backend as _jax_backend
+                _jax_backend.clear_backends()
+            except Exception:
+                pass
+            time.sleep(60)
+
+
 if __name__ == "__main__":
+    _wait_for_backend(float(os.environ.get("BENCH_BACKEND_WAIT_S", "1200")))
     main()
