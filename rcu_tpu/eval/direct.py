@@ -334,7 +334,13 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     transform pipeline is applied per item, exactly as the staged loader
     would.
     """
-    mc = int(config.others.get("mc") or 20) if mc is None else int(mc)
+    if mc is None:
+        # honor an explicit others.mc == 0 (the deterministic protocol) —
+        # `get("mc") or 20` would silently run 20 MC samples for it
+        cfg_mc = config.others.get("mc")
+        mc = 20 if cfg_mc is None else int(cfg_mc)
+    else:
+        mc = int(mc)
     subjects = None
     if config.split:
         from rcu_tpu.data.split import load_split
@@ -354,9 +360,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     if strategy == "mc" and mc == 0:
         strategy = "deterministic"
 
-    first_vol = np.asarray(dataset.read_volume(dataset.subjects[0], "images"))
-    is_2d = first_vol.ndim == 3  # (H, W, C) — no slice axis (ISIC)
-    h, w, in_ch = first_vol.shape[-3:]
+    # shape probe, not a read_volume: a whole-volume decode (~57 MB for
+    # BraTS) just for ndim/shape would cost a full H5 read per run — the
+    # same economy _detect_strategy applies
+    vol_shape = tuple(dataset.shape(dataset.subjects[0], "images"))
+    is_2d = len(vol_shape) == 3  # (H, W, C) — no slice axis (ISIC)
+    h, w, in_ch = vol_shape[-3:]
     batch_size = config.test_data.batch_size
     n_data_shards = 1
     if mesh is not None and not subject_parallel:
@@ -386,6 +395,11 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                 "(others): auxiliary_feat needs others.model_dir pointing at "
                 "the trained frozen-segmenter dir and others.test_at naming "
                 "its checkpoint")
+        if not config.model_dir:
+            raise ValueError(
+                "auxiliary_feat needs config.model_dir pointing at the "
+                "trained confidence net (PostNet) dir — others.model_dir "
+                "names only the frozen segmenter")
         segm_model, segm_params, segm_stats = _load_model_state(
             config.others["model_dir"], config.others["test_at"], input_shape,
             provide_features=True, dtype=dtype)
@@ -495,22 +509,29 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         def _stage(si, arr, data_axis=False):
             return jax.device_put(arr)
 
-    def load_subject(si, subject):
+    def load_subject(si, subject, images_only=False):
+        """``images_only`` serves the aleatoric minmax pass (A), whose
+        program consumes nothing but the batched volume: it skips the
+        labels H5 read, the raw-NIfTI foreground mask, and the
+        target/mask/baseline uploads (~2x H*W*Z wasted bytes over an
+        H2D-bound link otherwise)."""
         volume = np.asarray(dataset.read_volume(subject, "images"), np.float32)
-        labels = np.asarray(dataset.read_volume(subject, "labels"))
+        labels = None if images_only \
+            else np.asarray(dataset.read_volume(subject, "labels"))
         if transform is not None:
             # the staged loader applies transforms per slice item (H,W,C),
             # so spatial transforms (e.g. size) must see slices here too —
             # a whole-volume call would treat Z as the first spatial axis
-            outs = [transform({"images": volume[z], "labels": labels[z]})
+            dummy = np.zeros(volume.shape[1:3], np.uint8)
+            outs = [transform({"images": volume[z],
+                               "labels": dummy if images_only
+                               else labels[z]})
                     for z in range(volume.shape[0])]
             volume = np.stack(
                 [np.asarray(o["images"], np.float32) for o in outs])
-            labels = np.stack([np.asarray(o["labels"]) for o in outs])
+            if not images_only:
+                labels = np.stack([np.asarray(o["labels"]) for o in outs])
         volume = volume.astype(input_dtype, copy=False)
-        target, baseline = _split_labels(labels)
-        mask = foreground_mask(subject, target.shape) if masked \
-            else np.ones(target.shape, bool)
         nz = volume.shape[0]
         pad = (-nz) % batch_size
 
@@ -521,6 +542,11 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             return arr.reshape((-1, batch_size) + arr.shape[1:])
 
         batched = _stage(si, _batched(volume), data_axis=True)
+        if images_only:
+            return (batched, None, None, None, nz)
+        target, baseline = _split_labels(labels)
+        mask = foreground_mask(subject, target.shape) if masked \
+            else np.ones(target.shape, bool)
         batched_baseline = _stage(si, _batched(baseline), data_axis=True) \
             if baseline is not None else None
         return (batched, batched_baseline, _stage(si, target),
@@ -540,9 +566,6 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                        masked=masked)
     eces = {}
     names = list(dataset.subjects)  # non-empty: guarded at dataset build
-    window = 2 * len(devices) if devices else 2  # depth-2 pipeline:
-    # overlap the next item's staged upload with the current
-    # dispatch's device work and round trips
     lookahead = pool_workers + 2
 
     if is_2d:
@@ -554,6 +577,9 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
             sinks, eces, lookahead, input_dtype, dispatch_chunks)
 
     # ------------------------------------------------- fused volume programs
+    window = 2 * len(devices) if devices else 2  # depth-2 pipeline:
+    # overlap the next item's staged upload with the current dispatch's
+    # device work and round trips (the 2-D path computes its own)
     needs_rng = strategy in ("mc", "deterministic")
     keys = _host_fold_keys(config.seed, len(names)) if needs_rng else None
 
@@ -589,10 +615,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
     caches = {"main": {}, "minmax": {}}
 
-    def _fn(kind, factory, key):
-        if key not in caches[kind]:
-            caches[kind][key] = factory(key[0])
-        return caches[kind][key]
+    def _fn(kind, factory, nz):
+        # one compiled program per true slice count (the padded batch count
+        # is ceil(nz/batch_size), derived — not a separate cache dimension)
+        if nz not in caches[kind]:
+            caches[kind][nz] = factory(nz)
+        return caches[kind][nz]
 
     def _device_args(si, arrays):
         if not devices:
@@ -629,15 +657,16 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                      lambda nz_: pl.make_volume_sigma_minmax_fn(
                          model, batch_size, nz_, is_log_sigma,
                          mesh=program_mesh),
-                     (nz, batched.shape[0]))
+                     nz)
             return fn(*_device_args(si, (batched,)))
 
         def minmax_fetch(subject, out, t0):
-            mn, mx = out
+            mn, mx = jax.device_get(out)  # one coalesced D2H (see fetch)
             sinks.add_bounds(mn, mx)
 
-        _drive(pool, names, load_subject, minmax_dispatch, minmax_fetch,
-               window, lookahead)
+        _drive(pool, names,
+               lambda si, s: load_subject(si, s, images_only=True),
+               minmax_dispatch, minmax_fetch, window, lookahead)
         gmin, gmax = _global_bounds(sinks.bounds, "sigma")
         logging.info("direct aleatoric: global sigma range [%.6f, %.6f]",
                      gmin, gmax)
@@ -655,7 +684,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
         def al_dispatch(si, subject, loaded):
             batched, _bb, target, mask, nz = loaded
-            fn = _fn("main", volume_factory, (nz, batched.shape[0]))
+            fn = _fn("main", volume_factory, nz)
             return fn(*_device_args(si, (batched, target, mask, _th(si))),
                       *_g(si))
 
@@ -667,7 +696,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
     def dispatch(si, subject, loaded):
         nz = loaded[4]
-        fn = _fn("main", volume_factory, (nz, loaded[0].shape[0]))
+        fn = _fn("main", volume_factory, nz)
         args = _device_args(si, data_args(si, loaded))
         if needs_rng:
             return fn(*args, keys[si])
@@ -691,13 +720,21 @@ def _stage_per_device(value, devices):
 
 
 def _host_fold_keys(seed: int, n: int) -> np.ndarray:
-    """``fold_in(PRNGKey(seed), i)`` for ``i in range(n)``, computed on the
-    host CPU backend in one vmap — threefry bits are backend-invariant
-    (asserted equal to the per-index device fold_in), and a per-dispatch
-    ``fold_in`` on the default device is a tiny device program whose round
-    trip costs more than the dispatch itself over a remote-TPU link. Old
-    style PRNG keys are plain uint32 ``(2,)`` rows, so the np slice feeds
-    the jitted programs unchanged."""
+    """``fold_in(PRNGKey(seed), i)`` for ``i in range(n)`` (one host-CPU
+    vmap; see :func:`_host_keys`)."""
+    return _host_keys(seed, np.arange(n))
+
+
+def _host_keys(seed: int, indices: np.ndarray,
+               extra_fold: int | None = None) -> np.ndarray:
+    """``fold_in(PRNGKey(seed), i)`` rows for ``indices`` — optionally
+    folded once more with ``extra_fold`` — computed on the host CPU backend
+    in one vmap: threefry bits are backend-invariant (asserted equal to the
+    per-index device fold_in by tests/test_direct_misc.py), and a
+    per-dispatch ``fold_in`` on the default device is a tiny device program
+    whose round trip costs more than the dispatch itself over a remote-TPU
+    link. Old-style PRNG keys are plain uint32 ``(2,)`` rows, so the np
+    slice feeds the jitted programs unchanged."""
     import contextlib
     try:
         ctx = jax.default_device(jax.devices("cpu")[0])
@@ -708,31 +745,28 @@ def _host_fold_keys(seed: int, n: int) -> np.ndarray:
         ctx = contextlib.nullcontext()
     with ctx:
         rng = jax.random.PRNGKey(seed)
-        return np.asarray(jax.vmap(lambda i: jax.random.fold_in(rng, i))(
-            jnp.arange(n, dtype=jnp.uint32)))
+
+        def one(i):
+            key = jax.random.fold_in(rng, i)
+            if extra_fold is not None:
+                key = jax.random.fold_in(key, extra_fold)
+            return key
+
+        return np.asarray(jax.vmap(one)(
+            jnp.asarray(indices, dtype=jnp.uint32)))
 
 
 def _host_chunk_keys(seed: int, indices) -> np.ndarray:
     """Final per-chunk MC keys ``fold_in(fold_in(PRNGKey(seed), i), 0)`` for
-    an array of global image offsets ``i`` — both folds happen on the host
-    CPU backend (threefry is backend-invariant, pinned by
-    tests/test_direct_misc.py). The historical schedule staged
+    an array of global image offsets ``i`` (one vmap on the host CPU
+    backend, like :func:`_host_fold_keys`). The historical schedule staged
     ``fold_in(PRNGKey(seed), chunk_offset)`` and let the program fold once
     more with the chunk's position in its dispatch; deriving the second fold
     from the GLOBAL offset instead makes the sampled MC stream invariant to
     ``dispatch_chunks`` grouping (bit-identical to the historical
     one-chunk-per-dispatch stream on homogeneous-shape stores — the ISIC
     protocol's case)."""
-    import contextlib
-    try:
-        ctx = jax.default_device(jax.devices("cpu")[0])
-    except RuntimeError:
-        ctx = contextlib.nullcontext()
-    with ctx:
-        rng = jax.random.PRNGKey(seed)
-        return np.asarray(jax.vmap(
-            lambda i: jax.random.fold_in(jax.random.fold_in(rng, i), 0))(
-            jnp.asarray(indices, dtype=jnp.uint32)))
+    return _host_keys(seed, np.asarray(indices), extra_fold=0)
 
 
 def _drive(pool, items, load_fn, dispatch_fn, fetch_fn, window: int,
@@ -815,9 +849,13 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
         model, is_log_sigma, mesh=mesh) if aleatoric else None
     needs_rng = strategy in ("mc", "deterministic")
 
-    def load_image(subject):
+    def load_image(subject, images_only=False):
+        """``images_only``: the aleatoric minmax pass consumes nothing but
+        the images — skip the labels/mask reads and their uploads (the
+        volume path's load_subject has the same fast path)."""
         image = np.asarray(dataset.read_volume(subject, "images"), np.float32)
-        labels = np.asarray(dataset.read_volume(subject, "labels"))
+        labels = np.zeros(image.shape[:2], np.uint8) if images_only \
+            else np.asarray(dataset.read_volume(subject, "labels"))
         if transform is not None:
             out_t = transform({"images": image, "labels": labels})
             image = np.asarray(out_t["images"], np.float32)
@@ -826,6 +864,8 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
         # tunnel H2D bytes under a bf16 compute dtype, bit-identical to the
         # model's own x.astype(dtype) first op
         image = image.astype(input_dtype, copy=False)
+        if images_only:
+            return image, None, None, None
         target, baseline = split_labels(labels)
         mask = foreground_mask(subject, target.shape) if masked \
             else np.ones(target.shape, bool)
@@ -863,27 +903,26 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                     for k, v in arrays.items()}
         return {k: jax.device_put(v) for k, v in arrays.items()}
 
-    def load_chunk(ci, group):
+    def load_chunk(ci, group, images_only=False):
         """-> list of same-shape parts
         [(subjects, staged_arrays, chunk_keys_or_None)]. Padded entries are
         dropped host-side (only real subjects appear in ``subjects``). Each
         mc/deterministic part carries its ``(n_chunks, 2)`` per-chunk key
-        array, derived from the chunks' GLOBAL padded image offsets
-        (group start + within-group offset) — the MC stream therefore does
-        not depend on how chunks are grouped into dispatches."""
-        quads = [(s, *load_image(s)) for s in group]
+        array, derived from the chunks' GLOBAL unpadded image offsets
+        (group start + within-group part start) — the MC stream therefore
+        does not depend on how chunks are grouped into dispatches."""
+        quads = [(s, *load_image(s, images_only=images_only))
+                 for s in group]
         parts = []
         start = 0
-        off = 0  # padded image offset within the group
         for i in range(1, len(quads) + 1):
             if i == len(quads) or quads[i][1].shape != quads[start][1].shape:
                 same = quads[start:i]
-                arrays = {
-                    "images": np.stack([t[1] for t in same]),
-                    "targets": np.stack([t[2] for t in same]),
-                    "masks": np.stack([t[3] for t in same]),
-                }
-                if needs_baseline:
+                arrays = {"images": np.stack([t[1] for t in same])}
+                if not images_only:
+                    arrays["targets"] = np.stack([t[2] for t in same])
+                    arrays["masks"] = np.stack([t[3] for t in same])
+                if needs_baseline and not images_only:
                     arrays["baselines"] = np.stack([t[4] for t in same])
                 padded = _pad_len(len(same), i == len(quads))
                 pad = padded - len(same)
@@ -894,14 +933,20 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                             [arr, filler((pad,) + arr.shape[1:], arr.dtype)])
                 chunk_keys = None
                 if needs_rng:
+                    # key offsets derive from the part's UNPADDED start in
+                    # the run's image order: chunk j of a part with real
+                    # length n sits at start+j*K with (m-1)*K < n, so every
+                    # chunk's offset is globally unique (padded offsets can
+                    # overrun the group span and collide with the next
+                    # group's keys, correlating supposedly independent MC
+                    # dropout masks)
                     m = max(1, padded // chunk_size)
                     chunk_keys = _host_chunk_keys(
-                        seed, group_starts[ci] + off +
+                        seed, group_starts[ci] + start +
                         chunk_size * np.arange(m))
                 parts.append(([t[0] for t in same],
                               _stage_part(ci, len(parts), arrays),
                               chunk_keys))
-                off += padded
                 start = i
         return parts
 
@@ -1002,8 +1047,9 @@ def _evaluate_direct_2d(strategy, model, segm_model, state, is_log_sigma,
                 for i in range(len(subjects)):  # padded tails never counted
                     sinks.add_bounds(mn[i], mx[i])
 
-        _drive(pool, groups, load_chunk, minmax_dispatch, minmax_fetch,
-               window, lookahead)
+        _drive(pool, groups,
+               lambda ci, g: load_chunk(ci, g, images_only=True),
+               minmax_dispatch, minmax_fetch, window, lookahead)
         gmin, gmax = _global_bounds(sinks.bounds, "sigma")
         logging.info("direct 2d aleatoric: global sigma range [%.6f, %.6f]",
                      gmin, gmax)

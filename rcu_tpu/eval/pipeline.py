@@ -176,9 +176,9 @@ def make_volume_mc_fn(model, mc_steps: int, batch_size: int,
     def run(params, batch_stats, batched, rng):
         fg, ent, ws_fg = _mc_scan(model, mc_steps, params, batch_stats,
                                   batched, rng)
-        fg = fg.reshape((-1,) + fg.shape[2:])[:vol_slices]
-        ent = ent.reshape((-1,) + ent.shape[2:])[:vol_slices] / jnp.log(2.0)
-        ws_fg = ws_fg.reshape((-1,) + ws_fg.shape[2:])[:vol_slices]
+        fg = _trim(fg, vol_slices)
+        ent = _trim(ent, vol_slices) / jnp.log(2.0)
+        ws_fg = _trim(ws_fg, vol_slices)
         return {"fg": fg, "entropy": ent, "ws_fg": ws_fg,
                 "prediction": fg > 0.5}
 

@@ -244,6 +244,20 @@ class TestDirect2dMatchesVolumePath:
                         dispatch_chunks=3)
         assert_dirs_equal(a, b)
 
+    def test_config_mc_zero_means_deterministic(self, env, tmp_path):
+        """An explicit ``others: {mc: 0}`` in the CONFIG must select the
+        deterministic protocol exactly like the ``mc=0`` kwarg — a falsy-zero
+        `.get("mc") or 20` would silently run 20 MC samples under the same
+        result id."""
+        cfg = base_test_cfg(env["tmp"], env["flat"], env["test_split"],
+                            env["baseline"].model_files.model_dir,
+                            others={"mc": 0}, name="mc0cfg")
+        cfg.test_data.batch_size = 2
+        a, b = str(tmp_path / "cfg0"), str(tmp_path / "kwarg0")
+        evaluate_direct(cfg, a, run_id="baseline", masked=False)
+        evaluate_direct(cfg, b, run_id="baseline", mc=0, masked=False)
+        assert_dirs_equal(a, b)
+
     def test_dispatch_chunks_mc_invariance(self, env, tmp_path):
         """The MC protocol is dispatch-grouping-invariant: every chunk's
         keys derive from its GLOBAL image offset (_host_chunk_keys), so
