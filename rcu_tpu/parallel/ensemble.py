@@ -166,6 +166,17 @@ def train_ensemble_fused(configs, mesh: Mesh = None):
     for cfg in configs[1:]:
         if cfg.model.params != first.model.params:
             raise ValueError("fused ensemble members must share the model config")
+        # the fused step uses the FIRST config's optimizer/epochs for every
+        # member; a silently-ignored difference would write per-member
+        # config.yamls claiming hyperparameters that were never used
+        if (cfg.optimizer.type, cfg.optimizer.params) != \
+                (first.optimizer.type, first.optimizer.params):
+            raise ValueError("fused ensemble members must share the "
+                             "optimizer config (train divergent members as "
+                             "separate runs)")
+        if cfg.epochs != first.epochs:
+            raise ValueError("fused ensemble members must share epochs; got "
+                             f"{cfg.epochs} vs {first.epochs}")
     names = [(cfg.train_dir, cfg.train_name) for cfg in configs]
     if len(set(names)) != len(names):
         # all members are created within the same second, so the run id does
@@ -275,7 +286,6 @@ def train_ensemble_fused(configs, mesh: Mesh = None):
 def _validate_member(model, predict, state, valid_data):
     """Mean subject dice of one member over its valid loader."""
     from rcu_tpu.data.assembler import Subject2dAssembler, SubjectAssembler
-    from rcu_tpu.data.indexing import SliceIndexing
     from rcu_tpu.engine import databuild
     from rcu_tpu.ops import metrics as metrics_lib
 

@@ -85,5 +85,9 @@ def shard_train_step(train_step_fn, mesh: Mesh, donate: bool = True):
 
 
 def pad_batch_size_to_mesh(batch_size: int, mesh: Mesh) -> int:
-    n = mesh.devices.size
+    """Round ``batch_size`` up to the mesh's DATA-axis extent — batches shard
+    with ``P('data', ...)``-style specs, so only that axis must divide them.
+    Padding to the total device count would inflate small batches by the
+    model-axis factor on a 2-D ensemble mesh for nothing."""
+    n = dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
     return -(-batch_size // n) * n

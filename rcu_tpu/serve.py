@@ -388,6 +388,12 @@ class VolumeInferenceService:
                              f"shape {volume.shape}")
         if volume.size == 0:
             raise ValueError(f"images array is empty: shape {volume.shape}")
+        if volume.shape[-1] != self.in_channels:
+            # client error, not a server fault: fail before the jitted
+            # forward turns it into an opaque 500
+            raise ValueError(
+                f"images have {volume.shape[-1]} channels but the served "
+                f"checkpoint expects {self.in_channels}")
         nz = volume.shape[0]
         batch = self._effective_batch(nz)
         pad = (-nz) % batch
@@ -456,6 +462,10 @@ class VolumeInferenceService:
                              f"shape {images.shape}")
         if images.size == 0:
             raise ValueError(f"images array is empty: shape {images.shape}")
+        if images.shape[-1] != self.in_channels:
+            raise ValueError(
+                f"images have {images.shape[-1]} channels but the served "
+                f"checkpoint expects {self.in_channels}")
         k = images.shape[0]
         want = (k,) + images.shape[1:3]
         target, m = self._scored_arrays(target, mask, want)
@@ -488,7 +498,7 @@ class VolumeInferenceService:
                 return fn(*args, *sigma_bounds)
             return fn(*args)
 
-        out = self._dispatch_pooled(run)
+        out = jax.device_get(self._dispatch_pooled(run))  # one coalesced D2H
         result = {"ece": np.asarray(out["ece"], np.float32)[:k],
                   "dice": np.asarray(out["dice"], np.float32)[:k]}
         for key, value in out["correction"].items():
@@ -496,6 +506,10 @@ class VolumeInferenceService:
         return result
 
     def _host_result(self, out, nz, scored, sigma_bounds):
+        # ONE coalesced D2H for the whole output tree: per-leaf np.asarray
+        # costs a round trip per artifact (~10 per scored request) over a
+        # remote-TPU link (same convention as eval/direct.py's fetch)
+        out = jax.device_get(out)
         if self.strategy in ("auxiliary_feat", "auxiliary_segm"):
             result = {
                 "prediction": np.asarray(out["prediction"])[:nz]
@@ -503,13 +517,11 @@ class VolumeInferenceService:
                 "confidence": np.asarray(out["confidence"], np.float32)[:nz],
             }
         elif self.strategy == "aleatoric":
+            prediction = np.asarray(out["prediction"])[:nz]
+            sigma = np.asarray(out["sigma"], np.float32)[:nz]
             if scored:
-                prediction = np.asarray(out["prediction"])[:nz]
-                sigma = np.asarray(out["sigma"], np.float32)[:nz]
                 confidence = np.asarray(out["confidence"], np.float32)[:nz]
             else:
-                prediction = np.asarray(out["prediction"])[:nz]
-                sigma = np.asarray(out["sigma"], np.float32)[:nz]
                 confidence = None
                 if sigma_bounds is not None:
                     # fold host-side: keeps the unscored program cache free
@@ -569,7 +581,9 @@ def make_http_server(service: VolumeInferenceService, host: str = "0.0.0.0",
                 "model_dir": service.model_dir,
                 "strategy": service.strategy,
                 "mc": service.mc,
-                "members": len(service.members),
+                # model_dir's own state is stacked as member 0
+                "members": (len(service.members) + 1
+                            if service.members else 0),
                 "batch_size": service.batch_size,
                 "compiled_shapes": service.compiled_shapes(),
             }).encode()

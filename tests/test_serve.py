@@ -63,6 +63,12 @@ class TestService:
         with pytest.raises(ValueError, match="does not match"):
             service.predict(volume, target=np.zeros((2, 4, 4)))
 
+    def test_wrong_channel_count_rejected(self, service):
+        """A wrong-C request must fail as a client error BEFORE the jitted
+        forward turns it into an opaque shape error (an HTTP 500)."""
+        with pytest.raises(ValueError, match="channels"):
+            service.predict(np.zeros((2, *HW, 3), np.float32))
+
     def test_programs_are_shape_cached(self, service):
         volume = np.zeros((3, *HW, 4), np.float32)
         service.predict(volume)
