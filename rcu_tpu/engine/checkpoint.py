@@ -64,9 +64,13 @@ class ModelFiles:
 
 
 def backup_model_parameters(model_files: ModelFiles, model_node, optimizer_node):
-    """Write model.json once (reference management.py:90-94); model/optimizer
-    nodes are ``(type, params)`` pairs from the config."""
+    """Write model.json ONCE (reference management.py:90-94); model/optimizer
+    nodes are ``(type, params)`` pairs from the config. A resume with an
+    edited config must not silently replace the historical architecture
+    record that test-time load_model_parameters relies on."""
     os.makedirs(model_files.model_dir, exist_ok=True)
+    if os.path.exists(model_files.model_path):
+        return
     with open(model_files.model_path, "w") as f:
         json.dump({"model": {"type": model_node.type, "params": model_node.params},
                    "optimizer": {"type": optimizer_node.type,

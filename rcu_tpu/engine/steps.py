@@ -109,6 +109,11 @@ def make_train_step(model, optimizer, loss_kind: str = "ce",
     elif remat is not None:
         raise ValueError(f"unknown remat policy '{remat}'; "
                          "choose None, 'conv' or 'full'")
+    if loss_kind not in ("ce", "aleatoric"):
+        # a typo'd kind would silently train plain CE with the sigma head
+        # ignored and the run would look healthy
+        raise ValueError(f"unknown loss_kind '{loss_kind}'; "
+                         "choose 'ce' or 'aleatoric'")
 
     def loss_fn(params, batch_stats, batch, rng):
         out, mutated = fwd(params, batch_stats, batch["images"], rng)

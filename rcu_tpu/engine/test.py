@@ -27,8 +27,7 @@ from rcu_tpu.data.loader import prefetch
 from rcu_tpu.engine import checkpoint as ckpt_lib
 from rcu_tpu.engine import config as cfg_lib
 from rcu_tpu.engine import databuild, hooks as hooks_lib, steps as steps_lib
-from rcu_tpu.engine.state import create_train_state
-from rcu_tpu.models import get_model, get_optimizer
+from rcu_tpu.models import get_model
 from rcu_tpu.ops import metrics as metrics_lib
 from rcu_tpu.parallel import mesh as mesh_lib
 from rcu_tpu.utils import ids as ids_lib
@@ -107,6 +106,14 @@ class TestLoop:
                 raise ValueError("config.model_dir or an explicit model is required")
             model_node, _ = ckpt_lib.load_model_parameters(self.model_files)
             model = get_model(model_node.type, model_node.params)
+        elif (self.model_files is None and state_override is None
+              and not external_state):
+            # fail at construction, not as an AttributeError deep in
+            # load_state after the dataset has already been built
+            raise ValueError(
+                "an explicit model without config.model_dir needs "
+                "state_override or external_state — there is no checkpoint "
+                "dir to load parameters from")
         self.model = model
         self.predict_fn = predict_fn  # resolved in run() when None
 
@@ -129,6 +136,11 @@ class TestLoop:
                 break
             time.sleep(1.0)
             self.test_id = ids_lib.unique_identifier()
+        else:
+            raise RuntimeError(
+                f"could not find a free test run dir under {test_dir} for "
+                f"test_name={config.test_name!r} after 5 attempts — refusing "
+                "to share a run dir (artifacts/metrics would interleave)")
         self.run_dir = os.path.join(test_dir, f"{self.test_id}_{config.test_name}")
 
         self.hook = hooks_lib.ComposeTestHook(
@@ -156,8 +168,13 @@ class TestLoop:
         h, w = shapes["images"][:2]
         in_ch = getattr(self.model, "in_channels", 0) or shapes["images"][-1]
         input_shape = (1, h, w, in_ch)
-        optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
-        self.state = create_train_state(self.model, optimizer, input_shape)
+        # inference needs only the params/BN restore template — no throwaway
+        # optimizer state (engine.state.init_variables)
+        from rcu_tpu.engine.state import TrainState, init_variables
+        params_tpl, stats_tpl = init_variables(self.model, input_shape)
+        self.state = TrainState(params=params_tpl, batch_stats=stats_tpl,
+                                opt_state=None, epoch=np.int32(0),
+                                best_score=np.float32(0))
         # NOT `or "best"`: epoch 0 is a valid integer selector
         at = self.config.test_at
         if at is None or at == "":
@@ -222,11 +239,13 @@ class TestLoop:
             else:
                 outputs = self.predict_fn(self.state.params, self.state.batch_stats,
                                           batch)
-            to_assemble = {e: np.asarray(outputs[e]) for e in self.entries
-                           if e in outputs}
-            asm.add_batch(to_assemble, np.asarray(batch["subject_index"]),
-                          np.asarray(batch["slice_index"]),
-                          np.asarray(batch["valid"]))
+            # one coalesced D2H per batch (per-leaf np.asarray = 1 RTT each
+            # over a remote-TPU link, CLAUDE.md)
+            to_assemble, subj_idx, slice_idx, valid = jax.device_get((
+                {e: outputs[e] for e in self.entries if e in outputs},
+                batch["subject_index"], batch["slice_index"],
+                batch["valid"]))
+            asm.add_batch(to_assemble, subj_idx, slice_idx, valid)
             self.hook.on_test_batch_end(self, i, nb_batches)
             self._drain_ready(asm, dataset, subject_results)
 

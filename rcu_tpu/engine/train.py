@@ -100,6 +100,12 @@ class TrainLoop:
                     break
                 time.sleep(1.0)
                 self.run_id = ids_lib.unique_identifier()
+            else:
+                raise RuntimeError(
+                    f"could not find a free train run dir under "
+                    f"{config.train_dir} for train_name="
+                    f"{config.train_name!r} after 5 attempts — refusing to "
+                    "share a run dir (checkpoints/CSVs would interleave)")
         run_name = config.train_name if self.resume \
             else f"{self.run_id}_{config.train_name}"
         self.run_dir = os.path.join(config.train_dir, run_name)
@@ -219,9 +225,11 @@ class TrainLoop:
         return self
 
     def _need_validation(self, epoch: int) -> bool:
-        """Every nth epoch plus always the last (context.py:212-213)."""
-        return (epoch % self.config.valid_every_nth == 0
-                or epoch == self.config.epochs - 1)
+        """``(epoch + 1) % nth == 0``, exactly the reference cadence
+        (context.py:212-213): epochs nth-1, 2nth-1, ... — NOT epoch 0, and
+        the last epoch only when nth divides epochs. All shipped configs use
+        nth=1 (validate every epoch), where the formulas coincide."""
+        return (epoch + 1) % self.config.valid_every_nth == 0
 
     def _train_epoch(self, epoch: int, root_key, sharding):
         loader = self.train_data.loader
@@ -254,11 +262,14 @@ class TrainLoop:
         for batch in prefetch(iter(self.valid_data.loader), sharding=sharding):
             outputs = self.predict_fn(self.state.params, self.state.batch_stats,
                                       batch)
-            asm.add_batch({e: np.asarray(outputs[e])
-                           for e in self.validation_entries if e in outputs},
-                          np.asarray(batch["subject_index"]),
-                          np.asarray(batch["slice_index"]),
-                          np.asarray(batch["valid"]))
+            # one coalesced D2H per batch: per-leaf np.asarray costs a round
+            # trip per array over a remote-TPU link (CLAUDE.md)
+            fetched, subj_idx, slice_idx, valid = jax.device_get((
+                {e: outputs[e] for e in self.validation_entries
+                 if e in outputs},
+                batch["subject_index"], batch["slice_index"],
+                batch["valid"]))
+            asm.add_batch(fetched, subj_idx, slice_idx, valid)
             for subject_index in asm.subjects_ready():
                 subject_data = asm.get_assembled_subject(subject_index)
                 info = databuild.direct_subject_info(dataset, subject_index)

@@ -26,7 +26,6 @@ import numpy as np
 from rcu_tpu.engine import checkpoint as ckpt_lib
 from rcu_tpu.engine import config as cfg_lib
 from rcu_tpu.engine import steps as steps_lib
-from rcu_tpu.engine.state import create_train_state
 from rcu_tpu.engine.test import TestLoop
 from rcu_tpu.engine.train import TrainLoop
 from rcu_tpu.models import get_model, get_optimizer
@@ -50,14 +49,15 @@ def _load_frozen_model(model_dir: str, test_at, provide_features: bool = False,
     path = ckpt_lib.find_checkpoint_file(mf, test_at)
     if path is None:
         raise FileNotFoundError(f"no checkpoint '{test_at}' in {model_dir}")
-    optimizer = get_optimizer("adam", {"lr": 1e-4})  # template only
     in_ch = params_dict.get("in_channels", 4)
     shape = input_shape or (1, 32, 32, in_ch)
-    state = create_train_state(model, optimizer, shape)
+    # restore template only — no throwaway optimizer (engine.state)
+    from rcu_tpu.engine.state import init_variables
+    params_tpl, stats_tpl = init_variables(model, shape)
     raw = ckpt_lib.load_checkpoint(path)
     from flax import serialization
     restored = serialization.from_state_dict(
-        {"params": state.params, "batch_stats": state.batch_stats},
+        {"params": params_tpl, "batch_stats": stats_tpl},
         {"params": raw["params"], "batch_stats": raw["batch_stats"]})
     return model, restored["params"], restored["batch_stats"]
 
