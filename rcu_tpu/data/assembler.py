@@ -15,15 +15,41 @@ from __future__ import annotations
 import numpy as np
 
 
-class SubjectAssembler:
-    """Assembles per-slice model outputs into (Z, Y, X, ...) subject volumes."""
+class _BaseAssembler:
+    """Shared ready-queue/drain protocol: subclasses fill ``self._buffers``
+    (subject_idx -> {entry: array}) and append completed indices to
+    ``self._ready``; the drain contract (``subjects_ready`` /
+    ``get_assembled_subject`` / ``flush``) lives here ONCE so the engine
+    loops' leftover handling cannot drift between assembler kinds."""
 
     def __init__(self, dataset, entries=("probabilities",)):
         self.dataset = dataset
         self.entries = tuple(entries)
-        self._buffers = {}   # subject_idx -> {entry: volume}
-        self._filled = {}    # subject_idx -> set of slice ids
+        self._buffers = {}   # subject_idx -> {entry: array}
+        self._filled = {}    # subject_idx -> set of filled item ids
         self._ready = []
+
+    def subjects_ready(self):
+        ready, self._ready = self._ready, []
+        return ready
+
+    def get_assembled_subject(self, subject_idx: int) -> dict:
+        bufs = self._buffers.pop(subject_idx)
+        self._filled.pop(subject_idx, None)
+        return bufs
+
+    def flush(self):
+        """Report and DROP partially-filled subjects (end-of-loop safety);
+        the assembler is empty afterwards."""
+        remaining = list(self._buffers.keys())
+        self._buffers.clear()
+        self._filled.clear()
+        self._ready = []
+        return remaining
+
+
+class SubjectAssembler(_BaseAssembler):
+    """Assembles per-slice model outputs into (Z, Y, X, ...) subject volumes."""
 
     def _ensure_buffers(self, subject_idx: int, outputs: dict, item_shape_fn):
         if subject_idx in self._buffers:
@@ -59,26 +85,8 @@ class SubjectAssembler:
             if len(self._filled[si]) == self.dataset.shape(subject)[0]:
                 self._ready.append(si)
 
-    def subjects_ready(self):
-        ready, self._ready = self._ready, []
-        return ready
 
-    def get_assembled_subject(self, subject_idx: int) -> dict:
-        bufs = self._buffers.pop(subject_idx)
-        self._filled.pop(subject_idx, None)
-        return bufs
-
-    def flush(self):
-        """Report and DROP partially-filled subjects (end-of-loop safety);
-        the assembler is empty afterwards."""
-        remaining = list(self._buffers.keys())
-        self._buffers.clear()
-        self._filled.clear()
-        self._ready = []
-        return remaining
-
-
-class PatchAssembler:
+class PatchAssembler(_BaseAssembler):
     """Grid-patch -> volume reassembly for :class:`PatchWiseIndexing`.
 
     Model outputs are bare ``patch_shape`` windows (any extraction halo is
@@ -88,12 +96,8 @@ class PatchAssembler:
     """
 
     def __init__(self, dataset, indexing, entries=("probabilities",)):
-        self.dataset = dataset
+        super().__init__(dataset, entries)
         self.indexing = indexing
-        self.entries = tuple(entries)
-        self._buffers = {}
-        self._filled = {}
-        self._ready = []
 
     def _ensure_buffers(self, subject_idx: int, outputs: dict):
         if subject_idx in self._buffers:
@@ -150,32 +154,11 @@ class PatchAssembler:
             if len(self._filled[si]) == z * grid_y * grid_x:
                 self._ready.append(si)
 
-    def subjects_ready(self):
-        ready, self._ready = self._ready, []
-        return ready
 
-    def get_assembled_subject(self, subject_idx: int) -> dict:
-        bufs = self._buffers.pop(subject_idx)
-        self._filled.pop(subject_idx, None)
-        return bufs
-
-    def flush(self):
-        """Report and DROP partially-filled subjects (end-of-loop safety)."""
-        remaining = list(self._buffers.keys())
-        self._buffers.clear()
-        self._filled.clear()
-        self._ready = []
-        return remaining
-
-
-class Subject2dAssembler:
-    """Trivial passthrough for native-2D datasets (one index == one subject)."""
-
-    def __init__(self, dataset, entries=("probabilities",)):
-        self.dataset = dataset
-        self.entries = tuple(entries)
-        self._ready = []
-        self._store = {}
+class Subject2dAssembler(_BaseAssembler):
+    """Trivial passthrough for native-2D datasets (one index == one subject):
+    each batch row IS a whole subject, so it goes straight into the shared
+    buffers and is immediately ready."""
 
     def add_batch(self, outputs: dict, subject_indices, slice_indices=None, valid=None):
         outputs = {e: np.asarray(outputs[e]) for e in self.entries}
@@ -184,19 +167,5 @@ class Subject2dAssembler:
             if valid is not None and not valid[b]:
                 continue
             si = int(subject_indices[b])
-            self._store[si] = {e: outputs[e][b] for e in self.entries}
+            self._buffers[si] = {e: outputs[e][b] for e in self.entries}
             self._ready.append(si)
-
-    def subjects_ready(self):
-        ready, self._ready = self._ready, []
-        return ready
-
-    def get_assembled_subject(self, subject_idx: int) -> dict:
-        return self._store.pop(subject_idx)
-
-    def flush(self):
-        """Report and DROP subjects stored but never drained."""
-        remaining = list(self._store.keys())
-        self._store.clear()
-        self._ready = []
-        return remaining

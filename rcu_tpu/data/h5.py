@@ -54,14 +54,24 @@ class DatasetWriter:
         self._subjects.append(name)
 
     def close(self):
+        if self._f is None:
+            return  # idempotent: an explicit close() before __exit__ is fine
         dt = h5py.string_dtype()
         self._f.create_dataset("subjects", data=np.asarray(self._subjects, dtype=dt))
         self._f.close()
+        self._f = None
 
     def __enter__(self):
         return self
 
-    def __exit__(self, *exc):
+    def __exit__(self, exc_type, exc, tb):
+        if exc_type is not None and self._f is not None:
+            # do NOT finalize on error: writing the subjects index would
+            # leave a valid-looking PARTIAL store that a later SubjectDataset
+            # opens cleanly (silently truncated training data)
+            self._f.close()
+            self._f = None
+            return False
         self.close()
 
 

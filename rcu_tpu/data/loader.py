@@ -13,8 +13,6 @@ Replaces the reference's ``pymia DataLoader(num_workers)`` + ``CollateDict``
 """
 from __future__ import annotations
 
-import collections
-import itertools
 import queue
 import threading
 import typing

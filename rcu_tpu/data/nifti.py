@@ -87,6 +87,31 @@ def _open(path: str, mode: str):
     return open(path, mode)
 
 
+def _qform_affine(hdr, endian, pixdim):
+    """NIfTI-1 method-2 (qform) affine: quaternion rotation x voxel spacing
+    + qoffset translation (the spec's fallback when no sform is present —
+    typical FSL output; dropping it would silently lose origin/direction)."""
+    b, c, d = struct.unpack_from(endian + "3f", hdr, 256)
+    qoffset = struct.unpack_from(endian + "3f", hdr, 268)
+    a2 = 1.0 - (b * b + c * c + d * d)
+    a = float(np.sqrt(max(0.0, a2)))
+    rot = np.array([
+        [a * a + b * b - c * c - d * d, 2 * b * c - 2 * a * d,
+         2 * b * d + 2 * a * c],
+        [2 * b * c + 2 * a * d, a * a + c * c - b * b - d * d,
+         2 * c * d - 2 * a * b],
+        [2 * b * d - 2 * a * c, 2 * c * d + 2 * a * b,
+         a * a + d * d - b * b - c * c],
+    ])
+    qfac = -1.0 if pixdim[0] < 0 else 1.0
+    spacing = [p if p != 0 else 1.0 for p in pixdim[1:4]]
+    affine = np.eye(4)
+    affine[:3, :3] = rot @ np.diag([spacing[0], spacing[1],
+                                    qfac * spacing[2]])
+    affine[:3, 3] = qoffset
+    return affine
+
+
 def read(path: str):
     """Read a NIfTI-1 file -> (array in [z,y,x] order, ImageProperties)."""
     with _open(path, "rb") as f:
@@ -116,16 +141,26 @@ def read(path: str):
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=vox_offset)
     # NIfTI data is x-fastest; reshape reversed -> [.., z, y, x]
     array = data.reshape(shape_xyz[::-1])
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        array = array * slope + scl_inter
+    # NIfTI-1 spec: scaling is DISABLED when scl_slope is 0 (scl_inter is
+    # then meaningless — an uninitialized header must not add a bogus
+    # offset), and a NaN slope (written by some converters) means unset
+    if (np.isfinite(scl_slope) and scl_slope != 0.0
+            and (scl_slope != 1.0 or scl_inter != 0.0)):
+        array = array * scl_slope + scl_inter
 
+    qform_code = struct.unpack_from(endian + "h", hdr, 252)[0]
     affine = np.eye(4)
     if sform_code > 0:
         affine[:3, :] = srow
+    elif qform_code > 0:
+        affine = _qform_affine(hdr, endian, pixdim)
     else:
         affine[:3, :3] = np.diag([p if p != 0 else 1.0 for p in pixdim[1:4]])
     props = _affine_ras_to_props(affine, size3, min(ndim, 3))
+    if not array.flags.writeable:
+        # unscaled reads view the immutable file buffer; hand the caller a
+        # writable array so in-place ops don't raise data-dependently
+        array = array.copy()
     return np.ascontiguousarray(array), props
 
 

@@ -48,6 +48,70 @@ class TestNifti:
         assert back.dtype == np.uint8
         np.testing.assert_array_equal(back, arr.astype(np.uint8))
 
+    def test_read_returns_writable_array(self, tmp_path):
+        """Unscaled reads must not hand back a read-only view of the file
+        buffer — in-place ops would raise data-dependently."""
+        arr = np.random.RandomState(4).rand(3, 4, 5).astype(np.float32)
+        path = str(tmp_path / "w.nii")
+        nifti.write(arr, path)
+        back, _ = nifti.read(path)
+        assert back.flags.writeable
+        back *= 0.0  # must not raise
+
+    @staticmethod
+    def _patch_header(path, patches):
+        """patches: list of (offset, struct_fmt, values tuple)."""
+        import struct as _struct
+        with open(path, "r+b") as f:
+            data = bytearray(f.read())
+            for off, fmt, vals in patches:
+                _struct.pack_into(fmt, data, off, *vals)
+            f.seek(0)
+            f.write(data)
+
+    def test_scl_slope_nan_or_zero_disables_scaling(self, tmp_path):
+        """NIfTI-1 spec: scl_slope == 0 (or NaN, written by some converters)
+        means NO scaling — scl_inter must not be applied either."""
+        arr = np.random.RandomState(5).rand(3, 4, 5).astype(np.float32)
+        for slope, inter in ((np.nan, 7.0), (0.0, 123.0)):
+            path = str(tmp_path / f"s_{inter}.nii")
+            nifti.write(arr, path)
+            self._patch_header(path, [(112, "<2f", (slope, inter))])
+            back, _ = nifti.read(path)
+            np.testing.assert_array_equal(back, arr)
+
+    def test_qform_fallback_recovers_geometry(self, tmp_path):
+        """sform_code == 0 with qform_code > 0 (typical FSL output) must
+        recover origin/spacing/direction from the quaternion fields instead
+        of silently dropping them."""
+        arr = np.random.RandomState(6).rand(5, 7, 9).astype(np.float32)
+        props = ImageProperties(size=(9, 7, 5), spacing=(1.5, 2.0, 3.0),
+                                origin=(-10.0, 4.0, 2.5))
+        path = str(tmp_path / "q.nii")
+        nifti.write(arr, path, props)
+        ref_back, ref_props = nifti.read(path)  # via sform
+        # copy the sform translation (RAS) into qoffset_{x,y,z}; identity
+        # LPS direction is diag(-1,-1,1) in RAS = a 180-degree z-rotation,
+        # quaternion (b,c,d) = (0,0,1); then disable the sform
+        import struct as _struct
+        with open(path, "rb") as f:
+            hdr = f.read(348)
+        tx = _struct.unpack_from("<f", hdr, 280 + 12)[0]
+        ty = _struct.unpack_from("<f", hdr, 280 + 28)[0]
+        tz = _struct.unpack_from("<f", hdr, 280 + 44)[0]
+        self._patch_header(path, [
+            (252, "<2h", (1, 0)),            # qform_code=1, sform_code=0
+            (256, "<3f", (0.0, 0.0, 1.0)),
+            (268, "<3f", (tx, ty, tz)),
+        ])
+        back, props2 = nifti.read(path)
+        np.testing.assert_array_equal(back, ref_back)
+        np.testing.assert_allclose(props2.origin, ref_props.origin, atol=1e-5)
+        np.testing.assert_allclose(props2.spacing, ref_props.spacing,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(props2.direction_matrix(),
+                                   ref_props.direction_matrix(), atol=1e-6)
+
 
 def _make_store(path, nb_subjects=3, nb_slices=4, shape=(6, 8), channels=2):
     rng = np.random.RandomState(5)
@@ -79,6 +143,27 @@ class TestH5Store:
         assert ds.meta("subj_0")["grade"] == "HGG"
         assert ds.files("subj_0")["images"]["t2"].endswith("_t2.nii.gz")
         assert ds.properties("subj_0").size == (8, 6, 4)
+
+    def test_writer_does_not_finalize_on_error(self, tmp_path):
+        """A crash mid-build must NOT leave a valid-looking partial store:
+        the subjects index is only written on clean exit, so a later open
+        fails loudly instead of training on truncated data."""
+        path = str(tmp_path / "partial.h5")
+        with pytest.raises(RuntimeError, match="boom"):
+            with h5.DatasetWriter(path) as w:
+                w.add_subject("s0", {"images": np.zeros((2, 4, 4, 1),
+                                                        np.float32)})
+                raise RuntimeError("boom")
+        with pytest.raises(Exception):
+            h5.SubjectDataset(path)
+
+    def test_writer_close_is_idempotent(self, tmp_path):
+        path = str(tmp_path / "closed.h5")
+        with h5.DatasetWriter(path) as w:
+            w.add_subject("s0", {"images": np.zeros((2, 4, 4, 1),
+                                                    np.float32)})
+            w.close()  # explicit close before __exit__ must not raise
+        assert h5.SubjectDataset(path).subjects == ["s0"]
 
     def test_subject_subset(self, tmp_path):
         path = _make_store(str(tmp_path / "ds.h5"))
