@@ -203,6 +203,15 @@ def correction_pass(thresholds, base_dir: str, rescale_confidence="",
     vmapped device reduction whose rows fan out to one CSV sink per
     threshold (the reference runs one numpy evaluation per threshold)."""
     thresholds = tuple(thresholds)
+    # the CSV filename encodes thresholds at two decimals (the reference's
+    # contract): custom thresholds that collide there (0.125 vs 0.12) would
+    # silently overwrite each other's sink — fail loudly instead
+    codes = [f"{t:.2f}".replace(".", "") for t in thresholds]
+    if len(set(codes)) != len(codes):
+        raise ValueError(
+            f"thresholds {thresholds} collide in the two-decimal CSV "
+            f"filename encoding ({codes}); choose thresholds distinct at "
+            "two decimals")
     out_dir = os.path.join(base_dir, dirs.UNCERTAINTY_NAME)
     os.makedirs(out_dir, exist_ok=True)
     threshold_arr = np.asarray(thresholds, np.float32)

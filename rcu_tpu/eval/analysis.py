@@ -26,8 +26,7 @@ def read_image(path: str):
     if lower.endswith((".png", ".jpg", ".jpeg", ".bmp")):
         from PIL import Image
         arr = np.asarray(Image.open(path))
-        from rcu_tpu.data.nifti import ImageProperties
-        return arr, ImageProperties(size=(arr.shape[1], arr.shape[0]))
+        return arr, nifti.ImageProperties(size=(arr.shape[1], arr.shape[0]))
     return nifti.read(path)
 
 
@@ -65,9 +64,14 @@ class Loader:
         adds ``<name>_border`` (EDT band mask) and ``<name>_distance`` keys.
         ``images`` lists raw image entries (e.g. ``("t2",)``) to include.
         """
-        if subject_file.subject != self.cached_subject_id:
+        # identity = subject AND its artifact paths: a Loader shared across
+        # runs must not serve one run's cached arrays for another run's
+        # same-named subject
+        ident = (subject_file.subject,
+                 tuple(sorted(subject_file.flat_entries().items())))
+        if ident != self.cached_subject_id:
             self.cached_entries.clear()
-            self.cached_subject_id = subject_file.subject
+            self.cached_subject_id = ident
 
         to_eval = {}
         misc_np, props = self._get_misc(subject_file, entry)

@@ -26,23 +26,6 @@ class EvalHook:
         pass
 
 
-class ComposeEvalHook(EvalHook):
-    def __init__(self, hooks: list):
-        self.hooks = list(hooks)
-
-    def on_run_start(self, run_id):
-        for h in self.hooks:
-            h.on_run_start(run_id)
-
-    def on_subject(self, results, subject_name, run_id):
-        for h in self.hooks:
-            h.on_subject(results, subject_name, run_id)
-
-    def on_run_end(self, results_history, run_id):
-        for h in self.hooks:
-            h.on_run_end(results_history, run_id)
-
-
 class WriteCsvHook(EvalHook):
     def __init__(self, file_path: str, entries=None):
         self.file_path = file_path
@@ -84,7 +67,11 @@ class WriteCsvHook(EvalHook):
         os.makedirs(os.path.dirname(self.file_path), exist_ok=True)
         with open(self.file_path, "w", newline="") as f:
             writer = csv.writer(f)
-            writer.writerow(self.header or ["test_id", "subject_name"])
+            # zero-subject runs still write the contracted entry columns so
+            # downstream pd.read_csv consumers see an empty frame, not a
+            # KeyError on a structurally-wrong header
+            writer.writerow(self.header or (["test_id", "subject_name"]
+                                            + (self.entries or [])))
             writer.writerows(self.rows)
 
 
