@@ -115,15 +115,38 @@ class PostfixPredictionCollector:
             for p in paths:
                 subject = os.path.basename(p)[: -len(f"_{postfix}.nii.gz")]
                 by_subject.setdefault(subject, {}).setdefault(category, {})[postfix] = p
+        # per-subject completeness assert (reference collector.py:152-153):
+        # an interrupted test run leaving only SOME of a subject's artifacts
+        # must fail here, not as a far-away KeyError in an eval action (or
+        # a silent evaluation of an incomplete run)
+        want = set(self.post_fixes)
+        for subject, cats in sorted(by_subject.items()):
+            have = {pf for cat in cats.values() for pf in cat}
+            if have != want:
+                raise ValueError(
+                    f"subject '{subject}' in {self.prediction_dir} is "
+                    f"missing artifacts {sorted(want - have)} (has "
+                    f"{sorted(have)}) — incomplete test run?")
         return [SubjectFile(s, **cats) for s, cats in sorted(by_subject.items())]
 
 
 def combine(*subject_file_lists) -> list:
     """Merge categories of same-subject SubjectFiles across collections
     (reference collector.py:164-174). Restricted to subjects present in ALL
-    lists beyond the first that define them (the prediction set)."""
-    last = subject_file_lists[-1]
-    keep = set(sf.subject for sf in last)
+    lists (intersection): the reference indexes sf_from_by_id[sf_to.subject]
+    and fails loudly for a prediction subject absent from the ground-truth
+    collection — a stray subject must not be emitted prediction-only and
+    KeyError far away in the eval pipeline."""
+    keeps = [set(sf.subject for sf in lst) for lst in subject_file_lists]
+    keep = set.intersection(*keeps)
+    for lst_keep, lst in zip(keeps, subject_file_lists):
+        extra = lst_keep - keep
+        if extra and lst is subject_file_lists[-1]:
+            # the last list is the prediction set (reference sf_to side):
+            # an unmatched prediction subject is the loud-failure case
+            raise KeyError(
+                f"prediction subjects {sorted(extra)} have no counterpart "
+                "in the ground-truth collection(s)")
     merged: dict = {}
     for lst in subject_file_lists:
         for sf in lst:

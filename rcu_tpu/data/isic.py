@@ -58,7 +58,14 @@ class IsicFolderDataset:
 
     def shape(self, subject: str, category: str = "images"):
         if category == "superpixels":
-            return self.read_volume(subject, "superpixels").shape
+            # header-only read like the images branch (a full pixel decode
+            # just for the shape wastes a host decode per query)
+            path = self._subject_files[subject].categories["images"] \
+                .entries["superpixels"]
+            sp = Image.open(path)
+            w, h = sp.size
+            nb_ch = len(sp.getbands())
+            return (h, w) if nb_ch == 1 else (h, w, nb_ch)
         img = Image.open(self._image_path(subject))
         w, h = img.size
         if category == "images":

@@ -65,17 +65,30 @@ class UnSqueeze(EntriesTransform):
 
 
 class Rescale(EntriesTransform):
-    """Linear rescale of the value range [old_min,old_max]->[lower,upper];
-    defaults map uint8 images to [0,1] like the reference's `rescale` node."""
+    """The reference's ``rescale`` node (pymia ``IntensityRescale``): linear
+    rescale of each entry's OWN min/max range to [lower, upper] — an ISIC
+    jpg with pixel range [10, 200] maps to the full [0, 1], not to
+    [10/255, 200/255]. ``old_min``/``old_max`` are an extension: when given,
+    they fix the source range explicitly instead of reading it per array.
+    A constant array has no range and fails loudly (pymia would emit NaN)."""
 
-    def __init__(self, lower=0.0, upper=1.0, old_min=0.0, old_max=255.0, entries=None):
+    def __init__(self, lower=0.0, upper=1.0, old_min=None, old_max=None,
+                 entries=None):
         super().__init__(entries)
         self.lower, self.upper = float(lower), float(upper)
-        self.old_min, self.old_max = float(old_min), float(old_max)
+        self.old_min = None if old_min is None else float(old_min)
+        self.old_max = None if old_max is None else float(old_max)
 
     def _apply(self, arr):
         arr = arr.astype(np.float32)
-        scaled = (arr - self.old_min) / (self.old_max - self.old_min)
+        lo = arr.min() if self.old_min is None else self.old_min
+        hi = arr.max() if self.old_max is None else self.old_max
+        if hi == lo:
+            raise ValueError(
+                "rescale: array has a constant value "
+                f"({lo}); its min-max range cannot be rescaled (pass "
+                "old_min/old_max to fix the source range explicitly)")
+        scaled = (arr - lo) / (hi - lo)
         return scaled * (self.upper - self.lower) + self.lower
 
 
@@ -85,9 +98,12 @@ class Relabel(EntriesTransform):
         self.label_changes = dict(label_changes)
 
     def _apply(self, arr):
+        # SEQUENTIAL in-place changes, exactly like pymia's Relabel: with
+        # {2: 1, 3: 2} the original 1s end at 3 (each change sees the
+        # previous ones' output, not the original array)
         out = arr.copy()
         for new, old in self.label_changes.items():
-            out[arr == old] = new
+            out[out == old] = new
         return out
 
 
@@ -116,9 +132,9 @@ class Size(EntriesTransform):
 
 
 class IntensityNormalization(EntriesTransform):
-    """Per-channel z-score over nonzero... no: over all voxels, per channel
-    (pymia IntensityNormalization(loop_axis=-1) parity: plain (x-mean)/std
-    per trailing-axis channel)."""
+    """Per-channel z-score over ALL voxels (not nonzero-masked), matching
+    pymia IntensityNormalization(loop_axis=-1): plain (x-mean)/std per
+    trailing-axis channel."""
 
     def __init__(self, entries=("images",)):
         super().__init__(entries)

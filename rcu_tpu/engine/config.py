@@ -211,6 +211,11 @@ def load(path: str, expected_type: str = None):
         raw = yaml.safe_load(f)
     if not isinstance(raw, dict) or "config" not in raw:
         raise ValueError(f"{path}: missing 'config' envelope")
+    if not isinstance(raw["config"], dict):
+        # a truncated/hand-edited file with a bare 'config:' key would
+        # otherwise TypeError deep inside from_dict
+        raise ValueError(f"{path}: 'config' body must be a mapping, got "
+                         f"{type(raw['config']).__name__}")
     meta = raw.get("meta", {})
     mtype = meta.get("type")
     if expected_type is not None and mtype != expected_type:

@@ -52,12 +52,23 @@ def build_transform(nodes: typing.Optional[list]):
                 raise ValueError(f"unknown rescale params: {sorted(p)}")
             transforms.append(tfm_lib.Rescale(entries=entries, **kwargs))
         elif node.type == "size":
-            transforms.append(tfm_lib.Size(node.params["size"],
-                                           entries=node.params.get("entries")))
+            p = dict(node.params)
+            if "size" not in p:
+                raise ValueError('size transform needs a "size" param')
+            size, entries = p.pop("size"), p.pop("entries", None)
+            if p:  # same strictness as rescale: typos must not no-op
+                raise ValueError(f"unknown size params: {sorted(p)}")
+            transforms.append(tfm_lib.Size(size, entries=entries))
         elif node.type == "relabel":
-            transforms.append(tfm_lib.Relabel(node.params["label_changes"],
-                                              entries=node.params.get("entries",
-                                                                      ("labels",))))
+            p = dict(node.params)
+            if "label_changes" not in p:
+                raise ValueError(
+                    'relabel transform needs a "label_changes" param')
+            changes = p.pop("label_changes")
+            entries = p.pop("entries", ("labels",))
+            if p:
+                raise ValueError(f"unknown relabel params: {sorted(p)}")
+            transforms.append(tfm_lib.Relabel(changes, entries=entries))
         else:
             raise ValueError(f'unknown transform "{node.type}"')
     return tfm_lib.Compose(transforms) if transforms else None

@@ -145,6 +145,36 @@ class TestTransformParams:
         with pytest.raises(ValueError, match="unknown rescale"):
             databuild.build_transform([{"rescale": {"lowr": 0.0}}])
 
+    def test_rescale_uses_per_entry_minmax(self):
+        """pymia IntensityRescale parity: without an explicit source range
+        the entry's OWN min/max maps to [lower, upper] — an image with range
+        [10, 200] becomes full-range [0, 1], not [10/255, 200/255]."""
+        tfm = databuild.build_transform(
+            [{"rescale": {"lower": 0.0, "upper": 1.0}}])
+        out = tfm({"images": np.asarray([10.0, 105.0, 200.0], np.float32)})
+        np.testing.assert_allclose(out["images"], [0.0, 0.5, 1.0])
+
+    def test_rescale_constant_array_fails_loudly(self):
+        tfm = databuild.build_transform(
+            [{"rescale": {"lower": 0.0, "upper": 1.0}}])
+        with pytest.raises(ValueError, match="constant"):
+            tfm({"images": np.zeros((4,), np.float32)})
+
+    def test_relabel_applies_changes_sequentially(self):
+        """pymia Relabel parity: each new<-old mapping is applied in dict
+        order ON the previous mappings' output — {2: 1} then {3: 2} sends
+        original 1s (via 2) AND original 2s to 3. The old masked-against-
+        original behavior gave [0, 2, 3, 3] here (original 1s stuck at 2)."""
+        from rcu_tpu.data import transforms as tfm_lib
+        tfm = tfm_lib.Relabel({2: 1, 3: 2})
+        out = tfm({"labels": np.asarray([0, 1, 2, 3], np.uint8)})
+        np.testing.assert_array_equal(out["labels"], [0, 3, 3, 3])
+
+    def test_unknown_size_param_raises(self):
+        with pytest.raises(ValueError, match="unknown size"):
+            databuild.build_transform(
+                [{"size": {"size": [8, 8], "entires": ["labels"]}}])
+
 
 class TestBorderMaskParity:
     def test_distance_is_unsigned_sum(self):
