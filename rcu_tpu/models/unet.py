@@ -40,11 +40,54 @@ class UNetOutput(typing.NamedTuple):
     features: jnp.ndarray | None = None
 
 
+class _SplitInputConv(nn.Module):
+    """A conv over the concatenation of two tensors, computed WITHOUT
+    materializing the concat: ``conv(concat(a, b)) == conv_a(a) + conv_b(b)``
+    with the kernel split along its input-channel axis.
+
+    Param tree (``kernel``/``bias``, shapes, init) is IDENTICAL to the
+    ``nn.Conv`` that would consume the concatenated input, so a module named
+    like that conv is checkpoint-compatible with it — the split is a pure
+    runtime rewrite. Motivation: the U-Net decoder's skip concats are
+    unfused HBM writes of 2x-wide activations between up-path and conv
+    (scripts/conv_stack_attribution.py names inter-op boundaries as the
+    whole-forward gap vs the sum of parts). Accumulation order differs from
+    the fused conv (two partial sums added), so results match to conv
+    accumulation precision, not bitwise."""
+    features: int
+    kernel: int = 3
+    padding: int = 1
+    dtype: typing.Any = None
+
+    @nn.compact
+    def __call__(self, a, b):
+        in_total = a.shape[-1] + b.shape[-1]
+        kernel = self.param(
+            "kernel", conv_init,
+            (self.kernel, self.kernel, in_total, self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        a, b, kernel, bias = nn.dtypes.promote_dtype(
+            a, b, kernel, bias, dtype=self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            a.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        pad = [(self.padding, self.padding)] * 2
+        ya = jax.lax.conv_general_dilated(
+            a, kernel[:, :, :a.shape[-1]], (1, 1), pad, dimension_numbers=dn)
+        yb = jax.lax.conv_general_dilated(
+            b, kernel[:, :, a.shape[-1]:], (1, 1), pad, dimension_numbers=dn)
+        return ya + yb + bias
+
+
 class ConvBnRelu(nn.Module):
     """conv -> [channel dropout] -> [batch norm] -> [relu] (reference unet.py:8-23).
 
     ``dtype`` is the compute dtype (bf16 rides the MXU at full rate); params
-    and BatchNorm statistics stay float32 (flax param_dtype default)."""
+    and BatchNorm statistics stay float32 (flax param_dtype default).
+
+    ``x`` may be a PAIR ``(a, b)`` meaning "the concatenation of a and b":
+    the conv is then computed concat-free via :class:`_SplitInputConv` under
+    the same param name, keeping checkpoints interchangeable."""
     out_ch: int
     dropout: float | None = None
     bn: bool = True
@@ -55,9 +98,13 @@ class ConvBnRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
-        x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
-                    padding=self.padding, kernel_init=conv_init,
-                    dtype=self.dtype)(x)
+        if isinstance(x, tuple):
+            x = _SplitInputConv(self.out_ch, self.kernel, self.padding,
+                                dtype=self.dtype, name="Conv_0")(*x)
+        else:
+            x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                        padding=self.padding, kernel_init=conv_init,
+                        dtype=self.dtype)(x)
         # policy-remat tag: under make_train_step(remat='conv') the bwd pass
         # SAVES conv outputs and recomputes the fused dropout/BN/relu
         # epilogue. A lowering-time no-op on every other path.
@@ -124,8 +171,12 @@ class ConvResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
-        residual = nn.Conv(self.out_ch, (1, 1), kernel_init=conv_init,
-                           dtype=self.dtype)(x)
+        if isinstance(x, tuple):
+            residual = _SplitInputConv(self.out_ch, kernel=1, padding=0,
+                                       dtype=self.dtype, name="Conv_0")(*x)
+        else:
+            residual = nn.Conv(self.out_ch, (1, 1), kernel_init=conv_init,
+                               dtype=self.dtype)(x)
         for i in range(self.repetitions - 1):
             do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
             x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype)(
@@ -182,6 +233,12 @@ class UNet(nn.Module):
     provide_features: bool = False
     bn: bool = True
     dtype: typing.Any = None  # compute dtype, e.g. jnp.bfloat16 (params stay f32)
+    # compute each decoder block's first conv (and, for residual blocks, the
+    # 1x1 residual) concat-free via the split-kernel identity — same params,
+    # same checkpoint, never writes the 2x-wide concat activation to HBM.
+    # Accumulation order differs, so this is opt-in like bf16 and rides the
+    # same 1e-3 parity gate (tests/test_bf16_parity.py methodology).
+    split_decoder_concat: bool = False
 
     def setup(self):
         block_cls = ConvResidualBlock if self.residual else ConvBlock
@@ -268,8 +325,11 @@ class UNet(nn.Module):
             up = _upsample_nearest_2x(x)
             up = self.up_convs[k](up)
             up = _pad_to(up, (skip.shape[1], skip.shape[2]))
-            x = jnp.concatenate([up, skip], axis=-1)
-            x = self.up_blocks[k](x, **kw)
+            if self.split_decoder_concat:
+                x = self.up_blocks[k]((up, skip), **kw)
+            else:
+                x = jnp.concatenate([up, skip], axis=-1)
+                x = self.up_blocks[k](x, **kw)
 
         features = x if self.provide_features else None
         head = self.head_cbr(x, **kw)

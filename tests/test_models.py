@@ -181,3 +181,64 @@ class TestDropoutCenterPlacement:
         assert _block_dropout_mode(2, 2, 4, True) == "last"
         assert _block_dropout_mode(2, 3, 4, False) == "first"
         assert _block_dropout_mode(None, 0, 4, True) == "all"
+
+
+class TestSplitDecoderConcat:
+    """``split_decoder_concat`` computes each decoder block's concat-consuming
+    conv as split kernels (``models/unet._SplitInputConv``): identical param
+    tree (checkpoint-compatible), concat-free at runtime, numerics equal to
+    conv accumulation precision (not bitwise — same bar as bf16's gate)."""
+
+    KW = dict(nb_classes=2, in_channels=4, depth=3, start_filters=8,
+              dropout=0.5)
+
+    def _models(self, **extra):
+        kw = {**self.KW, **extra}
+        return UNet(**kw), UNet(**kw, split_decoder_concat=True)
+
+    def _init(self, model, x):
+        return model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def test_param_trees_bit_identical(self):
+        base, split = self._models()
+        x = jnp.zeros((1, 32, 32, 4))
+        vb, vs = self._init(base, x), self._init(split, x)
+        assert (jax.tree_util.tree_structure(vb)
+                == jax.tree_util.tree_structure(vs))
+        for a, b in zip(jax.tree_util.tree_leaves(vb),
+                        jax.tree_util.tree_leaves(vs)):
+            # same param paths + shapes -> same init RNG folding -> bitwise
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def _assert_forward_parity(self, **extra):
+        base, split = self._models(**extra)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        variables = self._init(base, x)  # base checkpoint drives BOTH models
+        rngs = {"dropout": jax.random.PRNGKey(2)}
+        a = base.apply(variables, x, train=False, mc_dropout=True, rngs=rngs)
+        b = split.apply(variables, x, train=False, mc_dropout=True, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                                   rtol=1e-5, atol=1e-5)
+        return a, b
+
+    def test_forward_parity_plain(self):
+        self._assert_forward_parity()
+
+    def test_forward_parity_residual(self):
+        self._assert_forward_parity(residual=True)
+
+    def test_forward_parity_dropout_center(self):
+        # center=2 puts dropout on the FIRST conv of the inner up blocks —
+        # exactly the conv the split rewrite replaces; identical module
+        # paths must fold the same dropout mask either way
+        a, b = self._assert_forward_parity(dropout_center=2)
+        assert not np.allclose(np.asarray(a.logits), 0.0)
+
+    def test_sigma_head_unaffected(self):
+        base, split = self._models(sigma_out=True)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 4))
+        variables = self._init(base, x)
+        a = base.apply(variables, x, train=False)
+        b = split.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(a.sigma), np.asarray(b.sigma),
+                                   rtol=1e-5, atol=1e-5)
