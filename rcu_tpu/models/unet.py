@@ -79,6 +79,23 @@ class _SplitInputConv(nn.Module):
         return ya + yb + bias
 
 
+class _UpsampleConv(nn.Module):
+    """``conv3x3(nearest_up_2x(x))`` with the upsample folded into the conv
+    (:func:`_fused_upsample_conv`). Param tree (``kernel``/``bias``, shapes,
+    init) is identical to the plain ``nn.Conv`` up-conv it replaces, so a
+    module under the same name is checkpoint-compatible with it."""
+    features: int
+    dtype: typing.Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", conv_init,
+                            (3, 3, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        return _fused_upsample_conv(x, kernel, bias, self.dtype)
+
+
 class ConvBnRelu(nn.Module):
     """conv -> [channel dropout] -> [batch norm] -> [relu] (reference unet.py:8-23).
 
@@ -195,6 +212,34 @@ def _upsample_nearest_2x(x):
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+# conv3x3(nearest_up_2x(x)) == conv4x4(zero_stuff_2x(x)) with the 4x4 kernel
+# = the 3x3 kernel correlated with a 2x2 box (nearest_up = box2 * zero_stuff,
+# so the box folds into the kernel). Rows/cols combine as k4 = A k3 A^T:
+_UPSAMPLE_FOLD = jnp.array([[1., 0., 0.],
+                            [1., 1., 0.],
+                            [0., 1., 1.],
+                            [0., 0., 1.]])
+
+
+def _fused_upsample_conv(x, kernel, bias, dtype):
+    """``conv3x3(nearest_up_2x(x)) + bias`` as ONE lhs-dilated conv: the
+    2h x 2w x c upsampled activation is never written to HBM (XLA lowers
+    lhs_dilation=2 to per-phase 2x2 convs, the strided-conv-gradient path).
+    ``kernel``/``bias`` are the stored 3x3 up-conv params — the 4x4 fold is
+    a trace-time einsum over the (3,3,ci,co) tree, so checkpoints are
+    unchanged. Weight pre-summing regroups additions, so numerics match to
+    accumulation precision, not bitwise (same bar as bf16)."""
+    fold = _UPSAMPLE_FOLD.astype(kernel.dtype)
+    k4 = jnp.einsum("ai,bj,ijco->abco", fold, fold, kernel)
+    x, k4, bias = nn.dtypes.promote_dtype(x, k4, bias, dtype=dtype)
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, k4.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(
+        x, k4, (1, 1), [(2, 2), (2, 2)], lhs_dilation=(2, 2),
+        dimension_numbers=dn)
+    return y + bias
+
+
 def _pad_to(up, target_hw):
     """Pad spatially to the skip's shape: diff//2 before, rest after
     (reference unet.py:107-117 odd-size padding)."""
@@ -239,6 +284,11 @@ class UNet(nn.Module):
     # Accumulation order differs, so this is opt-in like bf16 and rides the
     # same 1e-3 parity gate (tests/test_bf16_parity.py methodology).
     split_decoder_concat: bool = False
+    # fold each nearest-2x upsample into its up-conv as one lhs-dilated conv
+    # (_fused_upsample_conv): the 4x-size upsampled activation never touches
+    # HBM and the up-conv runs at 4/9 of the taps. Same params/checkpoints;
+    # opt-in on the same accumulation-precision bar as split_decoder_concat.
+    fused_upsample: bool = False
 
     def setup(self):
         block_cls = ConvResidualBlock if self.residual else ConvBlock
@@ -258,9 +308,13 @@ class UNet(nn.Module):
         up_convs, up_blocks = [], []
         for k in range(self.depth):
             ch //= 2
-            up_convs.append(nn.Conv(ch, (3, 3), padding=1,
-                                    kernel_init=conv_init, dtype=self.dtype,
-                                    name=f"Conv_{k}"))
+            if self.fused_upsample:
+                up_convs.append(_UpsampleConv(ch, dtype=self.dtype,
+                                              name=f"Conv_{k}"))
+            else:
+                up_convs.append(nn.Conv(ch, (3, 3), padding=1,
+                                        kernel_init=conv_init,
+                                        dtype=self.dtype, name=f"Conv_{k}"))
             i = self.depth - 1 - k
             mode = _block_dropout_mode(self.dropout_center, i, self.depth,
                                        False)
@@ -322,8 +376,11 @@ class UNet(nn.Module):
         x = self.bottom_block(x, **kw)
         for k in range(self.depth):
             skip = skips[self.depth - 1 - k]
-            up = _upsample_nearest_2x(x)
-            up = self.up_convs[k](up)
+            if self.fused_upsample:
+                up = self.up_convs[k](x)  # upsample folded into the conv
+            else:
+                up = _upsample_nearest_2x(x)
+                up = self.up_convs[k](up)
             up = _pad_to(up, (skip.shape[1], skip.shape[2]))
             if self.split_decoder_concat:
                 x = self.up_blocks[k]((up, skip), **kw)

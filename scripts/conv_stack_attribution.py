@@ -210,7 +210,7 @@ def run_ops(dtype_str):
     return total_s
 
 
-def run_forward(dtype_str, split_decoder=False):
+def run_forward(dtype_str, split_decoder=False, fused_upsample=False):
     """Measured whole T=20 vmapped forward (the `logits` ablation variant):
     the number the per-op sum is judged against. With ``split_decoder`` the
     decoder consumes (up, skip) via the split-kernel rewrite
@@ -220,7 +220,8 @@ def run_forward(dtype_str, split_decoder=False):
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     model = UNet(nb_classes=2, in_channels=IN_CH, depth=DEPTH,
                  start_filters=SF, dropout=0.2, dtype=dtype,
-                 split_decoder_concat=split_decoder)
+                 split_decoder_concat=split_decoder,
+                 fused_upsample=fused_upsample)
     # init ON DEVICE: the flagship param tree is ~34 MB, which a congested
     # tunnel cannot upload; one cached remote compile is cheaper.
     variables = jax.jit(lambda: model.init(
@@ -248,7 +249,8 @@ def run_forward(dtype_str, split_decoder=False):
     flops = sum(_op_flops(i, o, hw, k) for _, i, o, hw, k in _op_inventory())
     print(json.dumps({
         "what": (f"whole T={MC_T} forward ({dtype_str}, batch {BATCH}"
-                 f"{', split-kernel decoder' if split_decoder else ''})"),
+                 f"{', split-kernel decoder' if split_decoder else ''}"
+                 f"{', fused upsample' if fused_upsample else ''})"),
         "seconds_per_forward": round(sec, 4),
         "conv_tflops_per_s": round(flops / sec / 1e12, 1),
     }), flush=True)
@@ -334,13 +336,16 @@ if __name__ == "__main__":
     parser.add_argument("--boundary", action="store_true")
     parser.add_argument("--split-decoder", action="store_true",
                         help="run --forward with split_decoder_concat=True")
+    parser.add_argument("--fused-upsample", action="store_true",
+                        help="run --forward with fused_upsample=True")
     args = parser.parse_args()
     if args.widen:
         run_widen(args.dtype)
     elif args.boundary:
         run_boundary(args.dtype)
     elif args.forward:
-        run_forward(args.dtype, split_decoder=args.split_decoder)
+        run_forward(args.dtype, split_decoder=args.split_decoder,
+                    fused_upsample=args.fused_upsample)
     else:
         run_ops(args.dtype)
         run_forward(args.dtype)

@@ -242,3 +242,66 @@ class TestSplitDecoderConcat:
         b = split.apply(variables, x, train=False)
         np.testing.assert_allclose(np.asarray(a.sigma), np.asarray(b.sigma),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFusedUpsample:
+    """``fused_upsample`` folds nearest-2x upsample + 3x3 up-conv into one
+    lhs-dilated conv (``models/unet._fused_upsample_conv``): identical param
+    tree, the 4x-size upsampled activation never materializes."""
+
+    def test_op_identity(self):
+        # conv3x3(nearest_up(x)) == fused, odd and even spatial sizes
+        from rcu_tpu.models.unet import (_fused_upsample_conv,
+                                         _upsample_nearest_2x)
+        rng = np.random.RandomState(0)
+        for h, w in ((8, 8), (7, 9)):
+            x = jnp.asarray(rng.randn(2, h, w, 6).astype(np.float32))
+            kernel = jnp.asarray(rng.randn(3, 3, 6, 3).astype(np.float32))
+            bias = jnp.asarray(rng.randn(3).astype(np.float32))
+            import flax.linen as nn
+            ref = nn.Conv(3, (3, 3), padding=1).apply(
+                {"params": {"kernel": kernel, "bias": bias}},
+                _upsample_nearest_2x(x))
+            got = _fused_upsample_conv(x, kernel, bias, None)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+    KW = dict(nb_classes=2, in_channels=4, depth=3, start_filters=8,
+              dropout=0.5)
+
+    def test_param_trees_bit_identical(self):
+        base = UNet(**self.KW)
+        fused = UNet(**self.KW, fused_upsample=True)
+        x = jnp.zeros((1, 32, 32, 4))
+        vb = base.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        vf = fused.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert (jax.tree_util.tree_structure(vb)
+                == jax.tree_util.tree_structure(vf))
+        for a, b in zip(jax.tree_util.tree_leaves(vb),
+                        jax.tree_util.tree_leaves(vf)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_forward_parity_with_base_checkpoint(self):
+        base = UNet(**self.KW)
+        fused = UNet(**self.KW, fused_upsample=True)
+        # odd spatial: exercises _pad_to after the fused upsample
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 31, 33, 4))
+        variables = base.init({"params": jax.random.PRNGKey(0)}, x,
+                              train=False)
+        rngs = {"dropout": jax.random.PRNGKey(2)}
+        a = base.apply(variables, x, train=False, mc_dropout=True, rngs=rngs)
+        b = fused.apply(variables, x, train=False, mc_dropout=True, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_combined_with_split_decoder(self):
+        base = UNet(**self.KW)
+        both = UNet(**self.KW, fused_upsample=True, split_decoder_concat=True)
+        x = jax.random.normal(jax.random.PRNGKey(3), (1, 32, 32, 4))
+        variables = base.init({"params": jax.random.PRNGKey(0)}, x,
+                              train=False)
+        rngs = {"dropout": jax.random.PRNGKey(4)}
+        a = base.apply(variables, x, train=False, mc_dropout=True, rngs=rngs)
+        b = both.apply(variables, x, train=False, mc_dropout=True, rngs=rngs)
+        np.testing.assert_allclose(np.asarray(a.logits), np.asarray(b.logits),
+                                   rtol=1e-4, atol=1e-4)
