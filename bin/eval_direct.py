@@ -31,7 +31,7 @@ if BIN_DIR not in sys.path:
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
          throughput=False, unmasked=False, strategy=None, mc=None,
-         dtype=None, eval_tree=False, dispatch_chunks=4):
+         dtype=None, eval_tree=False, dispatch_chunks=4, fast_decoder=False):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -44,7 +44,8 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
                            subject_parallel=throughput, masked=not unmasked,
                            strategy=strategy, mc=mc, dtype=dtype,
                            layout="eval_tree" if eval_tree else "flat",
-                           dispatch_chunks=dispatch_chunks)
+                           dispatch_chunks=dispatch_chunks,
+                           fast_decoder=fast_decoder)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -84,6 +85,10 @@ if __name__ == "__main__":
                         help="native-2D only: K-image chunks scanned per "
                              "dispatch (round-trip amortization on remote "
                              "links; the MC stream is invariant to this)")
+    parser.add_argument("-fast_decoder", action="store_true",
+                        help="concat-free + fused-upsample U-Net decoder "
+                             "(same checkpoints; accumulation-order "
+                             "numerics — the bf16 opt-in bar)")
     parser.add_argument("-eval_tree", action="store_true",
                         help="write the staged eval-dir layout "
                              "(calibration/ ece*/ uncertainty/ minmax/ "
@@ -92,4 +97,4 @@ if __name__ == "__main__":
     args = parser.parse_args()
     main(args.config_file, args.run_id, args.out_dir, args.devices,
          args.throughput, args.unmasked, args.strategy, args.mc, args.dtype,
-         args.eval_tree, args.dispatch_chunks)
+         args.eval_tree, args.dispatch_chunks, args.fast_decoder)

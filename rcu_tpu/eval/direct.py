@@ -65,7 +65,8 @@ _CONFIDENCE_ENTRY = {"mc": "probabilities", "deterministic": "probabilities",
 
 
 def _load_model_state(model_dir: str, test_at, input_shape,
-                      provide_features: bool = False, dtype: str = None):
+                      provide_features: bool = False, dtype: str = None,
+                      fast_decoder: bool = False):
     mf = ckpt_lib.ModelFiles.from_model_dir(model_dir)
     model_node, _ = ckpt_lib.load_model_parameters(mf)
     params_dict = dict(model_node.params)
@@ -75,6 +76,13 @@ def _load_model_state(model_dir: str, test_at, input_shape,
         # compute-dtype override (e.g. bfloat16 production inference);
         # checkpoint params/BN stats stay f32 — see tests/test_bf16_parity.py
         params_dict["dtype"] = dtype
+    if fast_decoder and model_node.type == "unet":
+        # concat-free + fused-upsample decoder (models/unet.py): identical
+        # param tree, so any unet checkpoint loads; numerics differ only in
+        # accumulation order (same opt-in bar as the bf16 compute dtype).
+        # Non-unet models (PostNet) have no decoder — silently unaffected.
+        params_dict["split_decoder_concat"] = True
+        params_dict["fused_upsample"] = True
     model = get_model(model_node.type, params_dict)
     path = ckpt_lib.find_checkpoint_file(mf, test_at)
     if path is None:
@@ -97,7 +105,8 @@ def _primary_test_at(config) -> str:
     return "best" if config.test_at in (None, "") else config.test_at
 
 
-def _load_ensemble_states(config, input_shape, dtype=None):
+def _load_ensemble_states(config, input_shape, dtype=None,
+                          fast_decoder=False):
     """Primary model (config.model_dir @ config.test_at) + others.model_dir
     members @ others.test_at, stacked on a leading member axis (the protocol
     of strategies.test_ensemble / reference brats_test_ensemble.py:40-50)."""
@@ -117,9 +126,9 @@ def _load_ensemble_states(config, input_shape, dtype=None):
     for i, (model_dir, at) in enumerate(all_dirs):
         logging.info("load ensemble model [%d/%d] %s", i + 1, len(all_dirs),
                      os.path.basename(model_dir))
-        model, params, batch_stats = _load_model_state(model_dir, at,
-                                                       input_shape,
-                                                       dtype=dtype)
+        model, params, batch_stats = _load_model_state(
+            model_dir, at, input_shape, dtype=dtype,
+            fast_decoder=fast_decoder)
         members.append((params, batch_stats))
     return (model, stack_states([m[0] for m in members]),
             stack_states([m[1] for m in members]))
@@ -291,7 +300,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     thresholds=DEFAULT_THRESHOLDS, mesh=None,
                     masked: bool = True, subject_parallel: bool = False,
                     strategy: str = None, dtype: str = None,
-                    layout: str = "flat", dispatch_chunks: int = 4) -> dict:
+                    layout: str = "flat", dispatch_chunks: int = 4,
+                    fast_decoder: bool = False) -> dict:
     """Run fused inference + eval for every test-split subject, one dispatch
     per volume (or per image chunk on native-2D datasets); write the
     ``eval_calibration_*``, ``eval_ece_*``, ``eval_uncertainty_*_th*`` and
@@ -384,7 +394,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     member_sharded = ()  # indices of `state` that shard over the model axis
     if strategy == "ensemble":
         model, stacked_params, stacked_stats = _load_ensemble_states(
-            config, input_shape, dtype=dtype)
+            config, input_shape, dtype=dtype, fast_decoder=fast_decoder)
         state = (stacked_params, stacked_stats)
         member_sharded = (0, 1)
     elif strategy == "auxiliary_feat":
@@ -402,14 +412,15 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                 "names only the frozen segmenter")
         segm_model, segm_params, segm_stats = _load_model_state(
             config.others["model_dir"], config.others["test_at"], input_shape,
-            provide_features=True, dtype=dtype)
+            provide_features=True, dtype=dtype, fast_decoder=fast_decoder)
         model, post_params, post_stats = _load_model_state(
-            config.model_dir, test_at, input_shape, dtype=dtype)
+            config.model_dir, test_at, input_shape, dtype=dtype,
+            fast_decoder=fast_decoder)
         state = (segm_params, segm_stats, post_params, post_stats)
     else:
-        model, params, batch_stats = _load_model_state(config.model_dir,
-                                                       test_at, input_shape,
-                                                       dtype=dtype)
+        model, params, batch_stats = _load_model_state(
+            config.model_dir, test_at, input_shape, dtype=dtype,
+            fast_decoder=fast_decoder)
         state = (params, batch_stats)
 
     # host-side input cast: under a compute-dtype override the model's first

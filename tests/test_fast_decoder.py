@@ -1,0 +1,64 @@
+"""fast_decoder production parity gate.
+
+``evaluate_direct(..., fast_decoder=True)`` runs the U-Net with
+``split_decoder_concat`` + ``fused_upsample`` (models/unet.py): the decoder
+never materializes the skip concats or the 4x-size upsampled activations,
+with a param tree bit-identical to the plain model (any checkpoint loads).
+Numerics differ only in accumulation order, so the gate is the same bar the
+bf16 compute dtype rides (BASELINE.json "ECE/Dice parity to 1e-3"):
+
+- f32 + fast_decoder must match plain f32 per-subject ECE/Dice within 1e-4
+  (accumulation-order-only deltas are ~1e-6; the margin covers platforms);
+- bf16 + fast_decoder (the production-candidate combination) must match
+  plain f32 within the production 1e-3 gate — exactly what
+  tests/test_bf16_parity.py certifies for bf16 alone.
+"""
+import pytest
+
+from rcu_tpu import strategies
+from rcu_tpu.data.split import save_split
+from rcu_tpu.eval.direct import evaluate_direct
+from tests.test_bf16_parity import GATE, assert_gate
+from tests.test_strategies import base_test_cfg, base_train_cfg, make_store
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("fastdec")
+    store = make_store(str(tmp_path / "ds.h5"), nb_subjects=3, nb_slices=8,
+                       hw=(32, 32), channels=4)
+    split_file = str(tmp_path / "split.json")
+    save_split(split_file, ["s00"], ["s01"], ["s02"])
+    loop = strategies.train_default(base_train_cfg(
+        tmp_path, store, split_file, name="fastdec_mc", epochs=3,
+        model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                        "nb_classes": 2, "start_filters": 8}}))
+    return tmp_path, store, split_file, loop.model_files.model_dir
+
+
+class TestFastDecoderGate:
+    def _cfg(self, env):
+        tmp0, store, split_file, model_dir = env
+        cfg = base_test_cfg(tmp0, store, split_file, model_dir,
+                            others={"mc": 5}, name="fastdec_t")
+        cfg.test_data.batch_size = 8
+        return cfg
+
+    def test_f32_parity(self, env, tmp_path):
+        cfg = self._cfg(env)
+        base_dir, fast_dir = str(tmp_path / "base"), str(tmp_path / "fast")
+        evaluate_direct(cfg, base_dir, run_id="mc", masked=False)
+        evaluate_direct(cfg, fast_dir, run_id="mc", masked=False,
+                        fast_decoder=True)
+        assert_gate(base_dir, fast_dir, "eval_calibration_mc.csv", gate=1e-4)
+
+    def test_bf16_fast_decoder_production_gate(self, env, tmp_path):
+        cfg = self._cfg(env)
+        base_dir = str(tmp_path / "f32_base")
+        fast_dir = str(tmp_path / "bf16_fast")
+        evaluate_direct(cfg, base_dir, run_id="mc", masked=False)
+        evaluate_direct(cfg, fast_dir, run_id="mc", masked=False,
+                        dtype="bfloat16", fast_decoder=True)
+        assert_gate(base_dir, fast_dir, "eval_calibration_mc.csv", gate=GATE)
