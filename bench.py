@@ -60,7 +60,8 @@ THRESHOLDS = [0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95]
 V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def _build(dtype: str = None, mesh=None, artifacts: bool = True):
+def _build(dtype: str = None, mesh=None, artifacts: bool = True,
+           fast_decoder: bool = False):
     """Model + (replicated) params + the one-dispatch fused volume program
     (rcu_tpu.eval.pipeline: scan over slice batches + eval reductions)."""
     import jax.numpy as jnp
@@ -71,6 +72,11 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True):
                   dropout=0.05)
     if dtype:
         kwargs["dtype"] = dtype
+    if fast_decoder:
+        # concat-free + fused-upsample decoder (same checkpoints; gated at
+        # the production 1e-3 bar by tests/test_fast_decoder.py)
+        kwargs["split_decoder_concat"] = True
+        kwargs["fused_upsample"] = True
     model = get_model("unet", kwargs)
     # init on the host CPU backend (remote-TPU init compiles are slow and
     # contribute nothing to the measurement), then ship params over
@@ -113,7 +119,8 @@ def _flops_per_volume(model, params, batch_stats):
 
 
 def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
-              need_flops: bool = True, artifacts: bool = True):
+              need_flops: bool = True, artifacts: bool = True,
+              fast_decoder: bool = False):
     """Returns (best_vox_per_sec, mean_vox_per_sec, flops_per_volume, ece)."""
     if n_timed_volumes is None:
         # default 3 volumes: enough for a meaningful best/mean split, small
@@ -124,7 +131,8 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
     import jax.numpy as jnp
     import numpy as np
 
-    fused, params, batch_stats, model = _build(dtype, mesh, artifacts)
+    fused, params, batch_stats, model = _build(dtype, mesh, artifacts,
+                                               fast_decoder)
 
     rng = np.random.RandomState(0)
     batched = rng.rand(PAD_SLICES // BATCH, BATCH, H, W, C).astype(np.float32)
@@ -225,11 +233,31 @@ def main():
         headline_config = "staged_f32 (bf16 leg failed)"
         headline_metric = "brats_mc20_staged_eval_f32_voxels_per_sec_per_chip"
         headline_best, headline_mean = staged_best, staged_mean
+    # fast-decoder candidate (concat-free + fused-upsample, same checkpoint
+    # family, gated by tests/test_fast_decoder.py at the same 1e-3 bar):
+    # headline takes it only when it actually beats the plain direct leg
+    fast_best = fast_mean = None
+    try:
+        fast_best, fast_mean, _, _ = bench_tpu(
+            dtype="bfloat16", need_flops=False, artifacts=False,
+            fast_decoder=True)
+    except Exception:
+        pass
+    if fast_best and headline_config == "direct_bf16" \
+            and fast_best > headline_best:
+        headline_best, headline_mean = fast_best, fast_mean
+        headline_config = "direct_bf16_fast_decoder"
+        headline_metric = ("brats_mc20_direct_eval_bf16_fastdec_"
+                           "voxels_per_sec_per_chip")
+
     headline_mfu = None
     if flops:
         # the direct program runs 20 of the staged path's 21 forwards; the
-        # staged fallback keeps all 21, so only discount the direct config
-        forwards = 20.0 / 21.0 if headline_config == "direct_bf16" else 1.0
+        # staged fallback keeps all 21, so only discount the direct configs.
+        # MFU stays in units of the CANONICAL model's analytic FLOPs (the
+        # fast decoder does the same work in fewer instructions).
+        forwards = 20.0 / 21.0 \
+            if headline_config.startswith("direct_bf16") else 1.0
         headline_mfu = flops * forwards \
             * (headline_best / (VOL_SLICES * H * W)) / V5E_BF16_PEAK_FLOPS
 
@@ -268,7 +296,10 @@ def main():
         "mfu": round(headline_mfu, 4) if headline_mfu else None,
         "headline_config": headline_config,
         "parity_gate": "tests/test_bf16_parity.py: MC ECE/Dice <= 1e-3 vs "
-                       "f32 (BASELINE bar); sigma heads stay f32/opt-in",
+                       "f32 (BASELINE bar); sigma heads stay f32/opt-in; "
+                       "fast decoder gated by tests/test_fast_decoder.py",
+        "fast_decoder_bf16_voxels_per_sec": round(fast_best, 1)
+        if fast_best else None,
         "staged_f32_voxels_per_sec": round(staged_best, 1),
         "staged_f32_mean": round(staged_mean, 1),
         "staged_f32_mfu": round(staged_mfu, 4) if staged_mfu else None,
