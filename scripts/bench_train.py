@@ -47,7 +47,7 @@ V5E_BF16_PEAK = 197e12
 V5E_HBM_BYTES_PER_S = 819e9
 
 
-def bench(dtype=None, remat=None):
+def bench(dtype=None, remat=None, fast_decoder=False):
     from rcu_tpu.engine import steps as steps_lib
     from rcu_tpu.engine.state import create_train_state
     from rcu_tpu.models import get_model, get_optimizer
@@ -56,6 +56,12 @@ def bench(dtype=None, remat=None):
                   dropout=0.05)
     if dtype:
         kwargs["dtype"] = dtype
+    if fast_decoder:
+        # concat-free + fused-upsample decoder (models/unet.py): cuts the
+        # concat/upsample activations AND their bwd-pass counterparts out of
+        # the HBM stream — the measured binder for this step
+        kwargs["split_decoder_concat"] = True
+        kwargs["fused_upsample"] = True
     model = get_model("unet", kwargs)
     optimizer = get_optimizer("adam", {"lr": 1e-4})
     state = create_train_state(model, optimizer, (1, H, W, C))
@@ -122,15 +128,18 @@ def main():
     # remat=None is the measured-fastest config; the 'conv' policy leg
     # (save conv outputs, recompute fused elementwise) answers the standard
     # HBM-bound question with a measurement instead of a guess
-    for dtype in (None, "bfloat16"):
-        for remat in (None, "conv"):
-            best_sps, mean_sps, loss, flops, bytes_accessed = bench(dtype,
-                                                                    remat)
+    legs = [(None, None, False), (None, "conv", False),
+            ("bfloat16", None, False), ("bfloat16", "conv", False),
+            (None, None, True), ("bfloat16", None, True)]
+    for dtype, remat, fast_decoder in legs:
+            best_sps, mean_sps, loss, flops, bytes_accessed = bench(
+                dtype, remat, fast_decoder)
             steps_per_sec = best_sps
             row = {
                 "metric": "train_step_voxels_per_sec",
                 "dtype": dtype or "float32",
                 "remat": remat or "none",
+                "fast_decoder": fast_decoder,
                 "value": round(best_sps * B * H * W, 1),
                 "mean_voxels_per_sec": round(mean_sps * B * H * W, 1),
                 "steps_per_sec": round(best_sps, 3),

@@ -13,6 +13,7 @@ bf16 compute dtype rides (BASELINE.json "ECE/Dice parity to 1e-3"):
   plain f32 within the production 1e-3 gate — exactly what
   tests/test_bf16_parity.py certifies for bf16 alone.
 """
+import numpy as np
 import pytest
 
 from rcu_tpu import strategies
@@ -62,3 +63,28 @@ class TestFastDecoderGate:
         evaluate_direct(cfg, fast_dir, run_id="mc", masked=False,
                         dtype="bfloat16", fast_decoder=True)
         assert_gate(base_dir, fast_dir, "eval_calibration_mc.csv", gate=GATE)
+
+
+class TestConfigLevelTrainingOptIn:
+    def test_train_and_eval_with_fast_decoder_config(self, tmp_path):
+        """Config-level opt-in: model params carry the two flags straight
+        into UNet(**params) (models/registry.get_model), the train step
+        differentiates the split/fused convs, the checkpoint records the
+        flags, and the direct eval reloads the model with them on."""
+        store = make_store(str(tmp_path / "ds.h5"), nb_subjects=3,
+                           nb_slices=8, hw=(32, 32), channels=4)
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        loop = strategies.train_default(base_train_cfg(
+            tmp_path, store, split_file, name="fastdec_train", epochs=2,
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                            "nb_classes": 2, "start_filters": 8,
+                            "split_decoder_concat": True,
+                            "fused_upsample": True}}))
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            loop.model_files.model_dir,
+                            others={"mc": 3}, name="fastdec_train_t")
+        cfg.test_data.batch_size = 8
+        out = str(tmp_path / "eval")
+        eces = evaluate_direct(cfg, out, run_id="mc", masked=False)
+        assert eces and all(np.isfinite(v) for v in eces.values())
