@@ -41,7 +41,7 @@ if BIN_DIR not in sys.path:
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          host="0.0.0.0", port=8475, prewarm=None, members=None,
          is_log_sigma=None, dtype=None, segm_model_dir=None,
-         aux_segm=False, throughput=False):
+         aux_segm=False, throughput=False, fast_decoder=False):
     import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
@@ -60,7 +60,8 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
                                      is_log_sigma=is_log_sigma, dtype=dtype,
                                      segm_model_dir=segm_model_dir,
                                      aux_segm=aux_segm,
-                                     subject_parallel=throughput)
+                                     subject_parallel=throughput,
+                                     fast_decoder=fast_decoder)
     if prewarm:
         import numpy as np
         in_ch = service.in_channels  # resolved from model.json at init
@@ -117,6 +118,10 @@ if __name__ == "__main__":
     parser.add_argument("-aux_segm", action="store_true",
                         help="auxiliary-segm error net: requests must carry "
                              "a 'baseline' prediction volume")
+    parser.add_argument("-fast_decoder", action="store_true",
+                        help="concat-free + fused-upsample U-Net decoder "
+                             "(same checkpoints; gated at the production "
+                             "1e-3 bar by tests/test_fast_decoder.py)")
     parser.add_argument("-throughput", action="store_true",
                         help="with -devices N: replicate the model per "
                              "device and run concurrent requests on "
@@ -127,4 +132,4 @@ if __name__ == "__main__":
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
          args.devices, args.host, args.port, args.prewarm, args.member,
          args.is_log_sigma, args.dtype, args.segm_model_dir, args.aux_segm,
-         args.throughput)
+         args.throughput, args.fast_decoder)

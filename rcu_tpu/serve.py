@@ -102,7 +102,8 @@ class VolumeInferenceService:
                  members: list = None, is_log_sigma: bool = None,
                  max_programs: int = 32, dtype: str = None,
                  segm_model_dir: str = None, aux_segm: bool = False,
-                 subject_parallel: bool = False):
+                 subject_parallel: bool = False,
+                 fast_decoder: bool = False):
         from rcu_tpu.engine import checkpoint as ckpt_lib
         from rcu_tpu.eval.direct import _load_model_state
         self.model_dir = model_dir
@@ -123,7 +124,8 @@ class VolumeInferenceService:
         self.in_channels = int(model_node.params.get("in_channels", 4))
         probe = (1, 16, 16, self.in_channels)
         self.model, params, batch_stats = _load_model_state(
-            model_dir, test_at, probe, dtype=dtype)
+            model_dir, test_at, probe, dtype=dtype,
+            fast_decoder=fast_decoder)
         self.members = list(members or [])
         self.segm_model = None
         member_sharded = False
@@ -136,7 +138,8 @@ class VolumeInferenceService:
             stacks = [(params, batch_stats)]
             for member_dir in self.members:
                 _, p, bs = _load_model_state(member_dir, test_at, probe,
-                                             dtype=dtype)
+                                             dtype=dtype,
+                                             fast_decoder=fast_decoder)
                 stacks.append((p, bs))
             state = (stack_states([s[0] for s in stacks]),
                      stack_states([s[1] for s in stacks]))
@@ -147,7 +150,7 @@ class VolumeInferenceService:
             self.strategy = "auxiliary_feat"
             self.segm_model, segm_params, segm_stats = _load_model_state(
                 segm_model_dir, test_at, probe, provide_features=True,
-                dtype=dtype)
+                dtype=dtype, fast_decoder=fast_decoder)
             self.in_channels = int(getattr(self.segm_model, "in_channels",
                                            self.in_channels))
             state = (segm_params, segm_stats, params, batch_stats)

@@ -112,6 +112,19 @@ class TestService:
         np.testing.assert_allclose(a["probabilities"], fg, rtol=1e-5,
                                    atol=1e-6)
 
+    def test_fast_decoder_service_matches(self, service):
+        """fast_decoder serves the same checkpoint through the concat-free
+        + fused-upsample decoder; deterministic (mc=0) probabilities must
+        match the plain service to accumulation precision."""
+        plain = VolumeInferenceService(service.model_dir, mc=0, batch_size=2)
+        fast = VolumeInferenceService(service.model_dir, mc=0, batch_size=2,
+                                      fast_decoder=True)
+        volume = np.random.RandomState(13).rand(2, *HW, 4).astype(np.float32)
+        a = plain.predict(volume)
+        b = fast.predict(volume)
+        np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                                   rtol=1e-5, atol=1e-6)
+
     def test_per_image_scoring_matches_per_request(self, service):
         """per_image=True scores K independent images in ONE dispatch; each
         row must equal a separate single-image scored request exactly
