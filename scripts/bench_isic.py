@@ -62,12 +62,17 @@ V5E_BF16_PEAK_FLOPS = 197e12
 VOX = H * W
 
 
-def _model(dtype):
+def _model(dtype, fast_decoder=False):
     from rcu_tpu.models import get_model
     kwargs = dict(nb_classes=2, in_channels=C, depth=4, start_filters=32,
                   dropout=0.05)
     if dtype:
         kwargs["dtype"] = dtype
+    if fast_decoder:
+        # concat-free + fused-upsample decoder (models/unet.py; gated by
+        # tests/test_fast_decoder.py at the production 1e-3 bar)
+        kwargs["split_decoder_concat"] = True
+        kwargs["fused_upsample"] = True
     model = get_model("unet", kwargs)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -99,10 +104,11 @@ def _sync(x):
     return float(jnp.sum(x))  # value fetch = the only reliable remote sync
 
 
-def bench_chunk_scan(dtype=None, n_rounds=3, eval_reductions=True):
+def bench_chunk_scan(dtype=None, n_rounds=3, eval_reductions=True,
+                     fast_decoder=False):
     """G chunks per dispatch. Returns (best img/s, mean img/s, flops/img)."""
     from rcu_tpu.eval import pipeline as pl
-    model, params, batch_stats = _model(dtype)
+    model, params, batch_stats = _model(dtype, fast_decoder)
     rng = np.random.RandomState(0)
     images = jax.device_put(rng.rand(G * K, H, W, C).astype(np.float32))
     targets = jax.device_put((rng.rand(G * K, H, W) < 0.3).astype(np.uint8))
@@ -252,6 +258,16 @@ def main():
             "mvox_per_sec": round(best * VOX / 1e6, 3),
             "mfu": round(mfu, 4) if mfu else None,
             "chunk": K, "chunks_per_dispatch": G, "image": [H, W, C]}))
+
+        fd_best, fd_mean, _ = bench_chunk_scan(dtype, fast_decoder=True)
+        rows[(name, "chunk_scan_fastdec")] = fd_best
+        print(json.dumps({
+            "metric": "isic_mc20_chunk_scan_fastdec_images_per_sec",
+            "dtype": name, "value": round(fd_best, 2),
+            "mean": round(fd_mean, 2),
+            "mvox_per_sec": round(fd_best * VOX / 1e6, 3),
+            "note": "concat-free + fused-upsample decoder "
+                    "(tests/test_fast_decoder.py gate)"}))
 
         ne_best, ne_mean, _ = bench_chunk_scan(dtype, eval_reductions=False)
         rows[(name, "noeval_scan")] = ne_best

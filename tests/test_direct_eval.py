@@ -175,6 +175,34 @@ class TestDirectEval:
                         except ValueError:
                             assert v1 == v2, (mode, name, v1, v2)
 
+    def test_fast_decoder_mesh_matches_single_device(self, trained,
+                                                     tmp_path):
+        """The fast decoder's split/dilated convs must survive GSPMD
+        sharding: a latency-mode mesh run with fast_decoder=True produces
+        the same CSVs as the single-device fast_decoder run (this repo has
+        had a GSPMD miscompile on member-sharded paths before — sharding
+        coverage is not optional for new conv forms)."""
+        single_dir = str(tmp_path / "fast_single")
+        cfg = self._cfg(trained, "d2")
+        evaluate_direct(cfg, single_dir, run_id="baseline", mc=3,
+                        masked=False, fast_decoder=True)
+        mesh_dir = str(tmp_path / "fast_mesh")
+        evaluate_direct(cfg, mesh_dir, run_id="baseline", mc=3, masked=False,
+                        fast_decoder=True,
+                        mesh=mesh_lib.make_mesh(n_devices=2))
+        for name in sorted(os.listdir(single_dir)):
+            h1, b1 = read_csv(os.path.join(single_dir, name))
+            h2, b2 = read_csv(os.path.join(mesh_dir, name))
+            assert h1 == h2, name
+            assert len(b1) == len(b2), name
+            for r1, r2 in zip(b1, b2):
+                for v1, v2 in zip(r1, r2):
+                    try:
+                        np.testing.assert_allclose(
+                            float(v1), float(v2), rtol=1e-4, atol=1e-6)
+                    except ValueError:
+                        assert v1 == v2, (name, v1, v2)
+
     def test_latency_mesh_pads_indivisible_batch(self, trained, tmp_path):
         """Latency mode shards the batch axis, so an indivisible batch size
         (e.g. the forced batch of 1 on native-2D datasets) must be rounded up
