@@ -66,7 +66,7 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True,
     (rcu_tpu.eval.pipeline: scan over slice batches + eval reductions)."""
     import jax.numpy as jnp
     from rcu_tpu.eval import pipeline
-    from rcu_tpu.models import get_model
+    from rcu_tpu.models import FAST_DECODER_KWARGS, get_model
 
     kwargs = dict(nb_classes=2, in_channels=4, depth=4, start_filters=32,
                   dropout=0.05)
@@ -75,8 +75,7 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True,
     if fast_decoder:
         # concat-free + fused-upsample decoder (same checkpoints; gated at
         # the production 1e-3 bar by tests/test_fast_decoder.py)
-        kwargs["split_decoder_concat"] = True
-        kwargs["fused_upsample"] = True
+        kwargs.update(FAST_DECODER_KWARGS)
     model = get_model("unet", kwargs)
     # init on the host CPU backend (remote-TPU init compiles are slow and
     # contribute nothing to the measurement), then ship params over
@@ -237,12 +236,15 @@ def main():
     # family, gated by tests/test_fast_decoder.py at the same 1e-3 bar):
     # headline takes it only when it actually beats the plain direct leg
     fast_best = fast_mean = None
+    fast_error = None
     try:
         fast_best, fast_mean, _, _ = bench_tpu(
             dtype="bfloat16", need_flops=False, artifacts=False,
             fast_decoder=True)
-    except Exception:
-        pass
+    except Exception as e:
+        # a crashed candidate must stay distinguishable from "leg not run":
+        # surface the failure in the JSON instead of silently nulling it
+        fast_error = f"{type(e).__name__}: {e}"
     if fast_best and headline_config == "direct_bf16" \
             and fast_best > headline_best:
         headline_best, headline_mean = fast_best, fast_mean
@@ -269,6 +271,9 @@ def main():
         pass
 
     per_chip = {}
+    # the mesh legs must run the SAME program configuration as the headline
+    # key "1" records, or per_chip scaling efficiency mixes decoders
+    fast_won = headline_config == "direct_bf16_fast_decoder"
     for n in _chip_counts():
         if n == 1:
             per_chip["1"] = round(headline_best, 1)
@@ -277,7 +282,8 @@ def main():
             from rcu_tpu.parallel import mesh as mesh_lib
             m = mesh_lib.make_mesh(n_devices=n)
             nb, _, _, _ = bench_tpu(mesh=m, dtype="bfloat16",
-                                    need_flops=False, artifacts=False)
+                                    need_flops=False, artifacts=False,
+                                    fast_decoder=fast_won)
             per_chip[str(n)] = round(nb, 1)
         except Exception:
             break
@@ -300,6 +306,7 @@ def main():
                        "fast decoder gated by tests/test_fast_decoder.py",
         "fast_decoder_bf16_voxels_per_sec": round(fast_best, 1)
         if fast_best else None,
+        "fast_decoder_error": fast_error,
         "staged_f32_voxels_per_sec": round(staged_best, 1),
         "staged_f32_mean": round(staged_mean, 1),
         "staged_f32_mfu": round(staged_mfu, 4) if staged_mfu else None,

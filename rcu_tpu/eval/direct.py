@@ -46,7 +46,7 @@ from rcu_tpu.engine.state import init_variables
 from rcu_tpu.eval import hooks as ev_hooks
 from rcu_tpu.eval import pipeline as pl
 from rcu_tpu.eval.actions import CORRECTION_KEYS, csv_value
-from rcu_tpu.models import get_model
+from rcu_tpu.models import FAST_DECODER_KWARGS, get_model
 
 DEFAULT_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
@@ -81,8 +81,7 @@ def _load_model_state(model_dir: str, test_at, input_shape,
         # param tree, so any unet checkpoint loads; numerics differ only in
         # accumulation order (same opt-in bar as the bf16 compute dtype).
         # Non-unet models (PostNet) have no decoder — silently unaffected.
-        params_dict["split_decoder_concat"] = True
-        params_dict["fused_upsample"] = True
+        params_dict.update(FAST_DECODER_KWARGS)
     model = get_model(model_node.type, params_dict)
     path = ckpt_lib.find_checkpoint_file(mf, test_at)
     if path is None:

@@ -26,6 +26,7 @@ import typing
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
@@ -214,11 +215,13 @@ def _upsample_nearest_2x(x):
 
 # conv3x3(nearest_up_2x(x)) == conv4x4(zero_stuff_2x(x)) with the 4x4 kernel
 # = the 3x3 kernel correlated with a 2x2 box (nearest_up = box2 * zero_stuff,
-# so the box folds into the kernel). Rows/cols combine as k4 = A k3 A^T:
-_UPSAMPLE_FOLD = jnp.array([[1., 0., 0.],
-                            [1., 1., 0.],
-                            [0., 1., 1.],
-                            [0., 0., 1.]])
+# so the box folds into the kernel). Rows/cols combine as k4 = A k3 A^T.
+# Kept as a host (numpy) constant: a jnp.array here would initialize the
+# backend — over this image's remote-TPU tunnel — at import time.
+_UPSAMPLE_FOLD = np.array([[1., 0., 0.],
+                           [1., 1., 0.],
+                           [0., 1., 1.],
+                           [0., 0., 1.]])
 
 
 def _fused_upsample_conv(x, kernel, bias, dtype):
@@ -251,6 +254,13 @@ def _pad_to(up, target_hw):
                         (h_diff // 2, h_diff // 2 + h_diff % 2),
                         (w_diff // 2, w_diff // 2 + w_diff % 2),
                         (0, 0)))
+
+
+# The production "fast decoder" bundle: the checkpoint-compatible decoder
+# rewrites that every surface (direct eval, serving, benches) enables
+# together. Single-sourced so adding a third flag can't silently desync one
+# of the opt-in sites from what production serves.
+FAST_DECODER_KWARGS = {"split_decoder_concat": True, "fused_upsample": True}
 
 
 class UNet(nn.Module):

@@ -63,7 +63,7 @@ VOX = H * W
 
 
 def _model(dtype, fast_decoder=False):
-    from rcu_tpu.models import get_model
+    from rcu_tpu.models import FAST_DECODER_KWARGS, get_model
     kwargs = dict(nb_classes=2, in_channels=C, depth=4, start_filters=32,
                   dropout=0.05)
     if dtype:
@@ -71,8 +71,7 @@ def _model(dtype, fast_decoder=False):
     if fast_decoder:
         # concat-free + fused-upsample decoder (models/unet.py; gated by
         # tests/test_fast_decoder.py at the production 1e-3 bar)
-        kwargs["split_decoder_concat"] = True
-        kwargs["fused_upsample"] = True
+        kwargs.update(FAST_DECODER_KWARGS)
     model = get_model("unet", kwargs)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

@@ -50,7 +50,7 @@ V5E_HBM_BYTES_PER_S = 819e9
 def bench(dtype=None, remat=None, fast_decoder=False):
     from rcu_tpu.engine import steps as steps_lib
     from rcu_tpu.engine.state import create_train_state
-    from rcu_tpu.models import get_model, get_optimizer
+    from rcu_tpu.models import FAST_DECODER_KWARGS, get_model, get_optimizer
 
     kwargs = dict(nb_classes=2, in_channels=C, depth=4, start_filters=32,
                   dropout=0.05)
@@ -60,8 +60,7 @@ def bench(dtype=None, remat=None, fast_decoder=False):
         # concat-free + fused-upsample decoder (models/unet.py): cuts the
         # concat/upsample activations AND their bwd-pass counterparts out of
         # the HBM stream — the measured binder for this step
-        kwargs["split_decoder_concat"] = True
-        kwargs["fused_upsample"] = True
+        kwargs.update(FAST_DECODER_KWARGS)
     model = get_model("unet", kwargs)
     optimizer = get_optimizer("adam", {"lr": 1e-4})
     state = create_train_state(model, optimizer, (1, H, W, C))
@@ -132,45 +131,45 @@ def main():
             ("bfloat16", None, False), ("bfloat16", "conv", False),
             (None, None, True), ("bfloat16", None, True)]
     for dtype, remat, fast_decoder in legs:
-            best_sps, mean_sps, loss, flops, bytes_accessed = bench(
-                dtype, remat, fast_decoder)
-            steps_per_sec = best_sps
-            row = {
-                "metric": "train_step_voxels_per_sec",
-                "dtype": dtype or "float32",
-                "remat": remat or "none",
-                "fast_decoder": fast_decoder,
-                "value": round(best_sps * B * H * W, 1),
-                "mean_voxels_per_sec": round(mean_sps * B * H * W, 1),
-                "steps_per_sec": round(best_sps, 3),
-                "batch": [B, H, W, C],
-                "loss": round(loss, 5),
-            }
-            if flops:
-                achieved = flops * steps_per_sec
-                conv_roof = V5E_BF16_PEAK / (3 if dtype is None else 1)
-                pct_conv = 100 * achieved / conv_roof
-                pct_hbm = pct_hbm_practical = None
-                if bytes_accessed:
-                    achieved_bytes = bytes_accessed * steps_per_sec
-                    pct_hbm = 100 * achieved_bytes / V5E_HBM_BYTES_PER_S
-                    if hbm_practical:
-                        pct_hbm_practical = 100 * achieved_bytes \
-                            / hbm_practical
-                bound = pct_hbm_practical if pct_hbm_practical else pct_hbm
-                row.update({
-                    "step_tflops": round(flops / 1e12, 2),
-                    "mfu": round(achieved / V5E_BF16_PEAK, 4),
-                    "pct_of_conv_roof": round(pct_conv, 1),
-                    "pct_of_hbm_nominal": round(pct_hbm, 1)
-                    if pct_hbm else None,
-                    "pct_of_hbm_practical": round(pct_hbm_practical, 1)
-                    if pct_hbm_practical else None,
-                    "binding_roof": "conv-compute"
-                    if (bound is None or pct_conv >= bound)
-                    else "hbm-bandwidth",
-                })
-            print(json.dumps(row))
+        best_sps, mean_sps, loss, flops, bytes_accessed = bench(
+            dtype, remat, fast_decoder)
+        steps_per_sec = best_sps
+        row = {
+            "metric": "train_step_voxels_per_sec",
+            "dtype": dtype or "float32",
+            "remat": remat or "none",
+            "fast_decoder": fast_decoder,
+            "value": round(best_sps * B * H * W, 1),
+            "mean_voxels_per_sec": round(mean_sps * B * H * W, 1),
+            "steps_per_sec": round(best_sps, 3),
+            "batch": [B, H, W, C],
+            "loss": round(loss, 5),
+        }
+        if flops:
+            achieved = flops * steps_per_sec
+            conv_roof = V5E_BF16_PEAK / (3 if dtype is None else 1)
+            pct_conv = 100 * achieved / conv_roof
+            pct_hbm = pct_hbm_practical = None
+            if bytes_accessed:
+                achieved_bytes = bytes_accessed * steps_per_sec
+                pct_hbm = 100 * achieved_bytes / V5E_HBM_BYTES_PER_S
+                if hbm_practical:
+                    pct_hbm_practical = 100 * achieved_bytes \
+                        / hbm_practical
+            bound = pct_hbm_practical if pct_hbm_practical else pct_hbm
+            row.update({
+                "step_tflops": round(flops / 1e12, 2),
+                "mfu": round(achieved / V5E_BF16_PEAK, 4),
+                "pct_of_conv_roof": round(pct_conv, 1),
+                "pct_of_hbm_nominal": round(pct_hbm, 1)
+                if pct_hbm else None,
+                "pct_of_hbm_practical": round(pct_hbm_practical, 1)
+                if pct_hbm_practical else None,
+                "binding_roof": "conv-compute"
+                if (bound is None or pct_conv >= bound)
+                else "hbm-bandwidth",
+            })
+        print(json.dumps(row))
 
 
 if __name__ == "__main__":

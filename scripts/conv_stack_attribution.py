@@ -339,6 +339,12 @@ if __name__ == "__main__":
     parser.add_argument("--fused-upsample", action="store_true",
                         help="run --forward with fused_upsample=True")
     args = parser.parse_args()
+    if (args.split_decoder or args.fused_upsample) \
+            and (args.widen or args.boundary):
+        # these flags only parameterize the forward leg; a 20-300 s remote
+        # measurement must not be silently attributed to the wrong variant
+        parser.error("--split-decoder/--fused-upsample only apply to the "
+                     "forward leg (use them with --forward or no leg flag)")
     if args.widen:
         run_widen(args.dtype)
     elif args.boundary:
@@ -348,4 +354,5 @@ if __name__ == "__main__":
                     fused_upsample=args.fused_upsample)
     else:
         run_ops(args.dtype)
-        run_forward(args.dtype)
+        run_forward(args.dtype, split_decoder=args.split_decoder,
+                    fused_upsample=args.fused_upsample)
