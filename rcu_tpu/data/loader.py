@@ -31,13 +31,24 @@ class SliceBatchLoader:
                  categories=("images", "labels"), shuffle: bool = False,
                  seed: int = 0, drop_remainder: bool = False,
                  transform=None, indexing=None, num_workers: int = 0,
-                 shard: typing.Optional[typing.Tuple[int, int]] = None):
+                 shard: typing.Optional[typing.Tuple[int, int]] = None,
+                 shuffle_chunk: int = 0):
         self.dataset = dataset
         self.indexing = indexing  # owns index->array extraction when given
         self.indices = list(indices)
         self.batch_size = batch_size
         self.categories = tuple(categories)
         self.shuffle = shuffle
+        if shuffle_chunk < 0:
+            raise ValueError(f"shuffle_chunk must be >= 0, got {shuffle_chunk}")
+        # chunked shuffle (opt-in): the epoch order is built from shuffled
+        # CHUNKS of `shuffle_chunk` consecutive indices instead of a uniform
+        # permutation. Each chunk stays in ascending order, so the direct
+        # collate's run-coalescer reads one HDF5 range per chunk — shuffled
+        # epochs keep near-unshuffled read speed (scripts/bench_loader.py)
+        # at chunk-granular randomness (the tf.data-style locality/
+        # randomness trade; 0/1 = exact uniform shuffle, the default).
+        self.shuffle_chunk = int(shuffle_chunk)
         self.seed = seed
         self.drop_remainder = drop_remainder
         self.transform = transform
@@ -80,7 +91,7 @@ class SliceBatchLoader:
         return self._pool
 
     def __len__(self):
-        n = len(self._order(np.arange(len(self.indices))))
+        n = len(self._epoch_order())
         if self.drop_remainder:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -105,6 +116,41 @@ class SliceBatchLoader:
         """Reseed shuffling per epoch (reference reseeds seed+epoch, loops.py:149-151)."""
         self._epoch = epoch
 
+    def _epoch_order(self):
+        """This epoch's item order: shuffle (uniform or chunked) + shard."""
+        order = np.arange(len(self.indices))
+        c = self.shuffle_chunk
+        if self.shuffle and c > 1:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            n_full = len(order) // c
+            chunks = [order[k * c:(k + 1) * c] for k in range(n_full)]
+            tail = order[n_full * c:]
+            if self.shard is None:
+                if len(tail):
+                    chunks.append(tail)
+                if not chunks:
+                    return order  # empty index list
+                perm = rng.permutation(len(chunks))
+                return np.concatenate([chunks[k] for k in perm])
+            # shard at CHUNK granularity: striding rows (as the uniform path
+            # does) would break every run the chunked order exists to keep.
+            # Hosts take disjoint full chunks from the same shuffled chunk
+            # order and truncate to the common count, so every host runs the
+            # same number of lockstep batches; the ragged tail chunk (< c
+            # items) is dropped, mirroring the uniform path's truncation of
+            # up to n_shards-1 items.
+            shard_id, n_shards = self.shard
+            perm = rng.permutation(n_full)
+            n_per = n_full // n_shards
+            mine = perm[shard_id::n_shards][:n_per]
+            if n_per == 0:
+                return order[:0]
+            return np.concatenate([chunks[k] for k in mine])
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        return self._order(order)  # per-host shard of the epoch order
+
     def _read(self, subject_idx: int, slice_idx: int) -> dict:
         subject = self.dataset.subjects[subject_idx]
         out = {}
@@ -125,9 +171,9 @@ class SliceBatchLoader:
         ``read_direct`` straight into the batch array (no per-item array,
         no stack copy) — measured ~2x over the copying path on the BraTS
         slice workload (unshuffled ~175 Mvox/s single-core vs the copying
-        path's ~84; shuffled ~100); the lever that lifts the single-core
-        host feed past the 8-chip training demand
-        (scripts/bench_loader.py). Engages when there is no transform and
+        path's ~84; uniform-shuffled ~100, back to ~160+ with the chunked
+        shuffle); the lever that lifts the single-core host feed past the
+        8-chip training demand (scripts/bench_loader.py). Engages when there is no transform and
         indexing is plain slices (production BraTS training: the
         torch-layout transforms are recognized no-ops and collapse to
         ``transform=None``). Returns None on any shape/dtype mismatch so
@@ -168,11 +214,7 @@ class SliceBatchLoader:
         return batch
 
     def __iter__(self):
-        order = np.arange(len(self.indices))
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self._epoch)
-            rng.shuffle(order)
-        order = self._order(order)  # per-host shard of the epoch order
+        order = self._epoch_order()
         bs = self.batch_size
         for start in range(0, len(order), bs):
             chunk = order[start:start + bs]

@@ -81,6 +81,10 @@ class DataConfiguration:
     selection_strategy: ParametricNode = None
     selection_extractor: ParametricNode = None
     shuffle: bool = True
+    # chunked-shuffle opt-in (SliceBatchLoader.shuffle_chunk): 0/1 keeps
+    # the reference's exact uniform shuffle; >1 trades chunk-granular
+    # randomness for coalesced shuffled reads (multi-chip feed headroom)
+    shuffle_chunk: int = 0
     direct_extractor: list = None
     direct_transform: list = None
     others: dict = dataclasses.field(default_factory=dict)
@@ -93,6 +97,7 @@ class DataConfiguration:
         cfg.batch_size = d.pop("batch_size", cfg.batch_size)
         cfg.num_workers = d.pop("num_workers", cfg.num_workers)
         cfg.shuffle = d.pop("shuffle", cfg.shuffle)
+        cfg.shuffle_chunk = d.pop("shuffle_chunk", cfg.shuffle_chunk)
         cfg.extractor = ParametricNode.parse_list(d.pop("extractor", None))
         cfg.transform = ParametricNode.parse_list(d.pop("transform", None))
         for single in ("indexing", "selection_strategy", "selection_extractor"):
@@ -109,6 +114,8 @@ class DataConfiguration:
             "dataset": self.dataset, "batch_size": self.batch_size,
             "num_workers": self.num_workers, "shuffle": self.shuffle,
         }
+        if self.shuffle_chunk:
+            out["shuffle_chunk"] = self.shuffle_chunk
         for key in ("extractor", "transform", "indexing", "selection_strategy",
                     "selection_extractor", "direct_extractor", "direct_transform"):
             value = getattr(self, key)

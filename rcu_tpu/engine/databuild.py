@@ -165,7 +165,8 @@ def build_data(data_config: DataConfiguration, subjects=None, seed: int = 0,
         batch_size=batch_size or data_config.batch_size,
         categories=tuple(dataset.categories()),
         shuffle=data_config.shuffle, seed=seed, transform=transform,
-        indexing=indexing, num_workers=data_config.num_workers)
+        indexing=indexing, num_workers=data_config.num_workers,
+        shuffle_chunk=data_config.shuffle_chunk)
     return Data(dataset=dataset, loader=loader, nb_batches=len(loader))
 
 

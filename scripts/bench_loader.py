@@ -21,9 +21,14 @@ The target this answers (VERDICT r3 #4): 8-chip data-parallel bf16 training
 consumes ~8 x 17.4 = ~139 Mvox/s. A v5e-8 host carries >= 100 vCPUs in
 production; THIS image has 1, so the question is the per-core rate times
 cores available. Measured here (page-cached store, SINGLE core): unshuffled
-direct collate ~175 Mvox/s = ~126% of the full 8-chip demand; shuffled
-~100 Mvox/s (runs degenerate to per-row reads) = 72% — covered either by a
-second host shard (per-host demand halves) or a second reader core.
+direct collate ~155-175 Mvox/s = ~111-126% of the full 8-chip demand;
+uniform shuffled ~87-100 Mvox/s (runs degenerate to per-row reads) =
+62-72%. The CHUNKED shuffle closes that gap on one core: shuffle_chunk=8
+measures ~158 Mvox/s (114% of demand) and =32 ~168 (120%) — shuffled
+epochs at unshuffled read speed, randomness at chunk grain (one ranged
+read per chunk). Uniform shuffle stays the default (exact reference
+semantics); chunked is the opt-in for feed-bound multi-chip training,
+alongside host shards (per-host demand divides) and reader cores.
 """
 import json
 import os
@@ -85,6 +90,22 @@ def main():
             print(json.dumps({
                 "metric": "loader_batches_per_sec", "collate": "direct",
                 "shuffle": shuffle,
+                "value": round(bps, 2), "batch": [BATCH, H, W, C],
+                "mvox_per_sec": round(mvox, 1),
+                "pct_of_8chip_demand": round(
+                    100 * mvox / DEMAND_8CHIP_MVOX_S, 1),
+            }))
+
+        # chunked shuffle: epoch order = shuffled CHUNKS of c consecutive
+        # slices, one ranged read per chunk — the opt-in that keeps shuffled
+        # epochs at near-unshuffled read speed (randomness at chunk grain)
+        for c in (8, 32):
+            bps = _rate(SliceBatchLoader(dataset, items, batch_size=BATCH,
+                                         shuffle=True, shuffle_chunk=c))
+            mvox = bps * vox_per_batch / 1e6
+            print(json.dumps({
+                "metric": "loader_batches_per_sec", "collate": "direct",
+                "shuffle": True, "shuffle_chunk": c,
                 "value": round(bps, 2), "batch": [BATCH, H, W, C],
                 "mvox_per_sec": round(mvox, 1),
                 "pct_of_8chip_demand": round(
