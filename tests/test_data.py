@@ -372,6 +372,15 @@ class TestLoader:
             for k in fb:
                 assert fb[k].dtype == sb[k].dtype
                 np.testing.assert_array_equal(fb[k], sb[k])
+        # selection-filtered index lists have z-gaps inside chunks: the
+        # coalescer just splits runs at the gaps — bit-equality must hold
+        gappy = [it for j, it in enumerate(idx) if j % 3 != 1]
+        fast_g = loader.SliceBatchLoader(ds, gappy, **kw)
+        slow_g = loader.SliceBatchLoader(ds, gappy, transform=lambda d: d,
+                                         **kw)
+        for fb, sb in zip(fast_g, slow_g):
+            for k in fb:
+                np.testing.assert_array_equal(fb[k], sb[k])
 
     def test_chunked_shuffle_shards_whole_chunks(self, tmp_path):
         """shard + shuffle_chunk: hosts take disjoint FULL chunks (row
