@@ -100,6 +100,58 @@ def measure_practical_hbm(n_elems: int = 128 * 1024 * 1024, steps: int = 600,
     return 2.0 * float(x.size) * 4 * steps / best
 
 
+def measure_practical_ici(mesh=None, axis_name: str = None,
+                          n_elems: int = 16 * 1024 * 1024, steps: int = 60,
+                          rounds: int = 3) -> float:
+    """Measured PRACTICAL per-link ICI bandwidth (bytes/s, one direction).
+
+    The third practical roof next to :func:`measure_practical_hbm` and the
+    practical-MXU matmul (``scripts/bf16_gap_analysis.py --peak``): sharding
+    plans for multi-chip runs need the *achieved* interconnect rate, not the
+    spec sheet's. A ``lax.scan`` ring-``ppermute`` of each device's local
+    f32 shard along ``axis_name``: every step, every device sends its whole
+    shard one hop and receives one, so per-link one-direction bytes/s =
+    ``shard_bytes * steps / time`` (a tiny multiply keeps the chain live).
+    One dispatch per round — tunnel-RTT-safe like the HBM measurer.
+
+    Only meaningful on real multi-chip hardware (on the virtual CPU mesh it
+    measures host memcpy); ``tests/test_parallel.py`` pins the mechanics.
+    """
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    if mesh is None:
+        mesh = Mesh(jax.devices(), ("data",))
+    axis_name = axis_name or mesh.axis_names[-1]
+    n = mesh.shape[axis_name]
+    if n < 2:
+        raise ValueError(f"mesh axis {axis_name!r} has {n} device(s); "
+                         "a ring needs >= 2")
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    spec = PartitionSpec(axis_name)
+
+    def ring(y):
+        def step(z, _):
+            z = jax.lax.ppermute(z, axis_name, perm)
+            return z * jnp.float32(1.0000001), None
+        y, _ = jax.lax.scan(step, y, None, length=steps)
+        return y
+
+    fn = jax.jit(shard_map(ring, mesh=mesh, in_specs=spec, out_specs=spec))
+    x = jax.device_put(
+        jnp.full((n * n_elems,), 1.0, jnp.float32),
+        NamedSharding(mesh, spec))
+    float(fn(x)[0])  # compile + warm (value fetch = remote sync)
+    best = None
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        float(fn(x)[0])
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return float(n_elems) * 4 * steps / best
+
+
 class Timer:
     """Cheap wall-clock section timer for host-side phases."""
 

@@ -421,3 +421,20 @@ class TestFusedEnsemble:
         loop = strategies.test_ensemble(tcfg)
         probs = glob.glob(os.path.join(loop.run_dir, "*_probabilities.nii.gz"))
         assert len(probs) == 1
+
+
+class TestPracticalIci:
+    def test_ring_measurer_mechanics(self):
+        """measure_practical_ici on the virtual 8-device mesh: the ring
+        shard_map compiles and executes, the rate is positive/finite, and a
+        1-device axis is rejected. (Numbers are only meaningful on real ICI;
+        this pins the mechanics the TPU-pod measurement will run.)"""
+        from rcu_tpu.parallel import mesh as mesh_lib
+        from rcu_tpu.utils.profiling import measure_practical_ici
+
+        mesh = mesh_lib.make_mesh()
+        rate = measure_practical_ici(mesh, n_elems=1 << 14, steps=4, rounds=1)
+        assert np.isfinite(rate) and rate > 0
+        one = mesh_lib.make_mesh(n_devices=1)
+        with pytest.raises(ValueError, match="ring needs"):
+            measure_practical_ici(one, n_elems=1 << 10, steps=2, rounds=1)
