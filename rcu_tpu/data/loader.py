@@ -122,12 +122,20 @@ class SliceBatchLoader:
         c = self.shuffle_chunk
         if self.shuffle and c > 1:
             rng = np.random.RandomState(self.seed + self._epoch)
-            n_full = len(order) // c
-            chunks = [order[k * c:(k + 1) * c] for k in range(n_full)]
-            tail = order[n_full * c:]
+            # per-epoch random chunk-origin offset: rotates the chunk
+            # boundaries AND which (partial-chunk) items fall outside the
+            # full chunks, so no fixed set of items is systematically
+            # under-sampled across epochs. Deterministic in (seed, epoch),
+            # hence identical on every host.
+            off = int(rng.randint(c))
+            head, body = order[:off], order[off:]
+            n_full = len(body) // c
+            chunks = [body[k * c:(k + 1) * c] for k in range(n_full)]
+            tail = body[n_full * c:]
             if self.shard is None:
-                if len(tail):
-                    chunks.append(tail)
+                # partial chunks (head/tail, < c items each) still
+                # participate: every item is yielded every epoch.
+                chunks.extend(p for p in (head, tail) if len(p))
                 if not chunks:
                     return order  # empty index list
                 perm = rng.permutation(len(chunks))
@@ -136,15 +144,23 @@ class SliceBatchLoader:
             # does) would break every run the chunked order exists to keep.
             # Hosts take disjoint full chunks from the same shuffled chunk
             # order and truncate to the common count, so every host runs the
-            # same number of lockstep batches; the ragged tail chunk (< c
-            # items) is dropped, mirroring the uniform path's truncation of
-            # up to n_shards-1 items.
+            # same number of lockstep batches. Per epoch this drops the
+            # partial head/tail chunks plus n_full % n_shards whole chunks
+            # (up to n_shards*c - 1 items total) — a bigger cut than the
+            # uniform path's up-to-n_shards-1, but WHICH items are cut
+            # rotates with the per-epoch offset above.
             shard_id, n_shards = self.shard
-            perm = rng.permutation(n_full)
             n_per = n_full // n_shards
+            if n_per == 0 and len(order):
+                raise ValueError(
+                    f"chunked shuffle with shard={self.shard} needs at least "
+                    f"{n_shards} full chunks, got {n_full} "
+                    f"({len(order)} items / shuffle_chunk={c}); reduce "
+                    "shuffle_chunk or disable chunked shuffle")
+            perm = rng.permutation(n_full)
             mine = perm[shard_id::n_shards][:n_per]
             if n_per == 0:
-                return order[:0]
+                return order[:0]  # empty index list
             return np.concatenate([chunks[k] for k in mine])
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self._epoch)

@@ -101,7 +101,7 @@ def measure_practical_hbm(n_elems: int = 128 * 1024 * 1024, steps: int = 600,
 
 
 def measure_practical_ici(mesh=None, axis_name: str = None,
-                          n_elems: int = 16 * 1024 * 1024, steps: int = 60,
+                          n_elems: int = 16 * 1024 * 1024, steps: int = 800,
                           rounds: int = 3) -> float:
     """Measured PRACTICAL per-link ICI bandwidth (bytes/s, one direction).
 
@@ -112,7 +112,10 @@ def measure_practical_ici(mesh=None, axis_name: str = None,
     f32 shard along ``axis_name``: every step, every device sends its whole
     shard one hop and receives one, so per-link one-direction bytes/s =
     ``shard_bytes * steps / time`` (a tiny multiply keeps the chain live).
-    One dispatch per round — tunnel-RTT-safe like the HBM measurer.
+    One dispatch per round; the defaults move ``64 MB x 800 steps`` ~= 51 GB
+    per link — >1 s of device work even at a v5e link's ~45 GB/s, so a
+    remote-tunnel RTT cannot dominate (CLAUDE.md rule; the HBM measurer
+    sizes itself the same way).
 
     Only meaningful on real multi-chip hardware (on the virtual CPU mesh it
     measures host memcpy); ``tests/test_parallel.py`` pins the mechanics.
@@ -139,9 +142,11 @@ def measure_practical_ici(mesh=None, axis_name: str = None,
         return y
 
     fn = jax.jit(shard_map(ring, mesh=mesh, in_specs=spec, out_specs=spec))
-    x = jax.device_put(
-        jnp.full((n * n_elems,), 1.0, jnp.float32),
-        NamedSharding(mesh, spec))
+    # fill directly into the sharded layout: materializing the full buffer
+    # on one device first would need n x shard_bytes there (OOM at large n)
+    # and fails outright on a multi-host mesh
+    x = jax.jit(lambda: jnp.full((n * n_elems,), 1.0, jnp.float32),
+                out_shardings=NamedSharding(mesh, spec))()
     float(fn(x)[0])  # compile + warm (value fetch = remote sync)
     best = None
     for _ in range(rounds):

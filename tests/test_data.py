@@ -337,24 +337,44 @@ class TestLoader:
         """shuffle_chunk>1: the epoch is a permutation of CHUNKS of
         consecutive indices — exact cover, chunks kept contiguous (the
         property the direct collate's run-coalescer feeds on), chunk order
-        reshuffled per epoch, deterministic per (seed, epoch)."""
+        AND chunk-origin offset reshuffled per epoch, deterministic per
+        (seed, epoch)."""
         path = _make_store(str(tmp_path / "ds.h5"))
         ds = h5.SubjectDataset(path)
         idx = indexing.all_indices(ds, indexing.SliceIndexing())  # 12 items
+        c, seed, n = 4, 3, 12
         ld = loader.SliceBatchLoader(ds, idx, batch_size=4, shuffle=True,
-                                     seed=3, shuffle_chunk=4)
+                                     seed=seed, shuffle_chunk=c)
         assert len(ld) == 3  # length unchanged by the chunked order
-        orders = []
-        for epoch in range(4):
+        orders, offsets = [], set()
+        for epoch in range(8):
             ld.set_epoch(epoch)
-            order = ld._epoch_order()
-            assert sorted(order.tolist()) == list(range(12))  # exact cover
-            for k in range(0, 12, 4):  # each chunk stays a consecutive run
-                chunk = order[k:k + 4]
-                assert chunk.tolist() == list(range(chunk[0], chunk[0] + 4))
-            assert ld._epoch_order().tolist() == order.tolist()  # determinism
-            orders.append(order.tolist())
+            order = ld._epoch_order().tolist()
+            assert sorted(order) == list(range(n))  # exact cover
+            # the epoch's chunk-origin offset is deterministic in
+            # (seed, epoch); the order must be a permutation of exactly the
+            # chunk segments that offset induces (head / full chunks / tail)
+            off = int(np.random.RandomState(seed + epoch).randint(c))
+            offsets.add(off)
+            segs = []
+            if off:
+                segs.append(list(range(off)))
+            segs += [list(range(k, min(k + c, n)))
+                     for k in range(off, n, c)]
+            by_first = {s[0]: s for s in segs}
+            pos, used = 0, set()
+            while pos < n:
+                seg = by_first[order[pos]]
+                assert order[pos:pos + len(seg)] == seg
+                assert seg[0] not in used
+                used.add(seg[0])
+                pos += len(seg)
+            assert ld._epoch_order().tolist() == order  # determinism
+            orders.append(order)
         assert len({tuple(o) for o in orders}) > 1  # epochs reshuffle
+        # the offset actually rotates chunk boundaries across epochs, so no
+        # fixed item set is pinned to the partial chunks
+        assert len(offsets) > 1
         with pytest.raises(ValueError, match="shuffle_chunk"):
             loader.SliceBatchLoader(ds, idx, batch_size=4, shuffle_chunk=-1)
 
@@ -384,23 +404,43 @@ class TestLoader:
 
     def test_chunked_shuffle_shards_whole_chunks(self, tmp_path):
         """shard + shuffle_chunk: hosts take disjoint FULL chunks (row
-        striding would break every coalesced run), equal batch counts; the
-        ragged tail chunk is dropped like the uniform path's tail items."""
+        striding would break every coalesced run), equal batch counts;
+        dropped partial-chunk items ROTATE with the per-epoch offset (no
+        item is starved for the whole run), and a shard grid the chunk
+        count cannot fill fails loudly instead of yielding empty epochs."""
         path = _make_store(str(tmp_path / "ds.h5"))
         ds = h5.SubjectDataset(path)
         idx = indexing.all_indices(ds, indexing.SliceIndexing())  # 12 items
-        shards = [loader.SliceBatchLoader(ds, idx, batch_size=5, shuffle=True,
-                                          seed=7, shuffle_chunk=5,
+        c = 3
+        shards = [loader.SliceBatchLoader(ds, idx, batch_size=3, shuffle=True,
+                                          seed=7, shuffle_chunk=c,
                                           shard=(k, 2))
                   for k in range(2)]
-        per_shard = [s._epoch_order().tolist() for s in shards]
-        # 12 items, c=5 -> 2 full chunks (tail of 2 dropped), one per host
-        assert all(len(p) == 5 for p in per_shard)
-        assert all(len(s) == 1 for s in shards)  # lockstep batch counts
-        flat = per_shard[0] + per_shard[1]
-        assert len(set(flat)) == 10  # disjoint
-        for p in per_shard:  # whole contiguous chunks only
-            assert p == list(range(p[0], p[0] + 5))
+        seen = [set(), set()]
+        for epoch in range(6):
+            for s in shards:
+                s.set_epoch(epoch)
+            per_shard = [s._epoch_order().tolist() for s in shards]
+            # equal lockstep lengths, whole contiguous chunks, disjoint
+            assert len(per_shard[0]) == len(per_shard[1]) > 0
+            assert len(per_shard[0]) % c == 0
+            for p in per_shard:
+                for k in range(0, len(p), c):
+                    assert p[k:k + c] == list(range(p[k], p[k] + c))
+            flat = per_shard[0] + per_shard[1]
+            assert len(set(flat)) == len(flat)  # disjoint across hosts
+            for k, p in enumerate(per_shard):
+                seen[k].update(p)
+        # across epochs the offset rotates the dropped items: the union of
+        # everything yielded covers the full index list
+        assert seen[0] | seen[1] == set(range(12))
+        # fail-loud when there are fewer full chunks than shards (a silent
+        # empty epoch on every host would train on nothing)
+        starved = loader.SliceBatchLoader(ds, idx, batch_size=3, shuffle=True,
+                                          seed=7, shuffle_chunk=8,
+                                          shard=(0, 4))
+        with pytest.raises(ValueError, match="full chunks"):
+            starved._epoch_order()
 
     def test_shuffle_chunk_config_roundtrip(self):
         from rcu_tpu.engine import config as cfg_lib
