@@ -143,20 +143,23 @@ class SliceBatchLoader:
             # shard at CHUNK granularity: striding rows (as the uniform path
             # does) would break every run the chunked order exists to keep.
             # Hosts take disjoint full chunks from the same shuffled chunk
-            # order and truncate to the common count, so every host runs the
-            # same number of lockstep batches. Per epoch this drops the
-            # partial head/tail chunks plus n_full % n_shards whole chunks
-            # (up to n_shards*c - 1 items total) — a bigger cut than the
-            # uniform path's up-to-n_shards-1, but WHICH items are cut
-            # rotates with the per-epoch offset above.
+            # order, truncated to a per-shard count computed from the
+            # WORST-CASE offset (so every host runs the same number of
+            # lockstep batches in EVERY epoch — TensorBoard global steps
+            # and the fused-ensemble step count assume a constant length).
+            # Per epoch this drops the partial head/tail chunks plus the
+            # over-count whole chunks (up to ~n_shards*c + c items total) —
+            # a bigger cut than the uniform path's up-to-n_shards-1, but
+            # WHICH items are cut rotates with the per-epoch offset above.
             shard_id, n_shards = self.shard
-            n_per = n_full // n_shards
+            n_min_full = max(0, len(order) - (c - 1)) // c
+            n_per = n_min_full // n_shards
             if n_per == 0 and len(order):
                 raise ValueError(
                     f"chunked shuffle with shard={self.shard} needs at least "
-                    f"{n_shards} full chunks, got {n_full} "
-                    f"({len(order)} items / shuffle_chunk={c}); reduce "
-                    "shuffle_chunk or disable chunked shuffle")
+                    f"{n_shards} full chunks at any epoch offset, got "
+                    f"{n_min_full} ({len(order)} items / shuffle_chunk={c}); "
+                    "reduce shuffle_chunk or disable chunked shuffle")
             perm = rng.permutation(n_full)
             mine = perm[shard_id::n_shards][:n_per]
             if n_per == 0:

@@ -417,13 +417,15 @@ class TestLoader:
                                           shard=(k, 2))
                   for k in range(2)]
         seen = [set(), set()]
-        for epoch in range(6):
+        lengths = set()
+        for epoch in range(10):
             for s in shards:
                 s.set_epoch(epoch)
             per_shard = [s._epoch_order().tolist() for s in shards]
             # equal lockstep lengths, whole contiguous chunks, disjoint
             assert len(per_shard[0]) == len(per_shard[1]) > 0
             assert len(per_shard[0]) % c == 0
+            lengths.add(len(per_shard[0]))
             for p in per_shard:
                 for k in range(0, len(p), c):
                     assert p[k:k + c] == list(range(p[k], p[k] + c))
@@ -434,6 +436,9 @@ class TestLoader:
         # across epochs the offset rotates the dropped items: the union of
         # everything yielded covers the full index list
         assert seen[0] | seen[1] == set(range(12))
+        # ...at a CONSTANT per-epoch length (TensorBoard global steps and
+        # the fused-ensemble step count assume epochs of equal size)
+        assert len(lengths) == 1
         # fail-loud when there are fewer full chunks than shards (a silent
         # empty epoch on every host would train on nothing)
         starved = loader.SliceBatchLoader(ds, idx, batch_size=3, shuffle=True,
