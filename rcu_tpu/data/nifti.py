@@ -143,7 +143,11 @@ def read(path: str):
     array = data.reshape(shape_xyz[::-1])
     # NIfTI-1 spec: scaling is DISABLED when scl_slope is 0 (scl_inter is
     # then meaningless — an uninitialized header must not add a bogus
-    # offset), and a NaN slope (written by some converters) means unset
+    # offset), and a NaN slope (written by some converters) means unset.
+    # A NaN INTERCEPT with a valid slope also means unset (nibabel treats
+    # it as 0) — adding it would silently turn every voxel into NaN.
+    if not np.isfinite(scl_inter):
+        scl_inter = 0.0
     if (np.isfinite(scl_slope) and scl_slope != 0.0
             and (scl_slope != 1.0 or scl_inter != 0.0)):
         array = array * scl_slope + scl_inter
@@ -167,6 +171,12 @@ def read(path: str):
 def write(array: np.ndarray, path: str, props: ImageProperties = None):
     """Write an array in [z,y,x] order to a NIfTI-1 file."""
     array = np.asarray(array)
+    # normalize byte order first: the _CODES lookup is byte-order sensitive,
+    # and a big-endian int array (e.g. round-tripped from a >i2 file) must
+    # stay integer, not silently fall through to float32
+    native = array.dtype.newbyteorder("=")
+    if array.dtype != native:
+        array = array.astype(native)
     if array.dtype == np.bool_:
         array = array.astype(np.uint8)
     if array.dtype not in _CODES:

@@ -59,10 +59,7 @@ def _masked_mean(per_px: jnp.ndarray, valid: jnp.ndarray):
 
 
 def _masked_ce(logits, labels, valid):
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    picked = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
-                                 axis=-1)[..., 0]
-    return -_masked_mean(picked, valid)
+    return -_masked_mean(losses_lib.ce_log_probs(logits, labels), valid)
 
 
 def _batch_smooth_dice(logits, labels, valid):
@@ -121,14 +118,9 @@ def make_train_step(model, optimizer, loss_kind: str = "ce",
         valid = batch["valid"]
         if loss_kind == "aleatoric":
             noise_rng = jax.random.fold_in(rng, 1)
-            std = jnp.exp(out.sigma) if is_log_sigma else out.sigma
-            noise = jax.random.normal(noise_rng,
-                                      (nb_samples,) + out.logits.shape,
-                                      out.logits.dtype)
-            x_hat = out.logits[None] + std[None] * noise
-            mc_expectation = jnp.mean(jax.nn.softmax(x_hat, axis=-1), axis=0)
-            logp = jnp.log(mc_expectation)
-            picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+            picked = losses_lib.aleatoric_log_probs(
+                noise_rng, out.logits, out.sigma, labels, is_log_sigma,
+                nb_samples)
             loss = -_masked_mean(picked, valid)
         else:
             loss = _masked_ce(out.logits, labels, valid)

@@ -120,6 +120,23 @@ def ece_binary_with_bins(probabilities, target, mask=None, n_bins: int = 10,
     }
 
 
+def threshold_range_mask(probabilities, target, threshold_range, mask=None):
+    """Fold a ``(low, up)`` open-interval probability restriction into ``mask``.
+
+    The reference restricts ECE to probabilities strictly inside the open
+    interval by fancy indexing (numpyfunctions.py:42-47); here it is a mask so
+    shapes stay static. Single source for :func:`ece_binary` and the
+    strategy-protocol ``EceBinary`` — the interval/edge semantics must not
+    drift between them.
+    """
+    probs = probabilities
+    if probs.ndim > target.ndim:
+        probs = probs[..., 1] if probs.shape[-1] == 2 else jnp.squeeze(probs, -1)
+    low, up = threshold_range
+    tr_mask = jnp.logical_and(probs < up, probs > low)
+    return tr_mask if mask is None else jnp.logical_and(mask, tr_mask)
+
+
 def ece_binary(probabilities, target, mask=None, n_bins: int = 10,
                bin_weighting: str = "proportion", threshold_range=None):
     """Expected calibration error (reference numpyfunctions.py:6-23).
@@ -128,11 +145,6 @@ def ece_binary(probabilities, target, mask=None, n_bins: int = 10,
     the open interval (reference numpyfunctions.py:42-47), expressed as a mask.
     """
     if threshold_range is not None:
-        probs = probabilities
-        if probs.ndim > target.ndim:
-            probs = probs[..., 1] if probs.shape[-1] == 2 else jnp.squeeze(probs, -1)
-        low, up = threshold_range
-        tr_mask = jnp.logical_and(probs < up, probs > low)
-        mask = tr_mask if mask is None else jnp.logical_and(mask, tr_mask)
+        mask = threshold_range_mask(probabilities, target, threshold_range, mask)
     ece, _ = ece_binary_with_bins(probabilities, target, mask, n_bins, bin_weighting)
     return ece

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def confusion_counts(prediction: jnp.ndarray, target: jnp.ndarray, mask=None):
@@ -82,11 +83,19 @@ def log_loss(probabilities: jnp.ndarray, target: jnp.ndarray, eps: float = 1e-15
     are clipped to [eps, 1-eps] and renormalized across classes.
     """
     probs = probabilities.astype(jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
-    if probs.shape[-1] != target.shape[-1]:
-        flat = probs.reshape(-1, probs.shape[-1])
-    else:  # single foreground-probability column
+    # dispatch on TOTAL element count, not on coincidental dim sizes: a
+    # foreground map has exactly one probability per target element (any
+    # shapes — callers flatten freely, e.g. (N, C) probs vs a (z, y, x)
+    # target volume); anything larger carries a trailing class dim
+    if probs.size == np.prod(target.shape):
         fg = probs.reshape(-1)
         flat = jnp.stack([1.0 - fg, fg], axis=-1)
+    else:
+        flat = probs.reshape(-1, probs.shape[-1])
+        if flat.shape[0] != np.prod(target.shape):
+            raise ValueError(
+                f"log_loss shapes disagree: probabilities {probabilities.shape} "
+                f"vs target {target.shape}")
     flat = jnp.clip(flat, eps, 1.0 - eps)
     flat = flat / jnp.sum(flat, axis=-1, keepdims=True)
     tflat = target.reshape(-1).astype(jnp.int32)

@@ -122,13 +122,10 @@ class EceBinary(EvaluationStrategy):
         mask = jnp.asarray(to_evaluate["mask"]) if self.with_mask else None
         if self.threshold_range is not None:
             # expressed as a mask so bins stay available (the reference fills
-            # out_bins regardless of threshold_range, numpyfunctions.py:6-23)
-            p = probs
-            if p.ndim > target.ndim:
-                p = p[..., 1] if p.shape[-1] == 2 else jnp.squeeze(p, -1)
-            low, up = self.threshold_range
-            in_range = jnp.logical_and(p < up, p > low)
-            mask = in_range if mask is None else jnp.logical_and(mask, in_range)
+            # out_bins regardless of threshold_range, numpyfunctions.py:6-23);
+            # interval semantics single-sourced in ops/calibration.py
+            mask = cal_ops.threshold_range_mask(probs, target,
+                                                self.threshold_range, mask)
         ece, bins = cal_ops.ece_binary_with_bins(probs, target, mask,
                                                  self.n_bins, self.bin_weighting)
         if self.return_bins:
@@ -151,7 +148,15 @@ class UncertaintyErrorDice(EvaluationStrategy):
         self.with_mask = with_mask
 
     def __call__(self, to_evaluate, results):
-        mask = ~np.asarray(to_evaluate["target_border"]) if self.with_mask else None
+        mask = None
+        if self.with_mask:
+            # the reference protocol spells this key 'target_boarder' (sic,
+            # eval.py:164); accept both so dicts assembled to either contract
+            # work. Cast to bool BEFORE inverting: `~` on a uint8 0/1 mask
+            # would yield 255/254 weights, not a logical inverse.
+            key = "target_boarder" if "target_boarder" in to_evaluate \
+                else "target_border"
+            mask = ~np.asarray(to_evaluate[key], dtype=bool)
         out = u_ops.uncertainty_error_metrics(
             jnp.asarray(to_evaluate["prediction"]),
             jnp.asarray(to_evaluate["target"]),

@@ -80,6 +80,34 @@ class TestNifti:
             back, _ = nifti.read(path)
             np.testing.assert_array_equal(back, arr)
 
+    def test_scl_inter_nan_treated_as_zero(self, tmp_path):
+        """A NaN intercept with a valid slope means 'unset' (nibabel treats
+        it as 0) — it must not poison every voxel with NaN."""
+        arr = np.random.RandomState(8).rand(3, 4, 5).astype(np.float32)
+        # slope 1 + NaN inter: no-op scaling
+        path = str(tmp_path / "i1.nii")
+        nifti.write(arr, path)
+        self._patch_header(path, [(112, "<2f", (1.0, np.nan))])
+        back, _ = nifti.read(path)
+        np.testing.assert_array_equal(back, arr)
+        # slope 2 + NaN inter: slope applies, inter contributes 0
+        path = str(tmp_path / "i2.nii")
+        nifti.write(arr, path)
+        self._patch_header(path, [(112, "<2f", (2.0, np.nan))])
+        back, _ = nifti.read(path)
+        np.testing.assert_allclose(back, arr * 2.0, rtol=1e-6)
+
+    def test_write_preserves_int_dtype_for_nonnative_byteorder(self, tmp_path):
+        """A big-endian int array (e.g. round-tripped from a >i2 file) must
+        be written as int16, not silently converted to float32 by the
+        byte-order-sensitive dtype-code lookup."""
+        arr = np.arange(24, dtype=">i2").reshape(2, 3, 4)
+        path = str(tmp_path / "be.nii")
+        nifti.write(arr, path)
+        back, _ = nifti.read(path)
+        assert back.dtype == np.int16
+        np.testing.assert_array_equal(back, arr.astype(np.int16))
+
     def test_qform_fallback_recovers_geometry(self, tmp_path):
         """sform_code == 0 with qform_code > 0 (typical FSL output) must
         recover origin/spacing/direction from the quaternion fields instead

@@ -90,6 +90,35 @@ class TestLogLoss:
         expected = skm.log_loss(tgt, probs, labels=[0, 1])
         np.testing.assert_allclose(np.asarray(metrics.log_loss(probs, tgt)), expected, rtol=1e-4)
 
+    def test_mode_dispatch_is_shape_robust(self):
+        """Multiclass vs foreground-map mode is decided by total element
+        count, so (nb_classes, nb_classes) probs with nb_classes samples
+        (coincidentally equal last dims) still take the multiclass branch,
+        and the flattened (N, C)-vs-volume-target caller pattern works."""
+        probs = np.array([[0.9, 0.1], [0.2, 0.8]], np.float64)
+        tgt = np.array([0, 1])
+        expected = skm.log_loss(tgt, probs, labels=[0, 1])
+        np.testing.assert_allclose(np.asarray(metrics.log_loss(probs, tgt)),
+                                   expected, rtol=1e-4)
+        # (N, C) probs against a (z, y, x) target volume (strategies.py path)
+        vol_tgt = RNG.randint(0, 2, (2, 3, 4))
+        vol_probs = RNG.rand(24, 2)
+        vol_probs /= vol_probs.sum(-1, keepdims=True)
+        expected = skm.log_loss(vol_tgt.reshape(-1), vol_probs, labels=[0, 1])
+        np.testing.assert_allclose(
+            np.asarray(metrics.log_loss(vol_probs, vol_tgt)), expected,
+            rtol=1e-4)
+        # foreground map: same shape as the target
+        fg = vol_probs[:, 1].reshape(2, 3, 4)
+        expected = skm.log_loss(vol_tgt.reshape(-1), fg.reshape(-1),
+                                labels=[0, 1])
+        np.testing.assert_allclose(np.asarray(metrics.log_loss(fg, vol_tgt)),
+                                   expected, rtol=1e-4)
+        # inconsistent shapes fail loudly
+        import pytest
+        with pytest.raises(ValueError, match="log_loss shapes"):
+            metrics.log_loss(RNG.rand(10, 2), np.zeros(7, np.int32))
+
 
 class TestEntropy:
     def test_matches_scipy_convention(self):
