@@ -34,6 +34,11 @@ class SliceIndexing:
     def extract(self, dataset, subject: str, index: int, category: str):
         return dataset.read_slice(subject, index, category)
 
+    def extract_cached(self, vols: dict, index: int, category: str):
+        """Same as extract, cropping from pre-read whole volumes (one read
+        per subject instead of one per index — the select_indices path)."""
+        return vols[category][index]
+
     def __repr__(self):
         return "SliceIndexing()"
 
@@ -46,6 +51,9 @@ class EmptyIndexing:
 
     def extract(self, dataset, subject: str, index: int, category: str):
         return dataset.read_volume(subject, category)
+
+    def extract_cached(self, vols: dict, index: int, category: str):
+        return vols[category]
 
     def __repr__(self):
         return "EmptyIndexing()"
@@ -87,11 +95,28 @@ class PatchWiseIndexing:
 
     def extract(self, dataset, subject: str, index: int, category: str):
         _, grid_y, grid_x = self._grid(dataset, subject)
+        zi, gy, gx = self._decode(index, grid_y, grid_x)
+        plane = dataset.read_slice(subject, zi, category)
+        return self._crop_plane(plane, gy, gx, category)
+
+    def extract_cached(self, vols: dict, index: int, category: str):
+        """extract() from pre-read whole volumes: ONE read per subject per
+        category instead of one full slice decode per grid patch (a
+        grid-size-x redundant I/O pass during index selection)."""
+        vol = vols[category]
         py, px = self.patch_shape
-        hy, hx = self.pad if category in self.pad_categories else (0, 0)
+        grid_y, grid_x = -(-vol.shape[1] // py), -(-vol.shape[2] // px)
+        zi, gy, gx = self._decode(index, grid_y, grid_x)
+        return self._crop_plane(vol[zi], gy, gx, category)
+
+    def _decode(self, index: int, grid_y: int, grid_x: int):
         zi, rest = divmod(index, grid_y * grid_x)
         gy, gx = divmod(rest, grid_x)
-        plane = dataset.read_slice(subject, zi, category)
+        return zi, gy, gx
+
+    def _crop_plane(self, plane, gy: int, gx: int, category: str):
+        py, px = self.patch_shape
+        hy, hx = self.pad if category in self.pad_categories else (0, 0)
         # desired window incl. halo, clipped to the plane
         y0, y1 = gy * py - hy, (gy + 1) * py + hy
         x0, x1 = gx * px - hx, (gx + 1) * px + hx
@@ -161,16 +186,19 @@ def select_indices(dataset: SubjectDataset, indexing, selection,
                    categories=("images",)) -> list:
     """Filter indices by a selection strategy (host-side, one pass).
 
-    Slice indexing takes the fast path (one volume read per subject); other
-    strategies go through their own ``extract``."""
+    Every built-in indexing exposes ``extract_cached`` so each subject's
+    volumes are read ONCE per category (a per-index ``extract`` would decode
+    the same slice grid-size times for patch indexing); custom indexings
+    without it fall back to their own ``extract``."""
     out = []
-    fast_slices = isinstance(indexing, SliceIndexing)
+    cached = hasattr(indexing, "extract_cached")
     for si, subject in enumerate(dataset.subjects):
         vols = {c: dataset.read_volume(subject, c) for c in categories} \
-            if fast_slices else None
+            if cached else None
         for _, code in indexing.indices_for(dataset, si):
-            if fast_slices:
-                arrays = {c: v[code] for c, v in vols.items()}
+            if cached:
+                arrays = {c: indexing.extract_cached(vols, code, c)
+                          for c in categories}
             else:
                 arrays = {c: indexing.extract(dataset, subject, code, c)
                           for c in categories}

@@ -124,11 +124,20 @@ def find_checkpoint_files(model_files: ModelFiles, postfix: str = ""):
 
 
 def find_best_checkpoint_epoch(model_files: ModelFiles, postfix: str = ""):
+    """Epoch of the -best checkpoint; the HIGHEST epoch when several exist.
+
+    SaveBestModelHook deliberately saves the new best before deleting the
+    old one (crash safety), so a crash inside that window leaves two -best
+    files. best_score is monotone within a run, so the newest epoch is the
+    true best — returning the first (lexicographically oldest) would pin
+    'best' to the stale model forever."""
+    best = None
     for path in find_checkpoint_files(model_files, postfix):
         m = _EPOCH_RE.search(path)
         if m and m.group(2):
-            return int(m.group(1))
-    return None
+            epoch = int(m.group(1))
+            best = epoch if best is None else max(best, epoch)
+    return best
 
 
 def find_epoch_checkpoints(model_files: ModelFiles, postfix: str = ""):

@@ -33,7 +33,10 @@ class TrainLoopHook:
     def on_termination(self, loop): pass
 
 
-class ComposeTrainHook(TrainLoopHook):
+class _ComposeHooks:
+    """Shared fan-out dispatch: every ``on_*`` access returns a callable that
+    invokes the event on each composed hook in order."""
+
     def __init__(self, hooks: list):
         self.hooks = list(hooks)
 
@@ -46,6 +49,10 @@ class ComposeTrainHook(TrainLoopHook):
                     getattr(h, name)(*args, **kwargs)
             return fan_out
         return object.__getattribute__(self, name)
+
+
+class ComposeTrainHook(_ComposeHooks, TrainLoopHook):
+    pass
 
 
 class ConsoleLogHook(TrainLoopHook):
@@ -202,19 +209,8 @@ class TestLoopHook:
     def on_termination(self, loop): pass
 
 
-class ComposeTestHook(TestLoopHook):
-    def __init__(self, hooks: list):
-        self.hooks = list(hooks)
-
-    def __getattribute__(self, name):
-        if name.startswith("on_"):
-            hooks = object.__getattribute__(self, "hooks")
-
-            def fan_out(*args, **kwargs):
-                for h in hooks:
-                    getattr(h, name)(*args, **kwargs)
-            return fan_out
-        return object.__getattribute__(self, name)
+class ComposeTestHook(_ComposeHooks, TestLoopHook):
+    pass
 
 
 class ConsoleTestLogHook(TestLoopHook):
@@ -230,8 +226,10 @@ class ConsoleTestLogHook(TestLoopHook):
     def on_test_subject_end(self, loop, subject, subject_data, results):
         dt = time.time() - self._subject_t0
         self._subject_t0 = time.time()
+        # same numeric filter as WriteTestMetricsCsvHook — console and CSV
+        # must agree on which metrics exist
         stats = " ".join(f"{k}={float(v):.4f}" for k, v in results.items()
-                         if isinstance(v, (int, float, np.floating)))
+                         if isinstance(v, (int, float, np.floating, np.integer)))
         logging.info("  %s %s (%.2fs)", subject, stats, dt)
 
     def on_test_end(self, loop, subject_results):

@@ -102,10 +102,19 @@ class TestLoop:
         self.model_files = ckpt_lib.ModelFiles.from_model_dir(config.model_dir) \
             if config.model_dir else None
         if model is None:
-            if self.model_files is None:
+            if external_state:
+                # predict_fn carries its own parameters — no model or
+                # checkpoint dir is needed, but then predict_fn is mandatory
+                # (run() cannot resolve a default forward without a model)
+                if predict_fn is None:
+                    raise ValueError(
+                        "external_state without a model requires an explicit "
+                        "predict_fn")
+            elif self.model_files is None:
                 raise ValueError("config.model_dir or an explicit model is required")
-            model_node, _ = ckpt_lib.load_model_parameters(self.model_files)
-            model = get_model(model_node.type, model_node.params)
+            else:
+                model_node, _ = ckpt_lib.load_model_parameters(self.model_files)
+                model = get_model(model_node.type, model_node.params)
         elif (self.model_files is None and state_override is None
               and not external_state):
             # fail at construction, not as an AttributeError deep in
@@ -128,12 +137,17 @@ class TestLoop:
             raise ValueError("one of config.test_dir, config.model_dir or "
                              "run_dir_base must locate the test run dir")
         # ids have 1-second resolution: don't let two runs in the same second
-        # share a run dir (artifacts/metrics would interleave)
+        # share a run dir (artifacts/metrics would interleave). The dir is
+        # RESERVED here with an atomic exclusive create — a bare exists()
+        # check would let two same-second processes both pass and collide.
         for _ in range(5):
             candidate = os.path.join(test_dir,
                                      f"{self.test_id}_{config.test_name}")
-            if not os.path.exists(candidate):
+            try:
+                os.makedirs(candidate, exist_ok=False)
                 break
+            except FileExistsError:
+                pass
             time.sleep(1.0)
             self.test_id = ids_lib.unique_identifier()
         else:
@@ -230,33 +244,40 @@ class TestLoop:
         subject_results = []
 
         nb_batches = self.test_data.nb_batches
-        for i, batch in enumerate(prefetch(iter(self.test_data.loader),
-                                           sharding=sharding)):
-            if self.needs_rng:
-                step_rng = jax.random.fold_in(rng, i)
-                outputs = self.predict_fn(self.state.params, self.state.batch_stats,
-                                          batch, step_rng)
-            else:
-                outputs = self.predict_fn(self.state.params, self.state.batch_stats,
-                                          batch)
-            # one coalesced D2H per batch (per-leaf np.asarray = 1 RTT each
-            # over a remote-TPU link, CLAUDE.md)
-            to_assemble, subj_idx, slice_idx, valid = jax.device_get((
-                {e: outputs[e] for e in self.entries if e in outputs},
-                batch["subject_index"], batch["slice_index"],
-                batch["valid"]))
-            asm.add_batch(to_assemble, subj_idx, slice_idx, valid)
-            self.hook.on_test_batch_end(self, i, nb_batches)
-            self._drain_ready(asm, dataset, subject_results)
+        try:
+            for i, batch in enumerate(prefetch(iter(self.test_data.loader),
+                                               sharding=sharding)):
+                if self.needs_rng:
+                    step_rng = jax.random.fold_in(rng, i)
+                    outputs = self.predict_fn(self.state.params,
+                                              self.state.batch_stats,
+                                              batch, step_rng)
+                else:
+                    outputs = self.predict_fn(self.state.params,
+                                              self.state.batch_stats, batch)
+                # one coalesced D2H per batch (per-leaf np.asarray = 1 RTT
+                # each over a remote-TPU link, CLAUDE.md)
+                to_assemble, subj_idx, slice_idx, valid = jax.device_get((
+                    {e: outputs[e] for e in self.entries if e in outputs},
+                    batch["subject_index"], batch["slice_index"],
+                    batch["valid"]))
+                asm.add_batch(to_assemble, subj_idx, slice_idx, valid)
+                self.hook.on_test_batch_end(self, i, nb_batches)
+                self._drain_ready(asm, dataset, subject_results)
 
-        self._drain_ready(asm, dataset, subject_results)
-        leftover = asm.flush()
-        if leftover:
-            names = [dataset.subjects[si] for si in leftover]
-            raise RuntimeError(
-                "test loop ended with partially assembled subjects (missing "
-                f"slices, no artifacts written): {names}")
-        self.pool.flush()
+            self._drain_ready(asm, dataset, subject_results)
+            leftover = asm.flush()
+            if leftover:
+                names = [dataset.subjects[si] for si in leftover]
+                raise RuntimeError(
+                    "test loop ended with partially assembled subjects (missing "
+                    f"slices, no artifacts written): {names}")
+        finally:
+            # ALWAYS surface background artifact-write failures — a mid-loop
+            # exception (or the leftover-subjects raise above) must not let a
+            # truncated NIfTI pass silently (chains via __context__ if both
+            # paths raise)
+            self.pool.flush()
         self.hook.on_test_end(self, subject_results)
         self.hook.on_termination(self)
         return self

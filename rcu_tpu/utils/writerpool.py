@@ -25,15 +25,24 @@ class WriterPool:
         return fut
 
     def flush(self):
-        """Wait for all pending writes; re-raise the first failure."""
+        """Wait for ALL pending writes to finish, then re-raise the first
+        failure. Waiting first (not raising mid-loop) matters: an early
+        failure must not abandon still-running writes untracked — the
+        caller would tear down while threads are mutating the run dir and
+        later failures would never surface."""
         with self._lock:
             futures, self._futures = self._futures, []
+        if not futures:
+            return
+        concurrent.futures.wait(futures)
         for fut in futures:
             fut.result()
 
     def shutdown(self):
-        self.flush()
-        self._executor.shutdown(wait=True)
+        try:
+            self.flush()
+        finally:
+            self._executor.shutdown(wait=True)
 
     def __enter__(self):
         return self

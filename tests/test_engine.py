@@ -178,6 +178,42 @@ class TestTestLoop:
             lines = f.read().strip().splitlines()
         assert lines[0].startswith("subject,") and len(lines) == 2
 
+    def test_external_state_needs_no_model_or_model_dir(self, trained_run,
+                                                        tmp_path):
+        """external_state declares that predict_fn carries its own params:
+        constructing without model AND without model_dir must work (the
+        stacked-ensemble-closure contract) — but only with an explicit
+        predict_fn."""
+        run_tmp, store, split_file, loop = trained_run
+        tcfg = cfg_lib.TestConfiguration(
+            seed=20, split=split_file, model_dir=None, test_name="ext",
+            test_dir=str(tmp_path / "ext"), test_at="best",
+            test_data=cfg_lib.DataConfiguration.from_dict(
+                {"batch_size": 8, "dataset": store, "indexing": {"slice": {}},
+                 "shuffle": False}))
+        tloop = TestLoop(tcfg, predict_fn=lambda p, s, b: {},
+                         external_state=True)
+        assert tloop.model is None and os.path.isdir(tloop.run_dir)
+        with pytest.raises(ValueError, match="predict_fn"):
+            TestLoop(tcfg, external_state=True)
+
+    def test_same_second_runs_get_distinct_dirs(self, trained_run, tmp_path):
+        """Run-dir reservation is an atomic exclusive create: two loops
+        constructed within the same 1-second id window must not share a
+        run dir (artifacts/metrics would interleave)."""
+        run_tmp, store, split_file, loop = trained_run
+        def cfg():
+            return cfg_lib.TestConfiguration(
+                seed=20, split=split_file, model_dir=None, test_name="dup",
+                test_dir=str(tmp_path / "dup"), test_at="best",
+                test_data=cfg_lib.DataConfiguration.from_dict(
+                    {"batch_size": 8, "dataset": store,
+                     "indexing": {"slice": {}}, "shuffle": False}))
+        a = TestLoop(cfg(), predict_fn=lambda p, s, b: {}, external_state=True)
+        b = TestLoop(cfg(), predict_fn=lambda p, s, b: {}, external_state=True)
+        assert a.run_dir != b.run_dir
+        assert os.path.isdir(a.run_dir) and os.path.isdir(b.run_dir)
+
     def test_test_at_missing_checkpoint(self, trained_run, tmp_path):
         run_tmp, store, split_file, loop = trained_run
         tcfg = cfg_lib.TestConfiguration(

@@ -103,6 +103,19 @@ class TestResumeAwareHooks:
         assert order == ["save", "delete"]
         assert ckpt_lib.find_best_checkpoint_epoch(loop.model_files) == 5
 
+    def test_double_best_after_crash_resolves_to_newest(self, tmp_path):
+        """A crash inside SaveBestModelHook's save-new-then-delete-old window
+        leaves two -best files; 'best' must resolve to the NEWEST epoch
+        (best_score is monotone within a run) or the stale model would be
+        served forever."""
+        loop = _DummyLoop(tmp_path)
+        loop.save_checkpoint(5, best=True)
+        loop.save_checkpoint(10, best=True)  # crash before deleting ep005
+        assert ckpt_lib.find_best_checkpoint_epoch(loop.model_files) == 10
+        # the next new-best save prunes the leftover via prev=10
+        hooks_lib.SaveBestModelHook().on_validation_end(loop, 12, 0.95, True, [])
+        assert ckpt_lib.find_best_checkpoint_epoch(loop.model_files) == 12
+
 
 class TestCheckpointAtomicity:
     def test_no_tmp_residue_and_roundtrip(self, tmp_path):

@@ -49,6 +49,34 @@ class TestWriterPool:
         pool.flush()
         assert path.read_text() == "done"
 
+    def test_flush_waits_out_all_writes_even_when_one_fails(self, tmp_path):
+        """An early failure must not abandon still-running writes untracked:
+        flush waits for EVERYTHING, then re-raises — the caller tears down
+        only after the run dir has stopped changing."""
+        pool = WriterPool(max_workers=2)
+        path = tmp_path / "late.txt"
+
+        def boom():
+            raise RuntimeError("disk full")
+
+        def slow_write():
+            time.sleep(0.2)
+            path.write_text("done")
+
+        pool.submit(boom)
+        pool.submit(slow_write)
+        with pytest.raises(RuntimeError, match="disk full"):
+            pool.flush()
+        assert path.read_text() == "done"  # completed BEFORE flush returned
+        pool.shutdown()
+
+    def test_shutdown_stops_executor_even_when_flush_raises(self):
+        pool = WriterPool()
+        pool.submit(lambda: (_ for _ in ()).throw(RuntimeError("boom")))
+        with pytest.raises(RuntimeError, match="boom"):
+            pool.shutdown()
+        assert pool._executor._shutdown
+
 
 class TestBinsCsvExpansion:
     def test_compressed_bins_expand_to_fixed_columns(self, tmp_path):
@@ -93,3 +121,31 @@ class TestCheckpointPostfix:
         np.testing.assert_array_equal(restored["params"]["w"], np.ones(3))
         ckpt_lib.delete_checkpoint(mf, 1, postfix="aux")
         assert ckpt_lib.find_checkpoint_file(mf, 1, postfix="aux") is None
+
+
+class TestRunLogIsolation:
+    def test_new_run_log_detaches_previous_runs_file(self, tmp_path):
+        """One process running several loops: each run's log.txt must hold
+        only its own records — later runs must not keep appending into
+        earlier run dirs."""
+        import logging
+        from rcu_tpu.utils import logs as logs_lib
+
+        root = logging.getLogger()
+        saved = list(root.handlers)
+        try:
+            d1, d2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+            logs_lib.setup_logging(d1)
+            logging.info("first-run-record")
+            logs_lib.setup_logging(d2)
+            logging.info("second-run-record")
+            t1 = open(os.path.join(d1, "log.txt")).read()
+            t2 = open(os.path.join(d2, "log.txt")).read()
+            assert "first-run-record" in t1
+            assert "second-run-record" not in t1  # old handler detached
+            assert "second-run-record" in t2
+        finally:
+            for h in list(root.handlers):
+                if h not in saved:
+                    root.removeHandler(h)
+                    h.close()

@@ -40,6 +40,30 @@ class TestPatchIndexing:
         assert plast.shape == (4, 8, 1)
         np.testing.assert_array_equal(plast[:2, :5], vol[1, 8:10, 8:13])
 
+    def test_select_indices_cached_path_matches_extract(self, tmp_path,
+                                                        monkeypatch):
+        """select_indices crops from ONE volume read per subject/category
+        (extract_cached) — identical selection to per-index extract, without
+        the grid-size-x redundant slice decodes."""
+        ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
+        idx = indexing.PatchWiseIndexing((4, 8))
+        sel = indexing.WithForegroundSelection()
+        got = indexing.select_indices(ds, idx, sel, categories=("labels",))
+        # brute force through the per-index extract path
+        expected = [(si, code) for si, code in indexing.all_indices(ds, idx)
+                    if sel.keep({"labels": idx.extract(
+                        ds, ds.subjects[si], code, "labels")})]
+        assert got == expected and len(got) > 0
+        # and it really reads whole volumes, not per-patch slices
+        calls = {"slice": 0}
+        real = ds.read_slice
+        monkeypatch.setattr(
+            ds, "read_slice",
+            lambda *a, **k: (calls.__setitem__("slice", calls["slice"] + 1),
+                             real(*a, **k))[1])
+        indexing.select_indices(ds, idx, sel, categories=("labels",))
+        assert calls["slice"] == 0
+
     def test_loader_produces_static_patch_batches(self, tmp_path):
         ds = h5.SubjectDataset(make_store(str(tmp_path / "d.h5")))
         idx = indexing.PatchWiseIndexing((4, 8))
