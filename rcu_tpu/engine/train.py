@@ -93,11 +93,16 @@ class TrainLoop:
         if not self.resume:
             # ids have 1-second resolution: two fresh runs in the same second
             # must not silently share one run dir (checkpoints/CSVs would
-            # interleave) — wait for the next second instead
+            # interleave). Reserve with an atomic exclusive create — a bare
+            # exists() check would let two same-second processes both pass.
             for _ in range(5):
-                if not os.path.exists(os.path.join(
-                        config.train_dir, f"{self.run_id}_{config.train_name}")):
+                try:
+                    os.makedirs(os.path.join(
+                        config.train_dir, f"{self.run_id}_{config.train_name}"),
+                        exist_ok=False)
                     break
+                except FileExistsError:
+                    pass
                 time.sleep(1.0)
                 self.run_id = ids_lib.unique_identifier()
             else:

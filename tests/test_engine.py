@@ -126,6 +126,18 @@ class TestTrainLoop:
         assert os.path.exists(os.path.join(loop.run_dir, "validation_metrics.csv"))
         assert os.path.exists(loop.model_files.model_path)
 
+    def test_same_second_fresh_runs_get_distinct_dirs(self, trained_run,
+                                                      tmp_path):
+        """Fresh-run dir reservation is an atomic exclusive create: two
+        loops constructed within the same 1-second id window must not share
+        a run dir (checkpoints/CSVs would interleave)."""
+        _, store, split_file, _ = trained_run
+        cfg = cfg_lib.load(make_train_config(tmp_path, store, split_file))
+        a = TrainLoop(cfg)
+        b = TrainLoop(cfg)
+        assert a.run_dir != b.run_dir
+        assert os.path.isdir(a.run_dir) and os.path.isdir(b.run_dir)
+
     def test_checkpoint_retention(self, trained_run):
         _, _, _, loop = trained_run
         files = glob.glob(os.path.join(loop.model_files.weight_checkpoint_dir, "*"))
