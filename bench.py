@@ -319,28 +319,43 @@ def main():
     }))
 
 
+def _backend_probe(timeout_s: float = 120.0):
+    """Probe backend init in a CHILD process with a hard timeout.
+
+    The tunnel has two measured failure modes: backend init raising
+    UNAVAILABLE, and backend init HANGING indefinitely (observed r4) — an
+    in-process ``jax.devices()`` would block the whole bench on the latter.
+    The child inherits the sitecustomize'd TPU backend, so a clean exit
+    means the tunnel is genuinely usable."""
+    import subprocess
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np; x = jax.device_put(np.zeros(8, "
+             "np.float32)); assert float(jax.numpy.sum(x)) == 0.0"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return r.returncode == 0, (r.stderr or "").strip()[-300:]
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hung > {timeout_s:.0f}s"
+
+
 def _wait_for_backend(budget_s: float) -> None:
     """Bounded wait for the (remote) TPU backend: the tunnel to the chip has
-    measured multi-minute full outages (backend init raises UNAVAILABLE),
-    and the driver runs this bench unattended at round end — a transient
-    outage should delay the measurement, not lose it. Re-raises the last
-    init error once the budget is spent."""
+    measured multi-HOUR full outages, and the driver runs this bench
+    unattended at round end — a transient outage should delay the
+    measurement, not lose it. Raises once the budget is spent."""
     deadline = time.time() + budget_s
     while True:
-        try:
-            jax.devices()
+        ok, err = _backend_probe()
+        if ok:
+            jax.devices()  # init in-process; the probe just proved it healthy
             return
-        except RuntimeError as e:
-            if time.time() >= deadline:
-                raise
-            print(f"# TPU backend unavailable ({e}); retrying for another "
-                  f"{deadline - time.time():.0f}s", file=sys.stderr)
-            try:
-                from jax.extend import backend as _jax_backend
-                _jax_backend.clear_backends()
-            except Exception:
-                pass
-            time.sleep(60)
+        if time.time() >= deadline:
+            raise RuntimeError(
+                f"TPU backend unavailable for {budget_s:.0f}s: {err}")
+        print(f"# TPU backend unavailable ({err}); retrying for another "
+              f"{deadline - time.time():.0f}s", file=sys.stderr)
+        time.sleep(60)
 
 
 if __name__ == "__main__":
