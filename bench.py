@@ -220,11 +220,13 @@ def main():
     # compute dtype — parity-gated by tests/test_bf16_parity.py (MC strategy
     # ECE/Dice <= 1e-3 vs f32)
     headline_best = headline_mean = None
+    plain_direct_bf16 = None  # keep the plain leg visible when fastdec wins
     headline_config = "direct_bf16"
     headline_metric = "brats_mc20_direct_eval_bf16_voxels_per_sec_per_chip"
     try:
         headline_best, headline_mean, _, _ = bench_tpu(
             dtype="bfloat16", need_flops=False, artifacts=False)
+        plain_direct_bf16 = headline_best
     except Exception:
         # the metric NAME must reflect the configuration actually measured —
         # consumers keying on "metric" would otherwise misattribute the
@@ -307,6 +309,8 @@ def main():
         "fast_decoder_bf16_voxels_per_sec": round(fast_best, 1)
         if fast_best else None,
         "fast_decoder_error": fast_error,
+        "direct_bf16_voxels_per_sec": round(plain_direct_bf16, 1)
+        if plain_direct_bf16 else None,
         "staged_f32_voxels_per_sec": round(staged_best, 1),
         "staged_f32_mean": round(staged_mean, 1),
         "staged_f32_mfu": round(staged_mfu, 4) if staged_mfu else None,
