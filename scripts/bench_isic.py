@@ -260,11 +260,16 @@ def main():
 
         fd_best, fd_mean, _ = bench_chunk_scan(dtype, fast_decoder=True)
         rows[(name, "chunk_scan_fastdec")] = fd_best
+        # MFU in CANONICAL-model FLOPs (the plain leg's cost analysis): the
+        # fast decoder does the same work in fewer instructions, same
+        # convention as bench.py's headline MFU
+        fd_mfu = flops * fd_best / V5E_BF16_PEAK_FLOPS if flops else None
         print(json.dumps({
             "metric": "isic_mc20_chunk_scan_fastdec_images_per_sec",
             "dtype": name, "value": round(fd_best, 2),
             "mean": round(fd_mean, 2),
             "mvox_per_sec": round(fd_best * VOX / 1e6, 3),
+            "mfu": round(fd_mfu, 4) if fd_mfu else None,
             "note": "concat-free + fused-upsample decoder "
                     "(tests/test_fast_decoder.py gate)"}))
 
