@@ -61,9 +61,10 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _build(dtype: str = None, mesh=None, artifacts: bool = True,
-           fast_decoder: bool = False):
+           fast_decoder: bool = False, quantize: bool = False):
     """Model + (replicated) params + the one-dispatch fused volume program
     (rcu_tpu.eval.pipeline: scan over slice batches + eval reductions)."""
+    import numpy as np
     import jax.numpy as jnp
     from rcu_tpu.eval import pipeline
     from rcu_tpu.models import FAST_DECODER_KWARGS, get_model
@@ -84,6 +85,15 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True,
         variables = jax.jit(
             lambda k: model.init({"params": k}, jnp.zeros((1, H, W, C)),
                                  train=False))(jax.random.PRNGKey(0))
+        if quantize:
+            # int8 PTQ trunk (ops/quant.py; gated at the same 1e-3 bar by
+            # tests/test_quant.py): calibrate on a batch of the bench's own
+            # input distribution, on the CPU backend (one tiny forward)
+            from rcu_tpu.ops import quant as quant_ops
+            cal = jnp.asarray(np.random.RandomState(0)
+                              .rand(BATCH, H, W, C).astype(np.float32))
+            scales = quant_ops.calibrate_scales(model, variables, [cal])
+            model = model.copy(quant_scales=scales)
     if mesh is not None:
         from rcu_tpu.parallel.inference import replicate_tree
         params = replicate_tree(variables["params"], mesh)
@@ -119,7 +129,7 @@ def _flops_per_volume(model, params, batch_stats):
 
 def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
               need_flops: bool = True, artifacts: bool = True,
-              fast_decoder: bool = False):
+              fast_decoder: bool = False, quantize: bool = False):
     """Returns (best_vox_per_sec, mean_vox_per_sec, flops_per_volume, ece)."""
     if n_timed_volumes is None:
         # default 3 volumes: enough for a meaningful best/mean split, small
@@ -131,7 +141,7 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
     import numpy as np
 
     fused, params, batch_stats, model = _build(dtype, mesh, artifacts,
-                                               fast_decoder)
+                                               fast_decoder, quantize)
 
     rng = np.random.RandomState(0)
     batched = rng.rand(PAD_SLICES // BATCH, BATCH, H, W, C).astype(np.float32)
@@ -253,15 +263,34 @@ def main():
         headline_config = "direct_bf16_fast_decoder"
         headline_metric = ("brats_mc20_direct_eval_bf16_fastdec_"
                            "voxels_per_sec_per_chip")
+    # int8 PTQ candidate (trunk convs on the MXU's 2x int8 mode, bf16
+    # epilogue, fast decoder; ops/quant.py) — gated at the SAME production
+    # 1e-3 ECE/Dice bar by tests/test_quant.py, so it is headline-eligible
+    # on the same terms as bf16 and the fast decoder
+    int8_best = int8_mean = None
+    int8_error = None
+    try:
+        int8_best, int8_mean, _, _ = bench_tpu(
+            dtype="bfloat16", need_flops=False, artifacts=False,
+            fast_decoder=True, quantize=True)
+    except Exception as e:
+        int8_error = f"{type(e).__name__}: {e}"
+    if int8_best and headline_config.startswith("direct_bf16") \
+            and int8_best > headline_best:
+        headline_best, headline_mean = int8_best, int8_mean
+        headline_config = "direct_int8_fastdec"
+        headline_metric = ("brats_mc20_direct_eval_int8_fastdec_"
+                           "voxels_per_sec_per_chip")
 
     headline_mfu = None
     if flops:
         # the direct program runs 20 of the staged path's 21 forwards; the
         # staged fallback keeps all 21, so only discount the direct configs.
         # MFU stays in units of the CANONICAL model's analytic FLOPs (the
-        # fast decoder does the same work in fewer instructions).
+        # fast decoder and the int8 trunk do the same work in fewer/cheaper
+        # instructions).
         forwards = 20.0 / 21.0 \
-            if headline_config.startswith("direct_bf16") else 1.0
+            if headline_config.startswith("direct_") else 1.0
         headline_mfu = flops * forwards \
             * (headline_best / (VOL_SLICES * H * W)) / V5E_BF16_PEAK_FLOPS
 
@@ -275,7 +304,9 @@ def main():
     per_chip = {}
     # the mesh legs must run the SAME program configuration as the headline
     # key "1" records, or per_chip scaling efficiency mixes decoders
-    fast_won = headline_config == "direct_bf16_fast_decoder"
+    fast_won = headline_config in ("direct_bf16_fast_decoder",
+                                   "direct_int8_fastdec")
+    int8_won = headline_config == "direct_int8_fastdec"
     for n in _chip_counts():
         if n == 1:
             per_chip["1"] = round(headline_best, 1)
@@ -285,7 +316,8 @@ def main():
             m = mesh_lib.make_mesh(n_devices=n)
             nb, _, _, _ = bench_tpu(mesh=m, dtype="bfloat16",
                                     need_flops=False, artifacts=False,
-                                    fast_decoder=fast_won)
+                                    fast_decoder=fast_won,
+                                    quantize=int8_won)
             per_chip[str(n)] = round(nb, 1)
         except Exception:
             break
@@ -305,10 +337,14 @@ def main():
         "headline_config": headline_config,
         "parity_gate": "tests/test_bf16_parity.py: MC ECE/Dice <= 1e-3 vs "
                        "f32 (BASELINE bar); sigma heads stay f32/opt-in; "
-                       "fast decoder gated by tests/test_fast_decoder.py",
+                       "fast decoder gated by tests/test_fast_decoder.py; "
+                       "int8 PTQ trunk gated by tests/test_quant.py",
         "fast_decoder_bf16_voxels_per_sec": round(fast_best, 1)
         if fast_best else None,
         "fast_decoder_error": fast_error,
+        "int8_fastdec_voxels_per_sec": round(int8_best, 1)
+        if int8_best else None,
+        "int8_error": int8_error,
         "direct_bf16_voxels_per_sec": round(plain_direct_bf16, 1)
         if plain_direct_bf16 else None,
         "staged_f32_voxels_per_sec": round(staged_best, 1),

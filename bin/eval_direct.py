@@ -31,7 +31,8 @@ if BIN_DIR not in sys.path:
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
          throughput=False, unmasked=False, strategy=None, mc=None,
-         dtype=None, eval_tree=False, dispatch_chunks=4, fast_decoder=False):
+         dtype=None, eval_tree=False, dispatch_chunks=4, fast_decoder=False,
+         quantize=False):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -45,7 +46,7 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
                            strategy=strategy, mc=mc, dtype=dtype,
                            layout="eval_tree" if eval_tree else "flat",
                            dispatch_chunks=dispatch_chunks,
-                           fast_decoder=fast_decoder)
+                           fast_decoder=fast_decoder, quantize=quantize)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -89,6 +90,12 @@ if __name__ == "__main__":
                         help="concat-free + fused-upsample U-Net decoder "
                              "(same checkpoints; accumulation-order "
                              "numerics — the bf16 opt-in bar)")
+    parser.add_argument("-quantize", action="store_true",
+                        help="int8 PTQ trunk (mc/deterministic only): "
+                             "calibrates activation scales on the first "
+                             "test batch, runs trunk convs in int8 on the "
+                             "MXU's 2x mode (same checkpoints; gated at "
+                             "1e-3 by tests/test_quant.py)")
     parser.add_argument("-eval_tree", action="store_true",
                         help="write the staged eval-dir layout "
                              "(calibration/ ece*/ uncertainty/ minmax/ "
@@ -97,4 +104,5 @@ if __name__ == "__main__":
     args = parser.parse_args()
     main(args.config_file, args.run_id, args.out_dir, args.devices,
          args.throughput, args.unmasked, args.strategy, args.mc, args.dtype,
-         args.eval_tree, args.dispatch_chunks, args.fast_decoder)
+         args.eval_tree, args.dispatch_chunks, args.fast_decoder,
+         args.quantize)

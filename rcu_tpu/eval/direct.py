@@ -104,6 +104,52 @@ def _primary_test_at(config) -> str:
     return "best" if config.test_at in (None, "") else config.test_at
 
 
+def _calibrated_quant_model(model, state, dataset, transform, is_2d,
+                            batch_size, input_dtype, seed):
+    """Build the int8 PTQ model for a direct run (``quantize=True``).
+
+    Applies the PLAIN model (same dtype/decoder flags) to one real data
+    batch with the ``quant_stats`` collection mutable, converts the sown
+    per-site absmax values to activation scales
+    (:func:`rcu_tpu.ops.quant.calibrate_scales`), and bakes them into a
+    copy of the model as trace-time constants. Calibration runs under one
+    MC-dropout sample so the 1/(1-p) channel rescale is inside the
+    calibrated range (the scale margin covers mask-to-mask variation).
+
+    The calibration batch is the CENTER slice batch of the first test
+    subject (BraTS edge slices are often empty — calibrating on them would
+    underestimate every site's range), or the first ``batch_size`` images
+    on native-2D datasets."""
+    from rcu_tpu.ops import quant as quant_ops
+    subjects = dataset.subjects
+
+    def _transformed(img):
+        if transform is None:
+            return np.asarray(img, np.float32)
+        out = transform({"images": np.asarray(img, np.float32),
+                         "labels": np.zeros(np.asarray(img).shape[:2],
+                                            np.uint8)})
+        return np.asarray(out["images"], np.float32)
+
+    if is_2d:
+        batch = np.stack([
+            _transformed(dataset.read_volume(s, "images"))
+            for s in subjects[:max(1, batch_size)]])
+    else:
+        volume = np.asarray(dataset.read_volume(subjects[0], "images"),
+                            np.float32)
+        n = min(len(volume), max(1, batch_size))
+        lo = max(0, (len(volume) - n) // 2)
+        batch = np.stack([_transformed(z) for z in volume[lo:lo + n]])
+    batch = batch.astype(input_dtype, copy=False)
+    scales = quant_ops.calibrate_scales(
+        model, {"params": state[0], "batch_stats": state[1]},
+        [jnp.asarray(batch)], rng=jax.random.PRNGKey(seed))
+    logging.info("int8 calibration: %d conv sites from subject '%s' "
+                 "(%d items)", len(scales), subjects[0], len(batch))
+    return model.copy(quant_scales=scales)
+
+
 def _load_ensemble_states(config, input_shape, dtype=None,
                           fast_decoder=False):
     """Primary model (config.model_dir @ config.test_at) + others.model_dir
@@ -300,7 +346,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     masked: bool = True, subject_parallel: bool = False,
                     strategy: str = None, dtype: str = None,
                     layout: str = "flat", dispatch_chunks: int = 4,
-                    fast_decoder: bool = False) -> dict:
+                    fast_decoder: bool = False,
+                    quantize: bool = False) -> dict:
     """Run fused inference + eval for every test-split subject, one dispatch
     per volume (or per image chunk on native-2D datasets); write the
     ``eval_calibration_*``, ``eval_ece_*``, ``eval_uncertainty_*_th*`` and
@@ -368,6 +415,14 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     strategy = _detect_strategy(config, dataset, strategy)
     if strategy == "mc" and mc == 0:
         strategy = "deterministic"
+    if quantize and strategy not in ("mc", "deterministic"):
+        # scope: the int8 path covers the headline MC/deterministic family.
+        # aleatoric is excluded by design (the global sigma rescale already
+        # breaks the 1e-3 bar for bf16 — tests/test_bf16_parity.py);
+        # ensemble/auxiliary would need per-member calibration plumbing.
+        raise ValueError(
+            f"quantize=True covers the mc/deterministic protocols; "
+            f"strategy '{strategy}' keeps the f32/bf16 paths")
 
     # shape probe, not a read_volume: a whole-volume decode (~57 MB for
     # BraTS) just for ndim/shape would cost a full H5 read per run — the
@@ -429,6 +484,14 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     # dominant H2D bytes (remote-tunnel H2D measures ~34 MB/s either dtype
     # and does not scale with upload threads: scripts/bench_isic.py)
     input_dtype = jnp.dtype(dtype) if dtype else np.float32
+
+    if quantize:
+        # int8 PTQ (ops/quant.py): calibrate per-site activation scales on
+        # one real batch, then every program below builds from the
+        # quantized model (strategy already validated as mc/deterministic)
+        model = _calibrated_quant_model(model, state, dataset, transform,
+                                        is_2d, batch_size, input_dtype,
+                                        config.seed)
 
     aleatoric = strategy == "aleatoric"
     if aleatoric and not getattr(model, "sigma_out", False):

@@ -41,6 +41,38 @@ class UNetOutput(typing.NamedTuple):
     features: jnp.ndarray | None = None
 
 
+def _sow_absmax(module: nn.Module, leaf: str, x) -> None:
+    """Record a conv site's input absmax into the ``quant_stats`` collection
+    during an int8 calibration pass (``ops/quant.calibrate_scales``). A
+    no-op — nothing traced — on every other apply/init."""
+    from rcu_tpu.ops.quant import QUANT_COLLECTION
+    if module.is_mutable_collection(QUANT_COLLECTION) \
+            and not module.is_initializing():
+        module.sow(QUANT_COLLECTION, leaf,
+                   jnp.max(jnp.abs(x)).astype(jnp.float32),
+                   reduce_fn=jnp.maximum,
+                   init_fn=lambda: jnp.zeros((), jnp.float32))
+
+
+def _site_scale(module: nn.Module, leaf: str):
+    """This conv site's calibrated activation scale (a host float, baked
+    into the program as a constant), or None when the model is unquantized.
+    A missing key fails loudly: it means the calibration pass ran a
+    DIFFERENT decoder topology than this model (the split/fused flags must
+    match between the calibration model and the quantized model)."""
+    scales = module.quant_scales
+    if scales is None:
+        return None
+    from rcu_tpu.ops.quant import site_key
+    key = site_key(module.path, leaf)
+    if key not in scales:
+        raise KeyError(
+            f"no calibrated scale for conv site '{key}' — calibrate with "
+            f"the same model flags (fast decoder, dtype) as the quantized "
+            f"model (have: {sorted(scales)[:4]}...)")
+    return scales[key]
+
+
 class _SplitInputConv(nn.Module):
     """A conv over the concatenation of two tensors, computed WITHOUT
     materializing the concat: ``conv(concat(a, b)) == conv_a(a) + conv_b(b)``
@@ -61,13 +93,30 @@ class _SplitInputConv(nn.Module):
     dtype: typing.Any = None
 
     @nn.compact
-    def __call__(self, a, b):
+    def __call__(self, a, b, a_scale: float = None, b_scale: float = None):
         in_total = a.shape[-1] + b.shape[-1]
         kernel = self.param(
             "kernel", conv_init,
             (self.kernel, self.kernel, in_total, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
+        if a_scale is not None:
+            # int8 PTQ path (ops/quant.py): the two kernel halves quantize
+            # per-output-channel SEPARATELY (each half gets its own scale
+            # headroom), the two int8 convs dequantize with their own
+            # input-scale x weight-scale products, then add — the same
+            # split identity, on the MXU's 2x int8 mode
+            from rcu_tpu.ops import quant as quant_ops
+            compute = self.dtype or jnp.float32
+            ka, sa = quant_ops.quantize_weight(kernel[:, :, :a.shape[-1]])
+            kb, sb = quant_ops.quantize_weight(kernel[:, :, a.shape[-1]:])
+            ya = quant_ops.int8_conv(
+                quant_ops.quantize_activation(a, a_scale), ka, self.padding)
+            yb = quant_ops.int8_conv(
+                quant_ops.quantize_activation(b, b_scale), kb, self.padding)
+            return (ya.astype(compute) * (sa * a_scale).astype(compute)
+                    + yb.astype(compute) * (sb * b_scale).astype(compute)
+                    + bias.astype(compute))
         a, b, kernel, bias = nn.dtypes.promote_dtype(
             a, b, kernel, bias, dtype=self.dtype)
         dn = jax.lax.conv_dimension_numbers(
@@ -78,6 +127,45 @@ class _SplitInputConv(nn.Module):
         yb = jax.lax.conv_general_dilated(
             b, kernel[:, :, a.shape[-1]:], (1, 1), pad, dimension_numbers=dn)
         return ya + yb + bias
+
+
+class _QuantConv(nn.Module):
+    """int8 PTQ conv site: quantize the input with the site's calibrated
+    scale, run the conv as int8 x int8 -> int32 on the MXU (~2x the bf16
+    rate, measured round 4), dequantize into the compute dtype. Param tree
+    (``kernel``/``bias``) is IDENTICAL to the ``nn.Conv``/``_UpsampleConv``
+    it replaces, so any checkpoint loads; weights quantize per-output-
+    channel at trace time (``ops/quant.quantize_weight``).
+
+    ``fold_upsample=True`` additionally folds the nearest-2x upsample into
+    the (then 4x4, lhs-dilated) kernel exactly like :class:`_UpsampleConv`
+    — fold first in f32, then quantize the folded kernel."""
+    features: int
+    kernel: int = 3
+    padding: int = 1
+    dtype: typing.Any = None
+    fold_upsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, a_scale: float = 1.0):
+        from rcu_tpu.ops import quant as quant_ops
+        kernel = self.param(
+            "kernel", conv_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        kf = kernel.astype(jnp.float32)
+        pad, lhs_dilation = self.padding, None
+        if self.fold_upsample:
+            fold = jnp.asarray(_UPSAMPLE_FOLD, jnp.float32)
+            kf = jnp.einsum("ai,bj,ijco->abco", fold, fold, kf)
+            pad, lhs_dilation = 2, (2, 2)
+        k_q, w_scale = quant_ops.quantize_weight(kf)
+        x_q = quant_ops.quantize_activation(x, a_scale)
+        y = quant_ops.int8_conv(x_q, k_q, pad, lhs_dilation)
+        compute = self.dtype or jnp.float32
+        return y.astype(compute) * (w_scale * a_scale).astype(compute) \
+            + bias.astype(compute)
 
 
 class _UpsampleConv(nn.Module):
@@ -113,16 +201,32 @@ class ConvBnRelu(nn.Module):
     kernel: int = 3
     padding: int = 1
     dtype: typing.Any = None
+    # int8 PTQ: {site_key: activation scale} dict (ops/quant.py) — None runs
+    # the plain conv. The dropout/BN/relu epilogue below is SHARED by both
+    # paths (identical module paths -> identical flax RNG folding).
+    quant_scales: typing.Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
         if isinstance(x, tuple):
+            a, b = x
+            _sow_absmax(self, "Conv_0_in_absmax_a", a)
+            _sow_absmax(self, "Conv_0_in_absmax_b", b)
             x = _SplitInputConv(self.out_ch, self.kernel, self.padding,
-                                dtype=self.dtype, name="Conv_0")(*x)
+                                dtype=self.dtype, name="Conv_0")(
+                a, b, a_scale=_site_scale(self, "Conv_0_in_absmax_a"),
+                b_scale=_site_scale(self, "Conv_0_in_absmax_b"))
         else:
-            x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
-                        padding=self.padding, kernel_init=conv_init,
-                        dtype=self.dtype)(x)
+            _sow_absmax(self, "Conv_0_in_absmax", x)
+            scale = _site_scale(self, "Conv_0_in_absmax")
+            if scale is not None:
+                x = _QuantConv(self.out_ch, self.kernel, self.padding,
+                               dtype=self.dtype, name="Conv_0")(
+                    x, a_scale=scale)
+            else:
+                x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                            padding=self.padding, kernel_init=conv_init,
+                            dtype=self.dtype)(x)
         # policy-remat tag: under make_train_step(remat='conv') the bwd pass
         # SAVES conv outputs and recomputes the fused dropout/BN/relu
         # epilogue. A lowering-time no-op on every other path.
@@ -168,12 +272,14 @@ class ConvBlock(nn.Module):
     bn: bool = True
     repetitions: int = 2
     dtype: typing.Any = None
+    quant_scales: typing.Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
         for i in range(self.repetitions):
             do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
-            x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype)(
+            x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype,
+                           quant_scales=self.quant_scales)(
                 x, train=train, mc_dropout=mc_dropout)
         return x
 
@@ -299,26 +405,47 @@ class UNet(nn.Module):
     # HBM and the up-conv runs at 4/9 of the taps. Same params/checkpoints;
     # opt-in on the same accumulation-precision bar as split_decoder_concat.
     fused_upsample: bool = False
+    # int8 PTQ inference (ops/quant.py): {site_key: scale} from
+    # ops/quant.calibrate_scales run on the PLAIN model with the same
+    # dtype/decoder flags. Quantizes every 3x3 trunk conv (down/bottom/up
+    # blocks, up-convs, head ConvBnRelu_0); the 1x1 class/sigma heads keep
+    # the compute-dtype path (cheap, and the sigma protocol is
+    # precision-sensitive — see the bf16 notes above). Same checkpoints;
+    # opt-in, envelope-gated by tests/test_quant.py.
+    quant_scales: typing.Any = None
 
     def setup(self):
         block_cls = ConvResidualBlock if self.residual else ConvBlock
         prefix = block_cls.__name__
+        if self.quant_scales is not None and self.residual:
+            raise NotImplementedError(
+                "int8 quantization does not cover residual=True models "
+                "(the 1x1 residual convs are unquantized sites); use the "
+                "plain block variant")
+        qkw = {} if self.residual else {"quant_scales": self.quant_scales}
         down, ch = [], self.start_filters
         for i in range(self.depth):
             mode = _block_dropout_mode(self.dropout_center, i, self.depth, True)
             down.append(block_cls(ch, self.dropout, mode, self.bn,
-                                  dtype=self.dtype, name=f"{prefix}_{i}"))
+                                  dtype=self.dtype, name=f"{prefix}_{i}",
+                                  **qkw))
             ch *= 2
         self.down_blocks = tuple(down)
         mode = _block_dropout_mode(self.dropout_center, self.depth,
                                    self.depth, True)
         self.bottom_block = block_cls(ch, self.dropout, mode, self.bn,
                                       dtype=self.dtype,
-                                      name=f"{prefix}_{self.depth}")
+                                      name=f"{prefix}_{self.depth}", **qkw)
         up_convs, up_blocks = [], []
         for k in range(self.depth):
             ch //= 2
-            if self.fused_upsample:
+            if self.quant_scales is not None:
+                # int8 up-conv site; folds the upsample too when that flag
+                # is on (the fastest production combination)
+                up_convs.append(_QuantConv(
+                    ch, kernel=3, padding=1, dtype=self.dtype,
+                    fold_upsample=self.fused_upsample, name=f"Conv_{k}"))
+            elif self.fused_upsample:
                 up_convs.append(_UpsampleConv(ch, dtype=self.dtype,
                                               name=f"Conv_{k}"))
             else:
@@ -330,11 +457,12 @@ class UNet(nn.Module):
                                        False)
             up_blocks.append(block_cls(
                 ch, self.dropout, mode, self.bn, dtype=self.dtype,
-                name=f"{prefix}_{self.depth + 1 + k}"))
+                name=f"{prefix}_{self.depth + 1 + k}", **qkw))
         self.up_convs = tuple(up_convs)
         self.up_blocks = tuple(up_blocks)
         self.head_cbr = ConvBnRelu(self.start_filters, self.dropout, self.bn,
-                                   dtype=self.dtype, name="ConvBnRelu_0")
+                                   dtype=self.dtype, name="ConvBnRelu_0",
+                                   quant_scales=self.quant_scales)
         # the 1x1 class conv computes in the compute dtype and casts only its
         # nb_classes-channel OUTPUT to f32: casting its start_filters-channel
         # INPUT instead materializes a 16x-wider f32 activation at full
@@ -386,11 +514,20 @@ class UNet(nn.Module):
         x = self.bottom_block(x, **kw)
         for k in range(self.depth):
             skip = skips[self.depth - 1 - k]
+            quantized = self.quant_scales is not None
             if self.fused_upsample:
-                up = self.up_convs[k](x)  # upsample folded into the conv
+                # (nearest upsample preserves values, so the site's absmax
+                # is the same whether sown on x or on the upsampled tensor)
+                _sow_absmax(self, f"Conv_{k}_in_absmax", x)
+                up = self.up_convs[k](
+                    x, a_scale=_site_scale(self, f"Conv_{k}_in_absmax")) \
+                    if quantized else self.up_convs[k](x)
             else:
                 up = _upsample_nearest_2x(x)
-                up = self.up_convs[k](up)
+                _sow_absmax(self, f"Conv_{k}_in_absmax", up)
+                up = self.up_convs[k](
+                    up, a_scale=_site_scale(self, f"Conv_{k}_in_absmax")) \
+                    if quantized else self.up_convs[k](up)
             up = _pad_to(up, (skip.shape[1], skip.shape[2]))
             if self.split_decoder_concat:
                 x = self.up_blocks[k]((up, skip), **kw)

@@ -1,0 +1,144 @@
+"""int8 PTQ gate (ops/quant.py + models/unet.py quant path).
+
+Same methodology as the bf16 compute dtype (tests/test_bf16_parity.py) and
+the fast decoder (tests/test_fast_decoder.py): the int8 path is an opt-in
+inference rewrite with an IDENTICAL param tree (any checkpoint loads), so
+the tests pin (a) structural equivalence at the unit level and (b) the
+measured end-to-end envelope of the production combination
+(bf16 epilogue + fast decoder + int8 trunk) against plain f32 through the
+full direct-eval pipeline — the BASELINE bar is 1e-3 ECE/Dice.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rcu_tpu.models.unet import UNet
+from rcu_tpu.ops import quant as quant_ops
+
+KW = dict(nb_classes=2, in_channels=4, depth=3, start_filters=8,
+          dropout=0.05)
+
+
+def _calibrated(base_kw, x, key=0):
+    model = UNet(**base_kw)
+    variables = model.init({"params": jax.random.PRNGKey(key)}, x,
+                           train=False)
+    scales = quant_ops.calibrate_scales(model, variables, [x])
+    return model, variables, scales
+
+
+class TestQuantUnits:
+    def test_param_tree_bit_identical(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        base, vb, scales = _calibrated(KW, x)
+        quant = UNet(**KW, quant_scales=scales)
+        vq = quant.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert (jax.tree_util.tree_structure(vb)
+                == jax.tree_util.tree_structure(vq))
+        for a, b in zip(jax.tree_util.tree_leaves(vb),
+                        jax.tree_util.tree_leaves(vq)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("extra", [
+        {}, {"split_decoder_concat": True, "fused_upsample": True}])
+    def test_forward_close_same_dropout_mask(self, extra):
+        """Quantized forward tracks the plain forward closely under the SAME
+        dropout sample (identical module paths -> identical RNG folding);
+        random-init activations quantize to ~3e-4 max softmax error."""
+        kw = {**KW, **extra}
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        base, v, scales = _calibrated(kw, x)
+        quant = UNet(**kw, quant_scales=scales)
+        rngs = {"dropout": jax.random.PRNGKey(2)}
+        a = base.apply(v, x, train=False, mc_dropout=True, rngs=rngs)
+        b = quant.apply(v, x, train=False, mc_dropout=True, rngs=rngs)
+        pa = jax.nn.softmax(a.logits, -1)
+        pb = jax.nn.softmax(b.logits, -1)
+        assert float(jnp.max(jnp.abs(pa - pb))) < 5e-3
+        # the heads are deliberately unquantized: logits stay f32
+        assert b.logits.dtype == jnp.float32
+
+    def test_calibration_max_merges_batches(self):
+        x1 = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        x2 = 3.0 * jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 4))
+        model = UNet(**KW)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x1, train=False)
+        s_small = quant_ops.calibrate_scales(model, v, [x1],
+                                             mc_dropout=False)
+        s_both = quant_ops.calibrate_scales(model, v, [x1, x2],
+                                            mc_dropout=False)
+        assert set(s_small) == set(s_both)
+        # the hotter batch can only widen scales, never shrink them
+        assert all(s_both[k] >= s_small[k] - 1e-12 for k in s_small)
+
+    def test_topology_mismatch_fails_loudly(self):
+        """Scales calibrated on the plain decoder must not silently drive a
+        fast-decoder model — the split sites sow DIFFERENT keys."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        _, v, scales = _calibrated(KW, x)
+        wrong = UNet(**KW, split_decoder_concat=True, fused_upsample=True,
+                     quant_scales=scales)
+        with pytest.raises(KeyError, match="calibrate"):
+            wrong.apply(v, x, train=False)
+
+    def test_residual_models_rejected(self):
+        with pytest.raises(NotImplementedError, match="residual"):
+            UNet(**KW, residual=True, quant_scales={"x": 1.0}).init(
+                {"params": jax.random.PRNGKey(0)},
+                jnp.zeros((1, 32, 32, 4)), train=False)
+
+    def test_quant_ops_roundtrip(self):
+        # weights: per-output-channel symmetric; dequant(quant(w)) ~ w
+        k = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 8, 16))
+        q, s = quant_ops.quantize_weight(k)
+        assert q.dtype == jnp.int8 and s.shape == (16,)
+        back = np.asarray(q, np.float32) * np.asarray(s)
+        np.testing.assert_allclose(back, np.asarray(k),
+                                   atol=float(np.max(np.asarray(s))) / 2 + 1e-6)
+        # activations: saturating round-to-nearest
+        x = jnp.asarray([-1e9, -1.0, 0.0, 0.4, 1e9])
+        xa = quant_ops.quantize_activation(x, scale=1.0 / 10)
+        np.testing.assert_array_equal(np.asarray(xa), [-127, -10, 0, 4, 127])
+
+
+@pytest.mark.slow
+class TestQuantE2EEnvelope:
+    """The production int8 combination through the SHIPPED direct pipeline:
+    train a tiny MC model, evaluate plain f32 vs quantize=True, compare the
+    per-subject ECE/Dice CSVs. The envelope below is MEASURED (round 4);
+    the assert keeps it pinned so a real int8 regression fails loudly."""
+
+    def test_mc_envelope(self, tmp_path):
+        from rcu_tpu import strategies
+        from rcu_tpu.data.split import save_split
+        from rcu_tpu.eval.direct import evaluate_direct
+        from tests.test_bf16_parity import assert_gate
+        from tests.test_strategies import (base_test_cfg, base_train_cfg,
+                                           make_store)
+        store = make_store(str(tmp_path / "ds.h5"), nb_subjects=3,
+                           nb_slices=8, hw=(32, 32), channels=4)
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        loop = strategies.train_default(base_train_cfg(
+            tmp_path, store, split_file, name="quant_mc", epochs=3,
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                            "nb_classes": 2, "start_filters": 8}}))
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            loop.model_files.model_dir,
+                            others={"mc": 5}, name="quant_t")
+        cfg.test_data.batch_size = 8
+        base_dir = str(tmp_path / "f32_base")
+        q_dir = str(tmp_path / "int8")
+        evaluate_direct(cfg, base_dir, run_id="mc", masked=False)
+        evaluate_direct(cfg, q_dir, run_id="mc", masked=False,
+                        dtype="bfloat16", fast_decoder=True, quantize=True)
+        assert_gate(base_dir, q_dir, "eval_calibration_mc.csv", gate=1e-3)
+
+    def test_rejected_strategies(self, tmp_path):
+        from rcu_tpu.eval.direct import evaluate_direct
+        from rcu_tpu.engine import config as cfg_lib
+        cfg = cfg_lib.TestConfiguration(model_dir="", others={})
+        with pytest.raises((ValueError, Exception)):
+            evaluate_direct(cfg, str(tmp_path), quantize=True,
+                            strategy="aleatoric")
