@@ -1,9 +1,12 @@
 """Post-training int8 quantization (PTQ) for the inference path.
 
 TPU v5e executes int8 convolutions on the MXU at ~2x the bf16 rate
-(measured round 4: 184 vs 95 TF/s on the flagship's mid-level conv shape,
-chained-conv microbench — the int8 path is the chip's one remaining 2x
-roofline lever once bf16+fast-decoder sits at the practical MXU peak).
+(measured round 4, ``scripts/bf16_gap_analysis.py --int8_peak``: 98 vs 42
+TF/s at the flagship's 120^2 x 64ch level and 264 vs 154 at 60^2 x 128ch,
+chained-conv microbench incl. the dequant+requant epilogue — the int8 path
+is the chip's one remaining ~2x roofline lever once bf16+fast-decoder sits
+at the practical MXU peak). End-to-end it lifts the MC-20 direct-eval
+headline from 10.4 to 13.4 Mvox/s (+29%) at an ECE delta of 4e-6.
 
 Scheme (the standard production PTQ recipe):
 

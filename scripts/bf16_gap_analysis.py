@@ -27,6 +27,10 @@ Measured results (r3, one v5e chip):
 - ``--peak``: a chained 4096^3 bf16 matmul reaches ~117 TFLOP/s — the
   chip's PRACTICAL peak (59% of the 197 nominal). The bf16 pipeline's ~77
   TFLOP/s is ~66% of practical.
+- ``--int8_peak`` (r4, 1024-rep chains, epilogue included): int8 98 vs bf16
+  42 TF/s at 120^2 x 64ch, 264 vs 154 at 60^2 x 128ch — the MXU's int8 mode
+  is a real ~2x; it backs the int8 PTQ path (ops/quant.py), which lifts the
+  end-to-end headline 10.4 -> 13.4 Mvox/s (+29%).
 - ``--levels`` (batch 32 per dispatch): 240^2 x 32ch 10 TF/s, 120^2 x 64ch
   29, 60^2 x 128ch 50, 30^2 x 256ch 32 — the small-channel TOP level is the
   inefficient one at the staged batch size. The pipeline still sustains ~77
@@ -206,6 +210,68 @@ def matmul_peak():
     }))
 
 
+def int8_conv_peak():
+    """int8-vs-bf16 chained 3x3 conv at the flagship's mid-level shapes:
+    the microbench behind the int8 PTQ path (ops/quant.py). The int8 chain
+    includes the production epilogue shape (dequant multiply + requantize
+    clip/round) so the measured rate is what the quantized U-Net trunk can
+    actually sustain, not a bare-MAC fantasy. Judge the int8 rate against
+    2x :func:`matmul_peak` (the MXU runs int8 at twice the bf16 MAC rate)."""
+    from rcu_tpu.ops import quant as quant_ops
+    reps = 1024  # >=1s of device work per dispatch (the tunnel-RTT rule)
+    for hw, ch in ((120, 64), (60, 128)):
+        rng = np.random.RandomState(0)
+        xf = jnp.asarray(rng.rand(BATCH, hw, hw, ch) - 0.5, jnp.float32)
+        kf = jnp.asarray(rng.rand(3, 3, ch, ch) - 0.5, jnp.float32)
+        k_q, _ = quant_ops.quantize_weight(kf)
+        x_q = quant_ops.quantize_activation(xf, scale=0.5 / 127)
+        # requant scale keeps the chain in-range: a 3x3xch conv of +-127
+        # inputs sums ~9*ch terms, so dividing by 9*ch keeps int8 occupancy
+        requant = 1.0 / (9.0 * ch)
+
+        @jax.jit
+        def run_int8(x, k):
+            def body(x, _):
+                y = quant_ops.int8_conv(x, k, padding=1)
+                y = jnp.clip(jnp.round(y.astype(jnp.float32) * requant),
+                             -127, 127)
+                return y.astype(jnp.int8), ()
+            y, _ = jax.lax.scan(body, x, None, length=reps)
+            return jnp.sum(y.astype(jnp.float32))
+
+        xb = xf.astype(jnp.bfloat16)
+        kb = kf.astype(jnp.bfloat16)
+        scale = jnp.bfloat16(1.0 / 64)  # keep finite without promoting
+
+        @jax.jit
+        def run_bf16(x, k):
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+            def body(x, _):
+                y = jax.lax.conv_general_dilated(
+                    x, k, (1, 1), [(1, 1)] * 2, dimension_numbers=dn,
+                    preferred_element_type=jnp.bfloat16)
+                return y * scale, ()
+            y, _ = jax.lax.scan(body, x, None, length=reps)
+            return jnp.sum(y.astype(jnp.float32))
+
+        flops = 2.0 * 9 * ch * ch * hw * hw * BATCH * reps
+        for name, fn, a, k in (("int8", run_int8, x_q, k_q),
+                               ("bf16", run_bf16, xb, kb)):
+            float(fn(a, k))
+            best = None
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(fn(a, k))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            print(json.dumps({
+                "level_hw": hw, "channels": ch, "dtype": name,
+                "seconds": round(best, 3),
+                "achieved_tflops_per_s": round(flops / best / 1e12, 2),
+            }))
+
+
 def conv_levels(dtype="bfloat16"):
     """Per-U-Net-level conv efficiency: ONE 3x3 conv applied ``reps`` times
     via lax.scan (weight-reused; ~1s of device work so the remote dispatch
@@ -260,10 +326,15 @@ if __name__ == "__main__":
                         help="per-U-Net-level conv efficiency microbench")
     parser.add_argument("--peak", action="store_true",
                         help="practical bf16 matmul peak calibration")
+    parser.add_argument("--int8_peak", action="store_true",
+                        help="int8-vs-bf16 chained-conv microbench (the "
+                             "measurement behind ops/quant.py)")
     args = parser.parse_args()
     dtype = None if args.dtype in ("f32", "float32", "none") else args.dtype
     if args.peak:
         matmul_peak()
+    elif args.int8_peak:
+        int8_conv_peak()
     elif args.levels:
         conv_levels(args.dtype)
     else:
