@@ -104,10 +104,23 @@ def _sync(x):
 
 
 def bench_chunk_scan(dtype=None, n_rounds=3, eval_reductions=True,
-                     fast_decoder=False):
+                     fast_decoder=False, quantize=False):
     """G chunks per dispatch. Returns (best img/s, mean img/s, flops/img)."""
     from rcu_tpu.eval import pipeline as pl
     model, params, batch_stats = _model(dtype, fast_decoder)
+    if quantize:
+        # int8 PTQ trunk (ops/quant.py; gated by tests/test_quant.py):
+        # calibrate on the bench's own input distribution, on CPU (the
+        # un-jitted calibration apply would be one tunnel RTT per op)
+        from rcu_tpu.ops import quant as quant_ops
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            cal = jnp.asarray(np.random.RandomState(7)
+                              .rand(K, H, W, C).astype(np.float32))
+            scales = quant_ops.calibrate_scales(
+                model, {"params": jax.device_get(params),
+                        "batch_stats": jax.device_get(batch_stats)}, [cal])
+        model = model.copy(quant_scales=scales)
     rng = np.random.RandomState(0)
     images = jax.device_put(rng.rand(G * K, H, W, C).astype(np.float32))
     targets = jax.device_put((rng.rand(G * K, H, W) < 0.3).astype(np.uint8))
@@ -272,6 +285,21 @@ def main():
             "mfu": round(fd_mfu, 4) if fd_mfu else None,
             "note": "concat-free + fused-upsample decoder "
                     "(tests/test_fast_decoder.py gate)"}))
+
+        if dtype == "bfloat16":
+            q_best, q_mean, _ = bench_chunk_scan(dtype, fast_decoder=True,
+                                                 quantize=True)
+            rows[(name, "chunk_scan_int8")] = q_best
+            q_mfu = flops * q_best / V5E_BF16_PEAK_FLOPS if flops else None
+            print(json.dumps({
+                "metric": "isic_mc20_chunk_scan_int8_fastdec_images_per_sec",
+                "dtype": name, "value": round(q_best, 2),
+                "mean": round(q_mean, 2),
+                "mvox_per_sec": round(q_best * VOX / 1e6, 3),
+                "mfu_canonical_bf16_flops":
+                    round(q_mfu, 4) if q_mfu else None,
+                "note": "int8 PTQ trunk + fast decoder "
+                        "(tests/test_quant.py gate)"}))
 
         ne_best, ne_mean, _ = bench_chunk_scan(dtype, eval_reductions=False)
         rows[(name, "noeval_scan")] = ne_best

@@ -135,6 +135,40 @@ class TestQuantE2EEnvelope:
                         dtype="bfloat16", fast_decoder=True, quantize=True)
         assert_gate(base_dir, q_dir, "eval_calibration_mc.csv", gate=1e-3)
 
+    def test_mc_envelope_2d(self, tmp_path):
+        """The native-2D (ISIC-protocol) branch of the int8 path: the
+        calibration batch is built from whole images, not volume slices
+        (eval/direct._calibrated_quant_model is_2d), and the chunked
+        image-batch program runs the quantized trunk."""
+        from rcu_tpu import strategies
+        from rcu_tpu.data.split import save_split
+        from rcu_tpu.eval.direct import evaluate_direct
+        from tests.test_bf16_parity import assert_gate
+        from tests.test_direct_2d import TEST_SUBJECTS, _write_pair_stores
+        from tests.test_strategies import (base_test_cfg, base_train_cfg,
+                                           make_store)
+        train_store = make_store(str(tmp_path / "train3.h5"), channels=3)
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        test_split = str(tmp_path / "test_split.json")
+        save_split(test_split, [], [], TEST_SUBJECTS)
+        unet3 = {"unet": {"depth": 2, "dropout": 0.2, "in_channels": 3,
+                          "nb_classes": 2, "start_filters": 8}}
+        loop = strategies.train_default(base_train_cfg(
+            tmp_path, train_store, split_file, model=unet3, name="q2d",
+            epochs=3))
+        flat, _ = _write_pair_stores(tmp_path)
+        cfg = base_test_cfg(tmp_path, flat, test_split,
+                            loop.model_files.model_dir,
+                            others={"mc": 5}, name="q2d_t")
+        cfg.test_data.batch_size = 2
+        base_dir = str(tmp_path / "f32_base")
+        q_dir = str(tmp_path / "int8")
+        evaluate_direct(cfg, base_dir, run_id="mc", masked=False)
+        evaluate_direct(cfg, q_dir, run_id="mc", masked=False,
+                        dtype="bfloat16", fast_decoder=True, quantize=True)
+        assert_gate(base_dir, q_dir, "eval_calibration_mc.csv", gate=1e-3)
+
     def test_rejected_strategies(self, tmp_path):
         from rcu_tpu.eval.direct import evaluate_direct
         from rcu_tpu.engine import config as cfg_lib
