@@ -41,7 +41,8 @@ if BIN_DIR not in sys.path:
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          host="0.0.0.0", port=8475, prewarm=None, members=None,
          is_log_sigma=None, dtype=None, segm_model_dir=None,
-         aux_segm=False, throughput=False, fast_decoder=False):
+         aux_segm=False, throughput=False, fast_decoder=False,
+         quantize=False):
     import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
@@ -61,7 +62,8 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
                                      segm_model_dir=segm_model_dir,
                                      aux_segm=aux_segm,
                                      subject_parallel=throughput,
-                                     fast_decoder=fast_decoder)
+                                     fast_decoder=fast_decoder,
+                                     quantize=quantize)
     if prewarm:
         import numpy as np
         in_ch = service.in_channels  # resolved from model.json at init
@@ -122,6 +124,11 @@ if __name__ == "__main__":
                         help="concat-free + fused-upsample U-Net decoder "
                              "(same checkpoints; gated at the production "
                              "1e-3 bar by tests/test_fast_decoder.py)")
+    parser.add_argument("-quantize", action="store_true",
+                        help="int8 PTQ trunk (mc/deterministic/ensemble "
+                             "only): calibrates on the first request's "
+                             "center slices; ~2x MXU rate over bf16 "
+                             "(gated by tests/test_quant.py)")
     parser.add_argument("-throughput", action="store_true",
                         help="with -devices N: replicate the model per "
                              "device and run concurrent requests on "

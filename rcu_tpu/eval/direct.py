@@ -105,16 +105,28 @@ def _primary_test_at(config) -> str:
 
 
 def _calibrated_quant_model(model, state, dataset, transform, is_2d,
-                            batch_size, input_dtype, seed):
+                            batch_size, input_dtype, seed,
+                            ensemble=False):
     """Build the int8 PTQ model for a direct run (``quantize=True``).
 
     Applies the PLAIN model (same dtype/decoder flags) to one real data
     batch with the ``quant_stats`` collection mutable, converts the sown
     per-site absmax values to activation scales
     (:func:`rcu_tpu.ops.quant.calibrate_scales`), and bakes them into a
-    copy of the model as trace-time constants. Calibration runs under one
-    MC-dropout sample so the 1/(1-p) channel rescale is inside the
-    calibrated range (the scale margin covers mask-to-mask variation).
+    copy of the model as trace-time constants. For the MC protocol,
+    calibration runs under one MC-dropout sample so the 1/(1-p) channel
+    rescale is inside the calibrated range (the scale margin covers
+    mask-to-mask variation).
+
+    ``ensemble=True`` takes stacked member states (leading member axis,
+    :func:`rcu_tpu.parallel.ensemble.stack_states` layout) and UNION-
+    calibrates: each member runs its own calibration pass (deterministic
+    forward — the ensemble protocol has no dropout,
+    /root/reference/bin-dl/brats_test_ensemble.py) and per-site scales
+    merge by max, so the ONE shared scale dict covers every member's
+    activation range. Weights stay per-member: the quantized model
+    quantizes each member's kernels at trace time under the member vmap
+    (eval/pipeline._ensemble_scan), so only activation scales are shared.
 
     The calibration batch is the CENTER slice batch of the first test
     subject (BraTS edge slices are often empty — calibrating on them would
@@ -142,11 +154,30 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
         lo = max(0, (len(volume) - n) // 2)
         batch = np.stack([_transformed(z) for z in volume[lo:lo + n]])
     batch = batch.astype(input_dtype, copy=False)
-    scales = quant_ops.calibrate_scales(
-        model, {"params": state[0], "batch_stats": state[1]},
-        [jnp.asarray(batch)], rng=jax.random.PRNGKey(seed))
-    logging.info("int8 calibration: %d conv sites from subject '%s' "
-                 "(%d items)", len(scales), subjects[0], len(batch))
+    batch = jnp.asarray(batch)
+    if ensemble:
+        n_members = jax.tree_util.tree_leaves(state[0])[0].shape[0]
+        scales: dict = {}
+        for m in range(n_members):
+            member = jax.tree_util.tree_map(lambda x: x[m], state)
+            member_scales = quant_ops.calibrate_scales(
+                model, {"params": member[0], "batch_stats": member[1]},
+                [batch], mc_dropout=False)
+            if scales and set(member_scales) != set(scales):
+                raise ValueError(
+                    "ensemble members sowed different quant sites — the "
+                    "stacked members must share one architecture")
+            for key, val in member_scales.items():
+                scales[key] = max(scales.get(key, 0.0), val)
+        logging.info("int8 union calibration: %d conv sites over %d members "
+                     "from subject '%s' (%d items)", len(scales), n_members,
+                     subjects[0], len(batch))
+    else:
+        scales = quant_ops.calibrate_scales(
+            model, {"params": state[0], "batch_stats": state[1]},
+            [batch], rng=jax.random.PRNGKey(seed))
+        logging.info("int8 calibration: %d conv sites from subject '%s' "
+                     "(%d items)", len(scales), subjects[0], len(batch))
     return model.copy(quant_scales=scales)
 
 
@@ -415,13 +446,15 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     strategy = _detect_strategy(config, dataset, strategy)
     if strategy == "mc" and mc == 0:
         strategy = "deterministic"
-    if quantize and strategy not in ("mc", "deterministic"):
-        # scope: the int8 path covers the headline MC/deterministic family.
-        # aleatoric is excluded by design (the global sigma rescale already
-        # breaks the 1e-3 bar for bf16 — tests/test_bf16_parity.py);
-        # ensemble/auxiliary would need per-member calibration plumbing.
+    if quantize and strategy not in ("mc", "deterministic", "ensemble"):
+        # scope: the int8 path covers the mc/deterministic/ensemble family
+        # (ensemble via per-member union calibration). aleatoric is excluded
+        # by design (the global sigma rescale already breaks the 1e-3 bar
+        # for bf16 — tests/test_bf16_parity.py); the auxiliary protocols
+        # score a confidence head whose ranges the trunk calibration does
+        # not cover.
         raise ValueError(
-            f"quantize=True covers the mc/deterministic protocols; "
+            f"quantize=True covers the mc/deterministic/ensemble protocols; "
             f"strategy '{strategy}' keeps the f32/bf16 paths")
 
     # shape probe, not a read_volume: a whole-volume decode (~57 MB for
@@ -487,11 +520,13 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
 
     if quantize:
         # int8 PTQ (ops/quant.py): calibrate per-site activation scales on
-        # one real batch, then every program below builds from the
-        # quantized model (strategy already validated as mc/deterministic)
+        # one real batch, then every program below builds from the quantized
+        # model (strategy already validated as mc/deterministic/ensemble;
+        # ensemble union-calibrates over the stacked members)
         model = _calibrated_quant_model(model, state, dataset, transform,
                                         is_2d, batch_size, input_dtype,
-                                        config.seed)
+                                        config.seed,
+                                        ensemble=strategy == "ensemble")
 
     aleatoric = strategy == "aleatoric"
     if aleatoric and not getattr(model, "sigma_out", False):

@@ -103,7 +103,8 @@ class VolumeInferenceService:
                  max_programs: int = 32, dtype: str = None,
                  segm_model_dir: str = None, aux_segm: bool = False,
                  subject_parallel: bool = False,
-                 fast_decoder: bool = False):
+                 fast_decoder: bool = False,
+                 quantize: bool = False):
         from rcu_tpu.engine import checkpoint as ckpt_lib
         from rcu_tpu.eval.direct import _load_model_state
         self.model_dir = model_dir
@@ -173,6 +174,22 @@ class VolumeInferenceService:
             state = (params, batch_stats)
         self.is_log_sigma = bool(is_log_sigma) if is_log_sigma is not None \
             else None
+        self._quantize = bool(quantize)
+        self._quant_ready = not self._quantize
+        self._calib_state = None
+        if self._quantize:
+            # same scope as evaluate_direct(quantize=True): the int8 trunk
+            # covers the mc (incl. mc=0 deterministic) and ensemble
+            # protocols; sigma/confidence heads keep the f32/bf16 paths
+            if self.strategy not in ("mc", "ensemble"):
+                raise ValueError(
+                    "quantize=True covers the mc/deterministic/ensemble "
+                    f"serving strategies; '{self.strategy}' keeps the "
+                    "f32/bf16 paths")
+            # pre-placement state: calibration applies the PLAIN model once
+            # on the first request's slices (ops/quant.py); arrays are
+            # immutable so this is a reference, not a copy
+            self._calib_state = state
         self.subject_parallel = bool(subject_parallel and mesh is not None)
         if self.subject_parallel:
             # throughput mode: every mesh device holds a full state replica
@@ -322,6 +339,48 @@ class VolumeInferenceService:
             request_index = self._requests
         return jax.random.fold_in(self._rng, request_index)
 
+    def _ensure_quant_calibrated(self, volume: np.ndarray):
+        """First-request int8 calibration (quantize=True services).
+
+        A server has no dataset at construction time, so the CENTER slices
+        of the first request are the calibration batch — the serving analog
+        of eval/direct._calibrated_quant_model's center-slice rule (edge
+        slices are often empty). The quantized model swaps in before any
+        program is built (the LRU is empty until the first request), so
+        every compiled program runs the int8 trunk. Ensembles union-
+        calibrate per member (deterministic forward, scales merge by max);
+        MC calibrates under one dropout sample unless mc=0."""
+        if self._quant_ready:
+            return
+        with self._cache_lock:
+            if self._quant_ready:
+                return
+            from rcu_tpu.ops import quant as quant_ops
+            n = max(1, min(self.batch_size, len(volume)))
+            lo = max(0, (len(volume) - n) // 2)
+            batch = np.asarray(volume[lo:lo + n], np.float32)
+            state = self._calib_state
+            if self.strategy == "ensemble":
+                n_members = jax.tree_util.tree_leaves(state[0])[0].shape[0]
+                scales: dict = {}
+                for m in range(n_members):
+                    member = jax.tree_util.tree_map(lambda x: x[m], state)
+                    member_scales = quant_ops.calibrate_scales(
+                        self.model,
+                        {"params": member[0], "batch_stats": member[1]},
+                        [batch], mc_dropout=False)
+                    for key, val in member_scales.items():
+                        scales[key] = max(scales.get(key, 0.0), val)
+            else:
+                scales = quant_ops.calibrate_scales(
+                    self.model, {"params": state[0], "batch_stats": state[1]},
+                    [batch], rng=self._rng, mc_dropout=self.mc > 0)
+            self.model = self.model.copy(quant_scales=scales)
+            self._calib_state = None
+            self._quant_ready = True
+            logging.info("serve: int8 calibrated %d conv sites from the "
+                         "first request (%d items)", len(scales), n)
+
     @staticmethod
     def _binarized(arr, want, name):
         arr = (np.asarray(arr) > 0.5).astype(np.uint8)
@@ -397,6 +456,7 @@ class VolumeInferenceService:
             raise ValueError(
                 f"images have {volume.shape[-1]} channels but the served "
                 f"checkpoint expects {self.in_channels}")
+        self._ensure_quant_calibrated(volume)
         nz = volume.shape[0]
         batch = self._effective_batch(nz)
         pad = (-nz) % batch
@@ -469,6 +529,7 @@ class VolumeInferenceService:
             raise ValueError(
                 f"images have {images.shape[-1]} channels but the served "
                 f"checkpoint expects {self.in_channels}")
+        self._ensure_quant_calibrated(images)
         k = images.shape[0]
         want = (k,) + images.shape[1:3]
         target, m = self._scored_arrays(target, mask, want)

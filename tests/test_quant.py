@@ -8,6 +8,8 @@ measured end-to-end envelope of the production combination
 (bf16 epilogue + fast decoder + int8 trunk) against plain f32 through the
 full direct-eval pipeline — the BASELINE bar is 1e-3 ECE/Dice.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -87,6 +89,32 @@ class TestQuantUnits:
             UNet(**KW, residual=True, quant_scales={"x": 1.0}).init(
                 {"params": jax.random.PRNGKey(0)},
                 jnp.zeros((1, 32, 32, 4)), train=False)
+
+    def test_ensemble_union_scales_cover_every_member(self):
+        """Ensemble int8 (eval/direct._calibrated_quant_model ensemble=True)
+        merges per-member scales by max: the shared dict must dominate each
+        member's own calibration, and the quantized member-mean probabilities
+        must track f32 closely (deterministic forward, no dropout)."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        model = UNet(**KW)
+        members = [model.init({"params": jax.random.PRNGKey(k)}, x,
+                              train=False) for k in (1, 2)]
+        per_member = [quant_ops.calibrate_scales(model, v, [x],
+                                                 mc_dropout=False)
+                      for v in members]
+        union = {k: max(s[k] for s in per_member) for k in per_member[0]}
+        for s in per_member:
+            assert set(s) == set(union)
+            assert all(union[k] >= s[k] - 1e-12 for k in s)
+        quant = UNet(**KW, quant_scales=union)
+
+        def mean_probs(m):
+            probs = [jax.nn.softmax(m.apply(v, x, train=False).logits, -1)
+                     for v in members]
+            return jnp.mean(jnp.stack(probs), axis=0)
+
+        err = jnp.max(jnp.abs(mean_probs(model) - mean_probs(quant)))
+        assert float(err) < 5e-3
 
     def test_quant_ops_roundtrip(self):
         # weights: per-output-channel symmetric; dequant(quant(w)) ~ w
@@ -168,6 +196,72 @@ class TestQuantE2EEnvelope:
         evaluate_direct(cfg, q_dir, run_id="mc", masked=False,
                         dtype="bfloat16", fast_decoder=True, quantize=True)
         assert_gate(base_dir, q_dir, "eval_calibration_mc.csv", gate=1e-3)
+
+    def test_ensemble_envelope(self, tmp_path):
+        """Ensemble int8 through the SHIPPED direct pipeline: two trained
+        members, plain f32 vs quantize=True (union calibration), per-subject
+        ECE/Dice CSVs inside the 1e-3 BASELINE bar — and the same quantized
+        program under the EP 2-D model x data mesh must match the
+        single-device quantized CSVs to float tolerance (the vmapped and
+        shard_mapped member reductions order the int8 dequant epilogue
+        differently, so ~1e-5 relative, not the bit-exactness of the
+        unquantized EP path in test_direct_vs_staged)."""
+        from rcu_tpu import strategies
+        from rcu_tpu.data.split import save_split
+        from rcu_tpu.eval.direct import evaluate_direct
+        from rcu_tpu.parallel import ensemble as ens_lib
+        from tests.test_bf16_parity import assert_gate
+        from tests.test_strategies import (base_test_cfg, base_train_cfg,
+                                           make_store)
+
+        def csv_close(path_a, path_b, rtol=1e-4):
+            import csv as csv_lib
+            with open(path_a) as fa, open(path_b) as fb:
+                rows_a = list(csv_lib.reader(fa))
+                rows_b = list(csv_lib.reader(fb))
+            assert len(rows_a) == len(rows_b), (path_a, path_b)
+            for row_a, row_b in zip(rows_a, rows_b):
+                assert len(row_a) == len(row_b), (path_a, row_a, row_b)
+                for cell_a, cell_b in zip(row_a, row_b):
+                    try:
+                        np.testing.assert_allclose(
+                            float(cell_a), float(cell_b), rtol=rtol,
+                            atol=1e-6, err_msg=path_a)
+                    except ValueError:
+                        assert cell_a == cell_b, (path_a, cell_a, cell_b)
+        store = make_store(str(tmp_path / "ds.h5"), nb_subjects=3,
+                           nb_slices=8, hw=(32, 32), channels=4)
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02"])
+        unet = {"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                         "nb_classes": 2, "start_filters": 8}}
+        m1 = strategies.train_default(base_train_cfg(
+            tmp_path, store, split_file, name="qens_m1", epochs=3,
+            model=unet))
+        cfg_m2 = base_train_cfg(tmp_path, store, split_file, name="qens_m2",
+                                epochs=3, model=unet)
+        cfg_m2.seed = 21  # distinct init: members must not be twins
+        m2 = strategies.train_default(cfg_m2)
+        cfg = base_test_cfg(
+            tmp_path, store, split_file, m1.model_files.model_dir,
+            others={"model_dir": [m2.model_files.model_dir],
+                    "test_at": "best"}, name="qens_t")
+        cfg.test_data.batch_size = 8
+        base_dir = str(tmp_path / "f32_base")
+        q_dir = str(tmp_path / "int8")
+        evaluate_direct(cfg, base_dir, run_id="ensemble", masked=False)
+        evaluate_direct(cfg, q_dir, run_id="ensemble", masked=False,
+                        dtype="bfloat16", fast_decoder=True, quantize=True)
+        assert_gate(base_dir, q_dir, "eval_calibration_ensemble.csv",
+                    gate=1e-3)
+        ep_dir = str(tmp_path / "int8_ep")
+        evaluate_direct(cfg, ep_dir, run_id="ensemble", masked=False,
+                        dtype="bfloat16", fast_decoder=True, quantize=True,
+                        mesh=ens_lib.make_ensemble_mesh(2))
+        assert sorted(os.listdir(q_dir)) == sorted(os.listdir(ep_dir))
+        for name in sorted(os.listdir(q_dir)):
+            csv_close(os.path.join(q_dir, name),
+                      os.path.join(ep_dir, name))
 
     def test_rejected_strategies(self, tmp_path):
         from rcu_tpu.eval.direct import evaluate_direct

@@ -125,6 +125,39 @@ class TestService:
         np.testing.assert_allclose(a["probabilities"], b["probabilities"],
                                    rtol=1e-5, atol=1e-6)
 
+    def test_quantized_service_matches(self, service):
+        """quantize=True calibrates on the FIRST request's center slices,
+        swaps the int8 trunk in before any program is built, and serves
+        every later request from the baked scales; deterministic (mc=0)
+        probabilities must track the plain service within the int8
+        envelope and repeat bit-identically."""
+        plain = VolumeInferenceService(service.model_dir, mc=0, batch_size=2)
+        quant = VolumeInferenceService(service.model_dir, mc=0, batch_size=2,
+                                       quantize=True)
+        assert quant.compiled_shapes() == []  # nothing built pre-calibration
+        volume = np.random.RandomState(14).rand(2, *HW, 4).astype(np.float32)
+        a = plain.predict(volume)
+        b = quant.predict(volume)
+        np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                                   atol=5e-3)
+        c = quant.predict(volume)  # reuses the baked scales + program
+        np.testing.assert_array_equal(b["probabilities"], c["probabilities"])
+
+    def test_quantized_ensemble_service_matches(self, service):
+        """Ensemble quantize: union calibration over the stacked members on
+        the first request (serve._ensure_quant_calibrated)."""
+        plain = VolumeInferenceService(service.model_dir, mc=0, batch_size=2,
+                                       members=[service.model_dir])
+        quant = VolumeInferenceService(service.model_dir, mc=0, batch_size=2,
+                                       members=[service.model_dir],
+                                       quantize=True)
+        assert plain.strategy == quant.strategy == "ensemble"
+        volume = np.random.RandomState(15).rand(2, *HW, 4).astype(np.float32)
+        a = plain.predict(volume)
+        b = quant.predict(volume)
+        np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                                   atol=5e-3)
+
     def test_per_image_scoring_matches_per_request(self, service):
         """per_image=True scores K independent images in ONE dispatch; each
         row must equal a separate single-image scored request exactly
@@ -286,6 +319,13 @@ class TestAleatoricService:
     def test_missing_is_log_sigma_raises(self, aleatoric_service):
         with pytest.raises(ValueError, match="is_log_sigma"):
             VolumeInferenceService(aleatoric_service.model_dir, batch_size=2)
+
+    def test_quantize_rejected(self, aleatoric_service):
+        """Same scope rule as evaluate_direct: the int8 trunk never serves
+        sigma/confidence heads (bf16 already misses their 1e-3 bar)."""
+        with pytest.raises(ValueError, match="quantize"):
+            VolumeInferenceService(aleatoric_service.model_dir, batch_size=2,
+                                   is_log_sigma=False, quantize=True)
 
     def test_unscored_serves_raw_sigma(self, aleatoric_service):
         volume = np.random.RandomState(0).rand(2, *HW, 4).astype(np.float32)
