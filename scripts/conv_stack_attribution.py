@@ -25,6 +25,14 @@ Legs:
   --boundary concat-vs-split-kernel probe at every decoder level: is the
             skip concat an unfused HBM cost the split-kernel rewrite
             (conv_a(up) + conv_b(skip), checkpoint-compatible) would avoid?
+  --int8    run the ops/forward legs with the int8 PTQ trunk (ops/quant.py:
+            every ConvBnRelu/up-conv site quantize->int8 conv->dequant,
+            same rewrite the production `-quantize` path uses). Answers
+            WHERE the end-to-end int8 win (+29% measured round 4) lands
+            vs the ~2x conv-microbench rate: per-LEVEL int8 speedup (the
+            top 240^2 x 32ch level's output-lane binder does not care
+            about operand width) and the quant/dequant boundary share
+            (sum-of-parts vs whole, same methodology as the bf16 gap).
 
 Every leg packs >= ~1s of device work per dispatch (lax.scan over reps)
 so the remote-tunnel round trip does not contaminate rates (CLAUDE.md).
@@ -109,9 +117,17 @@ def _scan_bench(apply_fn, x_shape, flops_per_call, dtype, needs_rng=False):
     return best / reps, reps
 
 
-def conv_bn_relu(out_ch, dtype, kernel=3):
+def conv_bn_relu(out_ch, dtype, kernel=3, quantize=False):
     from rcu_tpu.models.unet import ConvBnRelu
-    return ConvBnRelu(out_ch, dropout=0.2, bn=True,
+    scales = None
+    if quantize:
+        # bench inputs are uniform [0, 1] (absmax 1.0); a standalone
+        # top-level ConvBnRelu's one conv site keys as "Conv_0_in_absmax"
+        # (ops/quant.site_key with an empty module path) — the same scale
+        # calibrate_scales would return, without a remote calibration pass
+        from rcu_tpu.ops import quant as quant_ops
+        scales = {"Conv_0_in_absmax": quant_ops.activation_scale(1.0)}
+    return ConvBnRelu(out_ch, dropout=0.2, bn=True, quant_scales=scales,
                       kernel=kernel, padding=kernel // 2, dtype=dtype)
 
 
@@ -148,7 +164,7 @@ def _op_flops(in_ch, out_ch, hw, kind):
     return 0.0  # pool/up are bandwidth ops; report GB moved instead
 
 
-def run_ops(dtype_str):
+def run_ops(dtype_str, quantize=False):
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     total_s, total_flops = 0.0, 0.0
     rows = []
@@ -157,13 +173,25 @@ def run_ops(dtype_str):
         flops = _op_flops(in_ch, out_ch, hw, kind)
         if kind in ("cbr", "upconv"):
             if kind == "cbr":
-                mod = conv_bn_relu(out_ch, dtype)
+                mod = conv_bn_relu(out_ch, dtype, quantize=quantize)
                 variables = _init_on_device(mod, (1, hw, hw, in_ch), dtype)
                 rng = jax.random.PRNGKey(2)
 
                 def apply_fn(x, mod=mod, variables=variables, rng=rng):
                     return mod.apply(variables, x, train=False,
                                      mc_dropout=True, rngs={"dropout": rng})
+            elif quantize:
+                # the production int8 up-conv site (models/unet.py setup):
+                # quantize -> int8 conv -> dequant, bench-input absmax 1.0
+                from rcu_tpu.models.unet import _QuantConv
+                from rcu_tpu.ops import quant as quant_ops
+                mod = _QuantConv(out_ch, kernel=3, padding=1, dtype=dtype)
+                variables = jax.jit(lambda mod=mod, c=in_ch, r=hw: mod.init(
+                    jax.random.PRNGKey(0), jnp.zeros((1, r, r, c), dtype)))()
+                a_scale = quant_ops.activation_scale(1.0)
+
+                def apply_fn(x, mod=mod, variables=variables, s=a_scale):
+                    return mod.apply(variables, x, a_scale=s)
             else:
                 import flax.linen as nn
                 mod = nn.Conv(out_ch, (3, 3), padding=1, dtype=dtype)
@@ -202,7 +230,8 @@ def run_ops(dtype_str):
         total_flops += flops
         print(json.dumps(row), flush=True)
     print(json.dumps({
-        "what": f"sum of parts ({dtype_str}, effective batch {B_EFF})",
+        "what": (f"sum of parts ({'int8 trunk, ' if quantize else ''}"
+                 f"{dtype_str}, effective batch {B_EFF})"),
         "sum_seconds_per_forward": round(total_s, 4),
         "sum_conv_flops_per_forward": total_flops,
         "flop_weighted_tflops_per_s": round(total_flops / total_s / 1e12, 1),
@@ -210,12 +239,15 @@ def run_ops(dtype_str):
     return total_s
 
 
-def run_forward(dtype_str, split_decoder=False, fused_upsample=False):
+def run_forward(dtype_str, split_decoder=False, fused_upsample=False,
+                quantize=False):
     """Measured whole T=20 vmapped forward (the `logits` ablation variant):
     the number the per-op sum is judged against. With ``split_decoder`` the
     decoder consumes (up, skip) via the split-kernel rewrite
     (models/unet.py split_decoder_concat) instead of materializing the
-    concat — the production-candidate form the --boundary probe motivates."""
+    concat — the production-candidate form the --boundary probe motivates.
+    ``quantize`` reruns it with the int8 PTQ trunk, calibrated on one
+    device-generated batch exactly like the production path."""
     from rcu_tpu.models.unet import UNet
     dtype = jnp.bfloat16 if dtype_str == "bfloat16" else jnp.float32
     model = UNet(nb_classes=2, in_channels=IN_CH, depth=DEPTH,
@@ -229,6 +261,10 @@ def run_forward(dtype_str, split_decoder=False, fused_upsample=False):
         jnp.zeros((1, RES, RES, IN_CH), dtype)))()
     keys = jax.random.split(jax.random.PRNGKey(3), MC_T)
     x0 = _device_input((BATCH, RES, RES, IN_CH), dtype)
+    if quantize:
+        from rcu_tpu.ops import quant as quant_ops
+        scales = quant_ops.calibrate_scales(model, variables, [x0[:2]])
+        model = model.copy(quant_scales=scales)
     reps = 8
     salts = jnp.zeros((reps,), dtype)
 
@@ -250,7 +286,8 @@ def run_forward(dtype_str, split_decoder=False, fused_upsample=False):
     print(json.dumps({
         "what": (f"whole T={MC_T} forward ({dtype_str}, batch {BATCH}"
                  f"{', split-kernel decoder' if split_decoder else ''}"
-                 f"{', fused upsample' if fused_upsample else ''})"),
+                 f"{', fused upsample' if fused_upsample else ''}"
+                 f"{', int8 trunk' if quantize else ''})"),
         "seconds_per_forward": round(sec, 4),
         "conv_tflops_per_s": round(flops / sec / 1e12, 1),
     }), flush=True)
@@ -338,6 +375,8 @@ if __name__ == "__main__":
                         help="run --forward with split_decoder_concat=True")
     parser.add_argument("--fused-upsample", action="store_true",
                         help="run --forward with fused_upsample=True")
+    parser.add_argument("--int8", action="store_true",
+                        help="quantize the conv sites (ops/forward legs)")
     args = parser.parse_args()
     if (args.split_decoder or args.fused_upsample) \
             and (args.widen or args.boundary):
@@ -345,14 +384,16 @@ if __name__ == "__main__":
         # measurement must not be silently attributed to the wrong variant
         parser.error("--split-decoder/--fused-upsample only apply to the "
                      "forward leg (use them with --forward or no leg flag)")
+    if args.int8 and (args.widen or args.boundary):
+        parser.error("--int8 applies to the ops/forward legs only")
     if args.widen:
         run_widen(args.dtype)
     elif args.boundary:
         run_boundary(args.dtype)
     elif args.forward:
         run_forward(args.dtype, split_decoder=args.split_decoder,
-                    fused_upsample=args.fused_upsample)
+                    fused_upsample=args.fused_upsample, quantize=args.int8)
     else:
-        run_ops(args.dtype)
+        run_ops(args.dtype, quantize=args.int8)
         run_forward(args.dtype, split_decoder=args.split_decoder,
-                    fused_upsample=args.fused_upsample)
+                    fused_upsample=args.fused_upsample, quantize=args.int8)
