@@ -93,7 +93,11 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True,
             cal = jnp.asarray(np.random.RandomState(0)
                               .rand(BATCH, H, W, C).astype(np.float32))
             scales = quant_ops.calibrate_scales(model, variables, [cal])
-            model = model.copy(quant_scales=scales)
+            # production default skip: the finest level stays bf16 (int8
+            # regresses there — ops/quant.DEFAULT_SKIP_LEVELS rationale)
+            model = model.copy(
+                quant_scales=scales,
+                quant_skip_levels=quant_ops.DEFAULT_SKIP_LEVELS)
     if mesh is not None:
         from rcu_tpu.parallel.inference import replicate_tree
         params = replicate_tree(variables["params"], mesh)

@@ -32,7 +32,7 @@ if BIN_DIR not in sys.path:
 def main(config_file, run_id=None, out_dir=None, devices=None,
          throughput=False, unmasked=False, strategy=None, mc=None,
          dtype=None, eval_tree=False, dispatch_chunks=4, fast_decoder=False,
-         quantize=False):
+         quantize=False, quantize_skip=None):
     import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
@@ -46,7 +46,8 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
                            strategy=strategy, mc=mc, dtype=dtype,
                            layout="eval_tree" if eval_tree else "flat",
                            dispatch_chunks=dispatch_chunks,
-                           fast_decoder=fast_decoder, quantize=quantize)
+                           fast_decoder=fast_decoder, quantize=quantize,
+                           quantize_skip_levels=quantize_skip)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
     print(f"wrote eval CSVs to {out_dir}")
@@ -96,6 +97,12 @@ if __name__ == "__main__":
                              "test batch, runs trunk convs in int8 on the "
                              "MXU's 2x mode (same checkpoints; gated at "
                              "1e-3 by tests/test_quant.py)")
+    parser.add_argument("-quantize_skip", type=int, default=None,
+                        help="with -quantize: keep the N finest resolution "
+                             "levels in the compute dtype (default: the "
+                             "measured production default, ops/quant."
+                             "DEFAULT_SKIP_LEVELS — int8 loses to bf16 at "
+                             "the full-resolution small-channel level)")
     parser.add_argument("-eval_tree", action="store_true",
                         help="write the staged eval-dir layout "
                              "(calibration/ ece*/ uncertainty/ minmax/ "
@@ -105,4 +112,4 @@ if __name__ == "__main__":
     main(args.config_file, args.run_id, args.out_dir, args.devices,
          args.throughput, args.unmasked, args.strategy, args.mc, args.dtype,
          args.eval_tree, args.dispatch_chunks, args.fast_decoder,
-         args.quantize)
+         args.quantize, args.quantize_skip)

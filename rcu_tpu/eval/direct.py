@@ -106,7 +106,7 @@ def _primary_test_at(config) -> str:
 
 def _calibrated_quant_model(model, state, dataset, transform, is_2d,
                             batch_size, input_dtype, seed,
-                            ensemble=False):
+                            ensemble=False, skip_levels=None):
     """Build the int8 PTQ model for a direct run (``quantize=True``).
 
     Applies the PLAIN model (same dtype/decoder flags) to one real data
@@ -131,7 +131,12 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
     The calibration batch is the CENTER slice batch of the first test
     subject (BraTS edge slices are often empty — calibrating on them would
     underestimate every site's range), or the first ``batch_size`` images
-    on native-2D datasets."""
+    on native-2D datasets.
+
+    ``skip_levels`` keeps the N finest resolution levels in the compute
+    dtype (models/unet.py ``quant_skip_levels``); None takes the measured
+    production default (``ops/quant.DEFAULT_SKIP_LEVELS`` — int8 loses to
+    bf16 at the full-resolution small-channel level)."""
     from rcu_tpu.ops import quant as quant_ops
     subjects = dataset.subjects
 
@@ -178,7 +183,11 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
             [batch], rng=jax.random.PRNGKey(seed))
         logging.info("int8 calibration: %d conv sites from subject '%s' "
                      "(%d items)", len(scales), subjects[0], len(batch))
-    return model.copy(quant_scales=scales)
+    if skip_levels is None:
+        skip_levels = quant_ops.DEFAULT_SKIP_LEVELS
+    # shallow test/toy models: never skip past the whole trunk
+    skip_levels = min(int(skip_levels), model.depth + 1)
+    return model.copy(quant_scales=scales, quant_skip_levels=skip_levels)
 
 
 def _load_ensemble_states(config, input_shape, dtype=None,
@@ -378,7 +387,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     strategy: str = None, dtype: str = None,
                     layout: str = "flat", dispatch_chunks: int = 4,
                     fast_decoder: bool = False,
-                    quantize: bool = False) -> dict:
+                    quantize: bool = False,
+                    quantize_skip_levels: int = None) -> dict:
     """Run fused inference + eval for every test-split subject, one dispatch
     per volume (or per image chunk on native-2D datasets); write the
     ``eval_calibration_*``, ``eval_ece_*``, ``eval_uncertainty_*_th*`` and
@@ -395,6 +405,12 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     overrides the model's compute dtype (params stay f32) — the production
     configuration, parity-gated at the BASELINE 1e-3 ECE/Dice bar by
     tests/test_bf16_parity.py.
+
+    ``quantize=True`` swaps the trunk convs for the int8 PTQ path
+    (ops/quant.py) after a one-batch calibration; ``quantize_skip_levels``
+    keeps the N finest resolution levels in the compute dtype (None = the
+    measured production default, ops/quant.DEFAULT_SKIP_LEVELS — the
+    full-resolution small-channel level is where int8 loses to bf16).
 
     ``masked=True`` applies the BraTS t2>0 head-support foreground mask,
     derived from the RAW t2 source file recorded in the store's files
@@ -526,7 +542,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
         model = _calibrated_quant_model(model, state, dataset, transform,
                                         is_2d, batch_size, input_dtype,
                                         config.seed,
-                                        ensemble=strategy == "ensemble")
+                                        ensemble=strategy == "ensemble",
+                                        skip_levels=quantize_skip_levels)
 
     aleatoric = strategy == "aleatoric"
     if aleatoric and not getattr(model, "sigma_out", False):

@@ -413,6 +413,23 @@ class UNet(nn.Module):
     # precision-sensitive — see the bf16 notes above). Same checkpoints;
     # opt-in, envelope-gated by tests/test_quant.py.
     quant_scales: typing.Any = None
+    # keep the N FINEST resolution levels (level 0 = full resolution) in the
+    # compute dtype even when quant_scales is set. Measured (round 4,
+    # scripts/conv_stack_attribution.py --int8): int8 is ~2x bf16 only from
+    # the 60^2 level down; at the full-resolution 240^2 x 32ch level the MXU
+    # int8 mode REGRESSES to ~0.6x bf16 (the output-lane binder does not
+    # care about operand width, and the int8 path adds a quantize pass on
+    # the largest activations), so quantizing it costs nearly half the
+    # full-int8 forward. ops/quant.DEFAULT_SKIP_LEVELS carries the
+    # measured-best production default.
+    quant_skip_levels: int = 0
+
+    def _level_scales(self, level: int):
+        """quant_scales for a module operating at resolution level ``level``
+        (0 = finest), honoring ``quant_skip_levels``."""
+        if self.quant_scales is None or level < self.quant_skip_levels:
+            return None
+        return self.quant_scales
 
     def setup(self):
         block_cls = ConvResidualBlock if self.residual else ConvBlock
@@ -422,24 +439,37 @@ class UNet(nn.Module):
                 "int8 quantization does not cover residual=True models "
                 "(the 1x1 residual convs are unquantized sites); use the "
                 "plain block variant")
-        qkw = {} if self.residual else {"quant_scales": self.quant_scales}
+        if not 0 <= self.quant_skip_levels <= self.depth + 1:
+            raise ValueError(
+                f"quant_skip_levels must be in [0, depth+1="
+                f"{self.depth + 1}], got {self.quant_skip_levels}")
+
+        def qkw(level):
+            if self.residual:
+                return {}
+            return {"quant_scales": self._level_scales(level)}
         down, ch = [], self.start_filters
         for i in range(self.depth):
             mode = _block_dropout_mode(self.dropout_center, i, self.depth, True)
             down.append(block_cls(ch, self.dropout, mode, self.bn,
                                   dtype=self.dtype, name=f"{prefix}_{i}",
-                                  **qkw))
+                                  **qkw(i)))
             ch *= 2
         self.down_blocks = tuple(down)
         mode = _block_dropout_mode(self.dropout_center, self.depth,
                                    self.depth, True)
         self.bottom_block = block_cls(ch, self.dropout, mode, self.bn,
                                       dtype=self.dtype,
-                                      name=f"{prefix}_{self.depth}", **qkw)
+                                      name=f"{prefix}_{self.depth}",
+                                      **qkw(self.depth))
         up_convs, up_blocks = [], []
         for k in range(self.depth):
             ch //= 2
-            if self.quant_scales is not None:
+            # the k-th up-conv/up-block WRITE level depth-1-k (its output
+            # resolution decides whether int8 wins — the conv's work is
+            # proportional to the output grid)
+            level = self.depth - 1 - k
+            if self._level_scales(level) is not None:
                 # int8 up-conv site; folds the upsample too when that flag
                 # is on (the fastest production combination)
                 up_convs.append(_QuantConv(
@@ -452,17 +482,16 @@ class UNet(nn.Module):
                 up_convs.append(nn.Conv(ch, (3, 3), padding=1,
                                         kernel_init=conv_init,
                                         dtype=self.dtype, name=f"Conv_{k}"))
-            i = self.depth - 1 - k
-            mode = _block_dropout_mode(self.dropout_center, i, self.depth,
+            mode = _block_dropout_mode(self.dropout_center, level, self.depth,
                                        False)
             up_blocks.append(block_cls(
                 ch, self.dropout, mode, self.bn, dtype=self.dtype,
-                name=f"{prefix}_{self.depth + 1 + k}", **qkw))
+                name=f"{prefix}_{self.depth + 1 + k}", **qkw(level)))
         self.up_convs = tuple(up_convs)
         self.up_blocks = tuple(up_blocks)
         self.head_cbr = ConvBnRelu(self.start_filters, self.dropout, self.bn,
                                    dtype=self.dtype, name="ConvBnRelu_0",
-                                   quant_scales=self.quant_scales)
+                                   quant_scales=self._level_scales(0))
         # the 1x1 class conv computes in the compute dtype and casts only its
         # nb_classes-channel OUTPUT to f32: casting its start_filters-channel
         # INPUT instead materializes a 16x-wider f32 activation at full
@@ -514,7 +543,8 @@ class UNet(nn.Module):
         x = self.bottom_block(x, **kw)
         for k in range(self.depth):
             skip = skips[self.depth - 1 - k]
-            quantized = self.quant_scales is not None
+            quantized = \
+                self._level_scales(self.depth - 1 - k) is not None
             if self.fused_upsample:
                 # (nearest upsample preserves values, so the site's absmax
                 # is the same whether sown on x or on the upsampled tensor)

@@ -44,6 +44,17 @@ QUANT_COLLECTION = "quant_stats"
 # the 7-bit range and avoids systematic clipping
 DEFAULT_MARGIN = 1.1
 
+# production default for UNet.quant_skip_levels: keep the FINEST resolution
+# level in the compute dtype. Measured per-op (round 4,
+# scripts/conv_stack_attribution.py --int8, effective batch 640): int8 is
+# ~2x bf16 from the 60^2 level down (197-294 TF/s) but REGRESSES to
+# 67-80 TF/s (~0.6x bf16) at every 240^2 x 32ch full-resolution site — the
+# small-channel top level is output-lane-bound, not MAC-bound, so halving
+# the operand width buys nothing while the quantize pass adds elementwise
+# work on the largest activations. Skipping that one level removes ~40% of
+# the full-int8 sum-of-parts time (measured forward legs: --int8-skip 1).
+DEFAULT_SKIP_LEVELS = 1
+
 _INT8_MAX = 127.0
 
 

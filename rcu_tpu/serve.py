@@ -375,11 +375,17 @@ class VolumeInferenceService:
                 scales = quant_ops.calibrate_scales(
                     self.model, {"params": state[0], "batch_stats": state[1]},
                     [batch], rng=self._rng, mc_dropout=self.mc > 0)
-            self.model = self.model.copy(quant_scales=scales)
+            # measured production default: keep the finest level(s) in the
+            # compute dtype (int8 loses to bf16 there — ops/quant.py)
+            skip = min(quant_ops.DEFAULT_SKIP_LEVELS,
+                       getattr(self.model, "depth", 0) + 1)
+            self.model = self.model.copy(quant_scales=scales,
+                                         quant_skip_levels=skip)
             self._calib_state = None
             self._quant_ready = True
             logging.info("serve: int8 calibrated %d conv sites from the "
-                         "first request (%d items)", len(scales), n)
+                         "first request (%d items; %d finest levels kept "
+                         "in the compute dtype)", len(scales), n, skip)
 
     @staticmethod
     def _binarized(arr, want, name):

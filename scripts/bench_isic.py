@@ -120,7 +120,8 @@ def bench_chunk_scan(dtype=None, n_rounds=3, eval_reductions=True,
             scales = quant_ops.calibrate_scales(
                 model, {"params": jax.device_get(params),
                         "batch_stats": jax.device_get(batch_stats)}, [cal])
-        model = model.copy(quant_scales=scales)
+        model = model.copy(quant_scales=scales,
+                           quant_skip_levels=quant_ops.DEFAULT_SKIP_LEVELS)
     rng = np.random.RandomState(0)
     images = jax.device_put(rng.rand(G * K, H, W, C).astype(np.float32))
     targets = jax.device_put((rng.rand(G * K, H, W) < 0.3).astype(np.uint8))

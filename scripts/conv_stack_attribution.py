@@ -240,7 +240,7 @@ def run_ops(dtype_str, quantize=False):
 
 
 def run_forward(dtype_str, split_decoder=False, fused_upsample=False,
-                quantize=False):
+                quantize=False, int8_skip=0):
     """Measured whole T=20 vmapped forward (the `logits` ablation variant):
     the number the per-op sum is judged against. With ``split_decoder`` the
     decoder consumes (up, skip) via the split-kernel rewrite
@@ -264,7 +264,7 @@ def run_forward(dtype_str, split_decoder=False, fused_upsample=False,
     if quantize:
         from rcu_tpu.ops import quant as quant_ops
         scales = quant_ops.calibrate_scales(model, variables, [x0[:2]])
-        model = model.copy(quant_scales=scales)
+        model = model.copy(quant_scales=scales, quant_skip_levels=int8_skip)
     reps = 8
     salts = jnp.zeros((reps,), dtype)
 
@@ -287,7 +287,9 @@ def run_forward(dtype_str, split_decoder=False, fused_upsample=False,
         "what": (f"whole T={MC_T} forward ({dtype_str}, batch {BATCH}"
                  f"{', split-kernel decoder' if split_decoder else ''}"
                  f"{', fused upsample' if fused_upsample else ''}"
-                 f"{', int8 trunk' if quantize else ''})"),
+                 f"{(', int8 trunk skip ' + str(int8_skip) + ' levels')
+                    if quantize and int8_skip else
+                    (', int8 trunk' if quantize else '')})"),
         "seconds_per_forward": round(sec, 4),
         "conv_tflops_per_s": round(flops / sec / 1e12, 1),
     }), flush=True)
@@ -377,6 +379,10 @@ if __name__ == "__main__":
                         help="run --forward with fused_upsample=True")
     parser.add_argument("--int8", action="store_true",
                         help="quantize the conv sites (ops/forward legs)")
+    parser.add_argument("--int8-skip", type=int, default=0,
+                        help="keep the N finest levels unquantized on the "
+                             "--int8 forward leg (models/unet.py "
+                             "quant_skip_levels)")
     args = parser.parse_args()
     if (args.split_decoder or args.fused_upsample) \
             and (args.widen or args.boundary):
@@ -392,8 +398,10 @@ if __name__ == "__main__":
         run_boundary(args.dtype)
     elif args.forward:
         run_forward(args.dtype, split_decoder=args.split_decoder,
-                    fused_upsample=args.fused_upsample, quantize=args.int8)
+                    fused_upsample=args.fused_upsample, quantize=args.int8,
+                    int8_skip=args.int8_skip)
     else:
         run_ops(args.dtype, quantize=args.int8)
         run_forward(args.dtype, split_decoder=args.split_decoder,
-                    fused_upsample=args.fused_upsample, quantize=args.int8)
+                    fused_upsample=args.fused_upsample, quantize=args.int8,
+                    int8_skip=args.int8_skip)

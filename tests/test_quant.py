@@ -116,6 +116,51 @@ class TestQuantUnits:
         err = jnp.max(jnp.abs(mean_probs(model) - mean_probs(quant)))
         assert float(err) < 5e-3
 
+    def test_skip_levels_structural(self):
+        """quant_skip_levels keeps the N finest levels in the compute dtype:
+        the jaxpr loses exactly the full-resolution int8 conv sites per
+        skipped level, and skip=depth+1 reproduces the PLAIN model bitwise
+        (the selection is structural, not numeric). The production default
+        (ops/quant.DEFAULT_SKIP_LEVELS) is measurement-backed: int8 loses
+        to bf16 at the full-resolution small-channel level
+        (scripts/conv_stack_attribution.py --int8)."""
+        kw = {**KW, "split_decoder_concat": True, "fused_upsample": True}
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        base, v, scales = _calibrated(kw, x)
+        rngs = {"dropout": jax.random.PRNGKey(2)}
+
+        def n_int8_convs(m):
+            jaxpr = jax.make_jaxpr(lambda vv, xx: m.apply(
+                vv, xx, train=False, mc_dropout=True, rngs=rngs).logits)(v, x)
+            return str(jaxpr).count("preferred_element_type=int32")
+
+        counts = {}
+        for skip in (0, 1, 2, KW["depth"] + 1):
+            m = UNet(**kw, quant_scales=scales, quant_skip_levels=skip)
+            counts[skip] = n_int8_convs(m)
+        # level 0 of the fast decoder carries 7 int8 convs (enc a+b, the
+        # split dec-a pair, dec b, head, fused up-conv); level 1 carries 7
+        # more; skipping every level leaves none
+        assert counts[0] > counts[1] > counts[2] > 0
+        assert counts[0] - counts[1] == 7
+        assert counts[KW["depth"] + 1] == 0
+        full_skip = UNet(**kw, quant_scales=scales,
+                         quant_skip_levels=KW["depth"] + 1)
+        a = base.apply(v, x, train=False, mc_dropout=True, rngs=rngs).logits
+        b = full_skip.apply(v, x, train=False, mc_dropout=True,
+                            rngs=rngs).logits
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_skip_levels_validated(self):
+        x = jnp.zeros((1, 32, 32, 4))
+        with pytest.raises(ValueError, match="quant_skip_levels"):
+            UNet(**KW, quant_scales={"x": 1.0},
+                 quant_skip_levels=KW["depth"] + 2).init(
+                {"params": jax.random.PRNGKey(0)}, x, train=False)
+        with pytest.raises(ValueError, match="quant_skip_levels"):
+            UNet(**KW, quant_skip_levels=-1).init(
+                {"params": jax.random.PRNGKey(0)}, x, train=False)
+
     def test_quant_ops_roundtrip(self):
         # weights: per-output-channel symmetric; dequant(quant(w)) ~ w
         k = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 8, 16))
