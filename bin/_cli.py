@@ -9,9 +9,13 @@ import logging
 import os
 import sys
 
-REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
+if __package__ in (None, ""):
+    # bare-checkout script mode (python bin/<name>.py): make the repo-root
+    # rcu_tpu package importable. Installed (pip install -e .), this module
+    # is rcu_tpu.cli._cli and no path setup is needed.
+    REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
 
 if os.environ.get("RCU_PLATFORM"):
     # backend override for the entry scripts, e.g. RCU_PLATFORM=cpu with

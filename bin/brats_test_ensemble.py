@@ -4,7 +4,10 @@ TPU-native counterpart of the reference script ``bin-dl/brats_test_ensemble.py``
 resolves a config id to its default yaml, then delegates to
 ``rcu_tpu.strategies.test_ensemble``.
 """
-import _cli
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli
 
 
 DEFAULT_CONFIGS = {'ensemble': 'test_brats_ensemble.yaml'}
@@ -18,5 +21,9 @@ def main(config_file, config_id=None, devices=None):
     return strategies.test_ensemble(config, mesh=_cli.mesh_from_devices(devices))
 
 
-if __name__ == "__main__":
+def cli():
     _cli.run_main(main, 'BRATS test script (ensemble)')
+
+
+if __name__ == "__main__":
+    cli()

@@ -4,7 +4,10 @@ TPU-native counterpart of the reference script ``bin-dl/brats_train_default.py``
 resolves a config id to its default yaml, then delegates to
 ``rcu_tpu.strategies.train_default``.
 """
-import _cli
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli
 
 
 DEFAULT_CONFIGS = {'baseline': 'train_brats_baseline.yaml', 'center': 'train_brats_center.yaml', 'cv0': 'baseline_cv/train_brats_baseline_cv0.yaml', 'cv1': 'baseline_cv/train_brats_baseline_cv1.yaml', 'cv2': 'baseline_cv/train_brats_baseline_cv2.yaml', 'cv3': 'baseline_cv/train_brats_baseline_cv3.yaml', 'cv4': 'baseline_cv/train_brats_baseline_cv4.yaml', 'ensemble0': 'train_ensemble/train_brats_ensemble_0.yaml', 'ensemble1': 'train_ensemble/train_brats_ensemble_1.yaml', 'ensemble2': 'train_ensemble/train_brats_ensemble_2.yaml', 'ensemble3': 'train_ensemble/train_brats_ensemble_3.yaml', 'ensemble4': 'train_ensemble/train_brats_ensemble_4.yaml', 'ensemble5': 'train_ensemble/train_brats_ensemble_5.yaml', 'ensemble6': 'train_ensemble/train_brats_ensemble_6.yaml', 'ensemble7': 'train_ensemble/train_brats_ensemble_7.yaml', 'ensemble8': 'train_ensemble/train_brats_ensemble_8.yaml', 'ensemble9': 'train_ensemble/train_brats_ensemble_9.yaml'}
@@ -18,5 +21,9 @@ def main(config_file, config_id=None, devices=None):
     return strategies.train_default(config, mesh=_cli.mesh_from_devices(devices))
 
 
-if __name__ == "__main__":
+def cli():
     _cli.run_main(main, 'BRATS train script (default)')
+
+
+if __name__ == "__main__":
+    cli()

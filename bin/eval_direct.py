@@ -22,18 +22,22 @@ import os
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
-BIN_DIR = os.path.dirname(os.path.abspath(__file__))
-if BIN_DIR not in sys.path:
-    sys.path.insert(0, BIN_DIR)
+if __package__ in (None, ""):  # bare-checkout script mode: python bin/<name>.py
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
+    BIN_DIR = os.path.dirname(os.path.abspath(__file__))
+    if BIN_DIR not in sys.path:
+        sys.path.insert(0, BIN_DIR)
 
 
 def main(config_file, run_id=None, out_dir=None, devices=None,
          throughput=False, unmasked=False, strategy=None, mc=None,
          dtype=None, eval_tree=False, dispatch_chunks=4, fast_decoder=False,
          quantize=False, quantize_skip=None):
-    import _cli
+    try:  # package mode: rcu_tpu.cli.* (console entry points)
+        from . import _cli
+    except ImportError:  # bare-checkout script mode
+        import _cli
     from rcu_tpu.eval.direct import evaluate_direct
 
     config = _cli.load_test_config(config_file)
@@ -53,8 +57,7 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
     print(f"wrote eval CSVs to {out_dir}")
 
 
-if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+def cli():
     # mirror of rcu_tpu.eval.direct.STRATEGIES — kept literal so the jax
     # import (and backend selection) stays inside main(), after _cli's
     # -devices platform setup
@@ -109,7 +112,13 @@ if __name__ == "__main__":
                              "subdirs) so the analysis tables read out_dir "
                              "directly")
     args = parser.parse_args()
+    if args.quantize_skip is not None and not args.quantize:
+        parser.error("-quantize_skip only applies with -quantize")
     main(args.config_file, args.run_id, args.out_dir, args.devices,
          args.throughput, args.unmasked, args.strategy, args.mc, args.dtype,
          args.eval_tree, args.dispatch_chunks, args.fast_decoder,
          args.quantize, args.quantize_skip)
+
+
+if __name__ == "__main__":
+    cli()

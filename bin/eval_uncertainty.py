@@ -11,11 +11,12 @@ import sys
 import time
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
-BIN_DIR = os.path.dirname(os.path.abspath(__file__))
-if BIN_DIR not in sys.path:
-    sys.path.insert(0, BIN_DIR)
+if __package__ in (None, ""):  # bare-checkout script mode: python bin/<name>.py
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
+    BIN_DIR = os.path.dirname(os.path.abspath(__file__))
+    if BIN_DIR not in sys.path:
+        sys.path.insert(0, BIN_DIR)
 
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.eval import actions as act_lib  # noqa: E402
@@ -30,7 +31,10 @@ def main(dataset, to_eval, action_names, n_devices=None):
     if dataset not in ("brats", "isic"):
         raise ValueError('chose "brats" or "isic" as dataset')
 
-    import _cli
+    try:  # package mode: rcu_tpu.cli.* (console entry points)
+        from . import _cli
+    except ImportError:  # bare-checkout script mode
+        import _cli
     mesh = _cli.mesh_from_devices(n_devices)
 
     if dataset == "brats":
@@ -80,7 +84,7 @@ def main(dataset, to_eval, action_names, n_devices=None):
             action.finish_eval()
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ds", type=str, nargs="?",
                         help="the dataset to evaluate the runs on")
@@ -104,3 +108,7 @@ if __name__ == "__main__":
     print("**************************************\n")
 
     main(ds, to_evaluate, action_ids, n_devices=args.devices)
+
+
+if __name__ == "__main__":
+    cli()

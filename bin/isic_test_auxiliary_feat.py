@@ -4,7 +4,10 @@ TPU-native counterpart of the reference script ``bin-dl/isic_test_auxiliary_feat
 resolves a config id to its default yaml, then delegates to
 ``rcu_tpu.strategies.test_auxiliary_feat``.
 """
-import _cli
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli
 
 
 DEFAULT_CONFIGS = {'auxiliary_feat': 'test_isic_auxiliary_feat.yaml'}
@@ -18,5 +21,9 @@ def main(config_file, config_id=None, devices=None):
     return strategies.test_auxiliary_feat(config, mesh=_cli.mesh_from_devices(devices), symlink_inputs=True)
 
 
-if __name__ == "__main__":
+def cli():
     _cli.run_main(main, 'ISIC test script (auxiliary_feat)')
+
+
+if __name__ == "__main__":
+    cli()

@@ -4,7 +4,10 @@ TPU-native counterpart of the reference script ``bin-dl/isic_train_aleatoric.py`
 resolves a config id to its default yaml, then delegates to
 ``rcu_tpu.strategies.train_aleatoric``.
 """
-import _cli
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli
 
 
 DEFAULT_CONFIGS = {'aleatoric': 'train_isic_aleatoric.yaml'}
@@ -20,5 +23,9 @@ def main(config_file, config_id=None, devices=None):
         config, mesh=_cli.mesh_from_devices(devices), eval_subject_fn=strategies.isic_smooth_dice_eval_subject_fn)
 
 
-if __name__ == "__main__":
+def cli():
     _cli.run_main(main, 'ISIC train script (aleatoric)')
+
+
+if __name__ == "__main__":
+    cli()

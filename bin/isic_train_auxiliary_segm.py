@@ -4,7 +4,10 @@ TPU-native counterpart of the reference script ``bin-dl/isic_train_auxiliary_seg
 resolves a config id to its default yaml, then delegates to
 ``rcu_tpu.strategies.train_auxiliary_segm``.
 """
-import _cli
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli
 
 
 DEFAULT_CONFIGS = {'auxiliary_segm': 'train_isic_auxiliary_segm.yaml'}
@@ -18,5 +21,9 @@ def main(config_file, config_id=None, devices=None):
     return strategies.train_auxiliary_segm(config, mesh=_cli.mesh_from_devices(devices))
 
 
-if __name__ == "__main__":
+def cli():
     _cli.run_main(main, 'ISIC train script (auxiliary_segm)')
+
+
+if __name__ == "__main__":
+    cli()

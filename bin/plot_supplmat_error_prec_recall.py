@@ -9,7 +9,10 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-import _cli  # noqa: F401,E402
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli  # noqa: F401,E402  (sys.path setup in script mode)
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli  # noqa: F401,E402
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.analysis import frames, resultdata as resdata  # noqa: E402
 
@@ -70,8 +73,12 @@ def main(dataset: str):
                           os.path.join(out_dir, f"error_prec_recall_{dataset}.svg"))
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ds", type=str, nargs="?", default="brats")
     args = parser.parse_args()
     main(args.ds)
+
+
+if __name__ == "__main__":
+    cli()

@@ -11,7 +11,10 @@ import matplotlib.pyplot as plt  # noqa: E402
 import numpy as np  # noqa: E402
 from matplotlib import colors  # noqa: E402
 
-import _cli  # noqa: F401,E402
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli  # noqa: F401,E402  (sys.path setup in script mode)
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli  # noqa: F401,E402
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.eval import analysis, evaldata as evdata  # noqa: E402
 
@@ -123,7 +126,7 @@ def main(dataset: str, to_plot: list):
                 cmap="inferno", norm=colors.Normalize(0.0, 1.0))
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser()
     parser.add_argument("--ds", type=str, nargs="?", default="brats")
     parser.add_argument("--ids", type=str, nargs="*",
@@ -132,3 +135,7 @@ if __name__ == "__main__":
                                  "auxiliary_segm", "aleatoric"])
     args = parser.parse_args()
     main(args.ds, args.ids)
+
+
+if __name__ == "__main__":
+    cli()

@@ -31,11 +31,12 @@ import os
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
-    sys.path.insert(0, REPO_ROOT)
-BIN_DIR = os.path.dirname(os.path.abspath(__file__))
-if BIN_DIR not in sys.path:
-    sys.path.insert(0, BIN_DIR)
+if __package__ in (None, ""):  # bare-checkout script mode: python bin/<name>.py
+    if REPO_ROOT not in sys.path:
+        sys.path.insert(0, REPO_ROOT)
+    BIN_DIR = os.path.dirname(os.path.abspath(__file__))
+    if BIN_DIR not in sys.path:
+        sys.path.insert(0, BIN_DIR)
 
 
 def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
@@ -43,7 +44,10 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          is_log_sigma=None, dtype=None, segm_model_dir=None,
          aux_segm=False, throughput=False, fast_decoder=False,
          quantize=False):
-    import _cli
+    try:  # package mode: rcu_tpu.cli.* (console entry points)
+        from . import _cli
+    except ImportError:  # bare-checkout script mode
+        import _cli
     import jax
     # persistent compile cache: server restarts must not re-pay the 20-300s
     # remote compile per volume shape (same setup as bench.py / conftest)
@@ -86,7 +90,7 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
     server.serve_forever()
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser(description="MC-dropout inference server")
     parser.add_argument("-model_dir", type=str, required=True)
     parser.add_argument("-test_at", type=str, default="best",
@@ -139,4 +143,8 @@ if __name__ == "__main__":
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
          args.devices, args.host, args.port, args.prewarm, args.member,
          args.is_log_sigma, args.dtype, args.segm_model_dir, args.aux_segm,
-         args.throughput, args.fast_decoder)
+         args.throughput, args.fast_decoder, args.quantize)
+
+
+if __name__ == "__main__":
+    cli()

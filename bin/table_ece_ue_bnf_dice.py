@@ -8,7 +8,10 @@ import re
 
 import pandas as pd
 
-import _cli  # noqa: F401  (sys.path setup)
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli  # noqa: F401,E402  (sys.path setup in script mode)
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli  # noqa: F401,E402
 from rcu_tpu import directories as dirs
 from rcu_tpu.analysis import frames, resultdata as resdata
 
@@ -113,6 +116,10 @@ def main():
     return combined
 
 
-if __name__ == "__main__":
+def cli():
     argparse.ArgumentParser(description="main paper table").parse_args()
     main()
+
+
+if __name__ == "__main__":
+    cli()

@@ -11,7 +11,10 @@ Usage:
 import argparse
 import os
 
-import _cli
+try:  # package mode: rcu_tpu.cli.* (console entry points)
+    from . import _cli  # noqa: F401,E402  (sys.path setup in script mode)
+except ImportError:  # bare-checkout script mode: python bin/<name>.py
+    import _cli  # noqa: F401,E402
 from rcu_tpu import directories as dirs
 
 
@@ -39,7 +42,7 @@ def main(dataset: str, ks=None, use_mesh: bool = True):
     return members
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser(description="fused ensemble training")
     parser.add_argument("--ds", type=str, default="brats")
     parser.add_argument("-k", type=int, nargs="*", default=None,
@@ -47,3 +50,7 @@ if __name__ == "__main__":
     parser.add_argument("--no-mesh", action="store_true")
     args = parser.parse_args()
     main(args.ds, args.k, use_mesh=not args.no_mesh)
+
+
+if __name__ == "__main__":
+    cli()

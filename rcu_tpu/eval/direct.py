@@ -183,10 +183,7 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
             [batch], rng=jax.random.PRNGKey(seed))
         logging.info("int8 calibration: %d conv sites from subject '%s' "
                      "(%d items)", len(scales), subjects[0], len(batch))
-    if skip_levels is None:
-        skip_levels = quant_ops.DEFAULT_SKIP_LEVELS
-    # shallow test/toy models: never skip past the whole trunk
-    skip_levels = min(int(skip_levels), model.depth + 1)
+    skip_levels = quant_ops.clamp_skip_levels(model, skip_levels)
     return model.copy(quant_scales=scales, quant_skip_levels=skip_levels)
 
 

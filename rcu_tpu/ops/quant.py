@@ -6,7 +6,10 @@ TF/s at the flagship's 120^2 x 64ch level and 264 vs 154 at 60^2 x 128ch,
 chained-conv microbench incl. the dequant+requant epilogue — the int8 path
 is the chip's one remaining ~2x roofline lever once bf16+fast-decoder sits
 at the practical MXU peak). End-to-end it lifts the MC-20 direct-eval
-headline from 10.4 to 13.4 Mvox/s (+29%) at an ECE delta of 4e-6.
+headline from 10.5 to 12.7 Mvox/s (+21% in the driver-captured
+``BENCH_r04.json``, ECE delta 4e-6) at the production default
+``DEFAULT_SKIP_LEVELS = 1``; see ``BENCH_r05.json`` for the current
+per-protocol matrix.
 
 Scheme (the standard production PTQ recipe):
 
@@ -30,6 +33,8 @@ the reference protocol (/root/reference/bin-dl/brats_test_default.py MC
 testing) is unchanged.
 """
 from __future__ import annotations
+
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +116,71 @@ def site_key(path, leaf: str) -> str:
     joined with the sow leaf name — identical to the flattened layout
     ``calibrate_scales`` reads back from the ``quant_stats`` collection."""
     return "/".join(tuple(path) + (leaf,))
+
+
+def clamp_skip_levels(model, skip_levels) -> int:
+    """Validate/clamp a requested ``quant_skip_levels`` against ``model``.
+
+    ``None`` resolves to :data:`DEFAULT_SKIP_LEVELS`. Values outside
+    ``[0, depth + 1]`` (the U-Net has depth+1 resolution levels) are clamped
+    with a warning — an out-of-range skip would either fail later at trace
+    time (negative) or silently run a fully-unquantized model that still
+    pays for calibration (too large). Shared by eval/direct.py and serve.py
+    so both entry points handle the edge case identically.
+    """
+    if skip_levels is None:
+        skip_levels = DEFAULT_SKIP_LEVELS
+    depth = getattr(model, "depth", 0)
+    clamped = max(0, min(int(skip_levels), depth + 1))
+    if clamped != int(skip_levels):
+        logging.warning(
+            "quantize_skip=%s is outside [0, %d] for a depth-%d model; "
+            "clamped to %d (%s)", skip_levels, depth + 1, depth, clamped,
+            "no trunk level will be quantized" if clamped == depth + 1
+            else "all levels quantized" if clamped == 0 else "partial")
+    return clamped
+
+
+def clipped_fraction(x: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """Fraction of values in ``x`` that saturate the int8 range at ``scale``.
+
+    Debug diagnostic for calibration/eval distribution shift: values with
+    ``|x| > 127 * scale`` clip during :func:`quantize_activation`. A hot
+    eval batch (hotter than the calibration batches + margin) shows up here
+    as a nonzero rate instead of silently degrading accuracy.
+    """
+    return jnp.mean((jnp.abs(x.astype(jnp.float32))
+                     > _INT8_MAX * scale).astype(jnp.float32))
+
+
+def clip_report(model, variables, scales, batches, mc_dropout: bool = True,
+                rng=None) -> dict:
+    """Per-site clipped-fraction report over ``batches``.
+
+    Runs the PLAIN model (same instrumentation pass as
+    :func:`calibrate_scales`), then compares each site's sown absmax per
+    batch against its calibrated scale. Returns ``{site_key: max clipped
+    upper bound indicator}`` — precisely: per site, the max over batches of
+    ``absmax_batch > 127 * scale`` mapped to the excess ratio
+    ``absmax_batch / (127 * scale)``; values <= 1.0 mean no clipping.
+    Host-side diagnostic, not part of the inference program.
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    report = {}
+    for i, images in enumerate(batches):
+        rngs = {"dropout": jax.random.fold_in(rng, i)} if mc_dropout else None
+        _, aux = model.apply(variables, images, train=False,
+                             mc_dropout=mc_dropout, rngs=rngs,
+                             mutable=[QUANT_COLLECTION])
+        flat = _flatten_stats(
+            jax.tree_util.tree_map(float, aux[QUANT_COLLECTION]))
+        for key, absmax in flat.items():
+            if key not in scales:
+                continue
+            ratio = absmax / (_INT8_MAX * scales[key])
+            report[key] = max(report.get(key, 0.0), ratio)
+    return report
 
 
 def calibrate_scales(model, variables, batches, rng=None,

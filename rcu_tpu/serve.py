@@ -377,8 +377,8 @@ class VolumeInferenceService:
                     [batch], rng=self._rng, mc_dropout=self.mc > 0)
             # measured production default: keep the finest level(s) in the
             # compute dtype (int8 loses to bf16 there — ops/quant.py)
-            skip = min(quant_ops.DEFAULT_SKIP_LEVELS,
-                       getattr(self.model, "depth", 0) + 1)
+            skip = quant_ops.clamp_skip_levels(
+                self.model, quant_ops.DEFAULT_SKIP_LEVELS)
             self.model = self.model.copy(quant_scales=scales,
                                          quant_skip_levels=skip)
             self._calib_state = None

@@ -16,7 +16,10 @@ import sys
 import numpy as np
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO_ROOT)
+if __package__ in (None, "") and REPO_ROOT not in sys.path:
+    # bare-checkout script mode (python scripts/<name>.py); installed, this
+    # module is rcu_tpu.tools.<name> and needs no path setup
+    sys.path.insert(0, REPO_ROOT)
 
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.data import nifti  # noqa: E402
@@ -105,7 +108,7 @@ def main(creation_type: str, in_dir: str = None, split_file: str = None,
                         prediction_path if with_pred else None)
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser(description="BraTS18 H5 dataset creation")
     parser.add_argument("--type", type=str, default="train",
                         help="train | test | train_with_predictions | "
@@ -115,3 +118,7 @@ if __name__ == "__main__":
     parser.add_argument("--prediction_path", type=str, default=None)
     args = parser.parse_args()
     main(args.type, args.in_dir, args.split_file, args.prediction_path)
+
+
+if __name__ == "__main__":
+    cli()

@@ -11,7 +11,10 @@ import os
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO_ROOT)
+if __package__ in (None, "") and REPO_ROOT not in sys.path:
+    # bare-checkout script mode (python scripts/<name>.py); installed, this
+    # module is rcu_tpu.tools.<name> and needs no path setup
+    sys.path.insert(0, REPO_ROOT)
 
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.data import split as split_lib  # noqa: E402
@@ -66,7 +69,7 @@ def main(split_type: str, data_dir: str = None, out_dir: str = None):
         split_lib.save_split(os.path.join(out_dir, name), new_train, valid, test)
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser(description="BraTS split file creation")
     parser.add_argument("--type", type=str, default="default")
     parser.add_argument("--data_dir", type=str, default=None)
@@ -74,3 +77,7 @@ if __name__ == "__main__":
     args = parser.parse_args()
     print(f"split type: {args.type}")
     main(args.type, args.data_dir, args.out_dir)
+
+
+if __name__ == "__main__":
+    cli()

@@ -15,7 +15,10 @@ import sys
 import yaml
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO_ROOT)
+if __package__ in (None, "") and REPO_ROOT not in sys.path:
+    # bare-checkout script mode (python scripts/<name>.py); installed, this
+    # module is rcu_tpu.tools.<name> and needs no path setup
+    sys.path.insert(0, REPO_ROOT)
 
 CONFIG_DIR = os.path.join(REPO_ROOT, "config")
 
@@ -200,5 +203,9 @@ def main():
     print(f"wrote {count} config yamls under {CONFIG_DIR}")
 
 
-if __name__ == "__main__":
+def cli():
     main()
+
+
+if __name__ == "__main__":
+    cli()

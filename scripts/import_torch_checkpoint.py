@@ -29,7 +29,9 @@ import sys
 import numpy as np
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if REPO_ROOT not in sys.path:
+if __package__ in (None, "") and REPO_ROOT not in sys.path:
+    # bare-checkout script mode (python scripts/<name>.py); installed, this
+    # module is rcu_tpu.tools.<name> and needs no path setup
     sys.path.insert(0, REPO_ROOT)
 
 from rcu_tpu.engine import checkpoint as ckpt_lib  # noqa: E402
@@ -244,5 +246,9 @@ def main():
           f"model_dir at {args.out_model_dir}")
 
 
-if __name__ == "__main__":
+def cli():
     main()
+
+
+if __name__ == "__main__":
+    cli()

@@ -15,7 +15,10 @@ import sys
 from PIL import Image
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO_ROOT)
+if __package__ in (None, "") and REPO_ROOT not in sys.path:
+    # bare-checkout script mode (python scripts/<name>.py); installed, this
+    # module is rcu_tpu.tools.<name> and needs no path setup
+    sys.path.insert(0, REPO_ROOT)
 
 from rcu_tpu import directories as dirs  # noqa: E402
 from rcu_tpu.data.collector import IsicCollector  # noqa: E402
@@ -63,9 +66,13 @@ def main(in_root: str = None, out_dir: str = None):
         process_data(out_dir, task_dir)
 
 
-if __name__ == "__main__":
+def cli():
     parser = argparse.ArgumentParser(description="ISIC preprocessing (resize)")
     parser.add_argument("--in_root", type=str, default=None)
     parser.add_argument("--out_dir", type=str, default=None)
     args = parser.parse_args()
     main(args.in_root, args.out_dir)
+
+
+if __name__ == "__main__":
+    cli()
