@@ -23,24 +23,72 @@ BRATS_SUBJECTS = ["Brats18_TCIA01_390_1", "Brats18_CBICA_AUN_1",
 ISIC_SUBJECTS = ["ISIC_0012388", "ISIC_0012654", "ISIC_0012447"]
 
 
-def get_bbox(img: np.ndarray, margin: int = 5, squared: str = "max"):
-    """Bounding box of the non-zero region, optionally squared."""
-    nz = np.argwhere(img != 0)
-    if nz.size == 0:
-        return (slice(None), slice(None))
-    (y0, x0), (y1, x1) = nz.min(0), nz.max(0) + 1
-    y0, x0 = max(0, y0 - margin), max(0, x0 - margin)
-    y1, x1 = min(img.shape[0], y1 + margin), min(img.shape[1], x1 + margin)
-    if squared:
-        h, w = y1 - y0, x1 - x0
-        side = max(h, w) if squared == "max" else min(h, w)
-        cy, cx = (y0 + y1) // 2, (x0 + x1) // 2
-        y0, y1 = max(0, cy - side // 2), min(img.shape[0], cy + side // 2)
-        x0, x1 = max(0, cx - side // 2), min(img.shape[1], cx + side // 2)
-    return (slice(y0, y1), slice(x0, x1))
+def select_slice(data: dict, dataset: str):
+    """The displayed slice: BraTS shows the slice with the LARGEST GT area
+    (argmax of per-slice target sums); native-2D ISIC shows the whole image
+    (reference bin-analysis/save_images.py:57-62 get_slice_and_str)."""
+    if dataset == "isic":
+        return slice(None)
+    return int(np.argmax(data["target"].sum(axis=(1, 2))))
+
+
+def get_bbox(img: np.ndarray, squared: str = "max", dims: int = None):
+    """Display bounding box of the non-zero region, exactly the reference's
+    crop semantics (bin-analysis/save_images.py:151-187 _get_bbox):
+
+    - per axis, [first, last] non-zero index with an ASYMMETRIC margin of
+      10 added per side only where it stays inside the image, the upper
+      bound staying exclusive-of-last-index when the margin does not fit;
+    - ``squared='max'`` (BraTS) PADS every axis outward to the largest
+      axis extent (floor-split between the two sides), ``squared='min'``
+      (ISIC) SHRINKS every axis inward to the smallest extent;
+    - ``dims=2`` restricts to the leading two axes (ISIC images are HxWx3).
+
+    Returns ((h0, h1), (w0, w1)) slice bounds.
+    """
+    if dims is None:
+        dims = img.ndim
+    # reduce over all-but-one of the leading `dims` axes; the reference
+    # enumerates axis combinations low-to-high, which yields the W range
+    # first, then reverses — same net order here, computed directly
+    bounds = []
+    for keep in range(dims):
+        other = tuple(ax for ax in range(dims) if ax != keep)
+        nonzero = np.any(img, axis=other) if img.ndim == dims else \
+            np.any(img, axis=other + tuple(range(dims, img.ndim)))
+        idx = np.where(nonzero)[0]
+        lo, hi = int(idx[0]), int(idx[-1])
+        if lo - 10 >= 0:
+            lo -= 10
+        if hi + 10 <= nonzero.shape[0]:
+            hi += 10
+        bounds.append((lo, hi))
+    if squared == "max":
+        target = max(hi - lo for lo, hi in bounds)
+        for i, (lo, hi) in enumerate(bounds):
+            diff = target - (hi - lo)
+            bounds[i] = (lo - diff // 2, hi + (diff - diff // 2))
+            assert bounds[i][0] >= 0 and bounds[i][1] < img.shape[i]
+    elif squared == "min":
+        target = min(hi - lo for lo, hi in bounds)
+        for i, (lo, hi) in enumerate(bounds):
+            diff = (hi - lo) - target
+            bounds[i] = (lo + diff // 2, hi - (diff - diff // 2))
+            assert bounds[i][0] >= 0 and bounds[i][1] < img.shape[i]
+    return tuple(bounds)
+
+
+def apply_bbox(img: np.ndarray, bbox):
+    (h0, h1), (w0, w1) = bbox
+    return img[h0:h1, w0:w1]
 
 
 def save_image(arr, path, cmap="gray", norm=None):
+    arr = np.asarray(arr)
+    if arr.ndim == 3 and np.issubdtype(arr.dtype, np.floating):
+        # float RGB: clip to [0,1] like the reference's imshow does (it
+        # warns and clips; imsave raises)
+        arr = np.clip(arr, 0.0, 1.0)
     if norm is not None:
         plt.imsave(path, arr, cmap=cmap, vmin=norm.vmin, vmax=norm.vmax)
     else:
@@ -64,6 +112,36 @@ def save_colorbar(path):
                                        cmap="inferno"), cax=ax)
     fig.savefig(path, bbox_inches="tight")
     plt.close(fig)
+
+
+def write_subject_images(subject_dir: str, id_: str, img_key: str, d: dict,
+                         dataset: str):
+    """The per-subject PNG set of reference OutWriterPng.on_new_subject +
+    on_test_id (bin-analysis/save_images.py:88-125): image, GT overlay,
+    prediction overlay, inferno uncertainty map — slice-selected, bbox-
+    cropped, reference filename contract (the slice suffix goes on the
+    image/GT files only; its pred/uncert branch tests isinstance(sel, str),
+    which never holds — save_images.py:116)."""
+    sel = select_slice(d, dataset)
+    img = d[img_key][sel]
+    gt = d["target"][sel]
+    pred = d["prediction"][sel]
+    unc = d["uncertainty"][sel]
+    slice_str = "" if isinstance(sel, slice) else f"_sl{sel}"
+
+    bbox = get_bbox(img, squared="max", dims=None) \
+        if dataset == "brats" else get_bbox(img, squared="min", dims=2)
+    img_c, gt_c = apply_bbox(img, bbox), apply_bbox(gt, bbox)
+    save_image(img_c, os.path.join(subject_dir, f"{img_key}{slice_str}.png"))
+    save_overlay(img_c, gt_c, os.path.join(
+        subject_dir, f"{img_key}_gt_overlay{slice_str}.png"),
+        color=(0, 1, 0))
+    save_overlay(img_c, apply_bbox(pred, bbox), os.path.join(
+        subject_dir, f"{id_}_{img_key}_pred_overlay.png"), color=(1, 0, 0))
+    # autoscaled like the reference's plain imshow (its uncert_norm is
+    # defined but never applied to the uncertainty map)
+    save_image(apply_bbox(unc, bbox), os.path.join(
+        subject_dir, f"{id_}_uncert.png"), cmap="inferno")
 
 
 def main(dataset: str, to_plot: list):
@@ -97,33 +175,7 @@ def main(dataset: str, to_plot: list):
             loader = analysis.Loader()
             d = loader.get_data(sf, entry.confidence_entry, images=(img_key,))
             d = prepare(d)
-
-            if dataset == "brats":
-                sel = int(np.argmax(d["target"].sum(axis=(1, 2))))
-                img = d[img_key][sel]
-                gt = d["target"][sel]
-                pred = d["prediction"][sel]
-                unc = d["uncertainty"][sel]
-                slice_str = f"_sl{sel}"
-            else:
-                img = d[img_key]
-                gt, pred, unc = d["target"], d["prediction"], d["uncertainty"]
-                slice_str = ""
-
-            bbox = get_bbox(img if img.ndim == 2 else img.sum(-1),
-                            squared="max" if dataset == "brats" else "min")
-            img_c, gt_c = img[bbox], gt[bbox]
-            save_image(img_c, os.path.join(subject_dir,
-                                           f"{img_key}{slice_str}.png"))
-            save_overlay(img_c, gt_c, os.path.join(
-                subject_dir, f"{img_key}_gt_overlay{slice_str}.png"),
-                color=(0, 1, 0))
-            save_overlay(img_c, pred[bbox], os.path.join(
-                subject_dir, f"{entry.id_}_{img_key}_pred_overlay{slice_str}.png"),
-                color=(1, 0, 0))
-            save_image(unc[bbox], os.path.join(
-                subject_dir, f"{entry.id_}_uncert{slice_str}.png"),
-                cmap="inferno", norm=colors.Normalize(0.0, 1.0))
+            write_subject_images(subject_dir, entry.id_, img_key, d, dataset)
 
 
 def cli():

@@ -184,7 +184,38 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
         logging.info("int8 calibration: %d conv sites from subject '%s' "
                      "(%d items)", len(scales), subjects[0], len(batch))
     skip_levels = quant_ops.clamp_skip_levels(model, skip_levels)
-    return model.copy(quant_scales=scales, quant_skip_levels=skip_levels)
+    qmodel = model.copy(quant_scales=scales, quant_skip_levels=skip_levels)
+    if os.environ.get("RCU_QUANT_CLIP_DEBUG"):
+        # distribution-shift diagnostic (opt-in: one extra instrumented
+        # compile): run the QUANTIZED model on a batch from the LAST test
+        # subject — a subject the calibration never saw — with the
+        # quant_clip collection mutable, and log every site's int8 clipped
+        # fraction. A silent calibration/eval shift shows up here as a
+        # nonzero rate (ops/quant.clip_report).
+        if is_2d:
+            shift = np.stack([
+                _transformed(dataset.read_volume(s, "images"))
+                for s in subjects[-max(1, batch_size):]])
+        else:
+            volume = np.asarray(
+                dataset.read_volume(subjects[-1], "images"), np.float32)
+            n = min(len(volume), max(1, batch_size))
+            lo = max(0, (len(volume) - n) // 2)
+            shift = np.stack([_transformed(z) for z in volume[lo:lo + n]])
+        shift = jnp.asarray(shift.astype(input_dtype, copy=False))
+        member = jax.tree_util.tree_map(lambda x: x[0], state) \
+            if ensemble else state
+        report = quant_ops.clip_report(
+            qmodel, {"params": member[0], "batch_stats": member[1]},
+            [shift], mc_dropout=not ensemble,
+            rng=jax.random.PRNGKey(seed + 1))
+        worst = sorted(report.items(), key=lambda kv: -kv[1])[:5]
+        log = logging.warning if worst and worst[0][1] > 0.001 else \
+            logging.info
+        log("int8 clip report (subject '%s'%s): worst sites %s",
+            subjects[-1], " member 0" if ensemble else "",
+            ", ".join(f"{k}={v:.2e}" for k, v in worst))
+    return qmodel
 
 
 def _load_ensemble_states(config, input_shape, dtype=None,

@@ -54,6 +54,21 @@ def _sow_absmax(module: nn.Module, leaf: str, x) -> None:
                    init_fn=lambda: jnp.zeros((), jnp.float32))
 
 
+def _sow_clip(module: nn.Module, leaf: str, x, scale) -> None:
+    """Debug diagnostic for calibration/eval distribution shift: record the
+    site's int8 clipped fraction (``ops/quant.clipped_fraction``) into the
+    ``quant_clip`` collection. Applied with the collection mutable
+    (``mutable=["quant_clip"]``) it surfaces eval batches hotter than the
+    calibration batches + margin; on a normal apply the sow is a no-op and
+    the stat DCEs out of the compiled program."""
+    from rcu_tpu.ops.quant import CLIP_COLLECTION, clipped_fraction
+    if scale is not None and module.is_mutable_collection(CLIP_COLLECTION) \
+            and not module.is_initializing():
+        module.sow(CLIP_COLLECTION, leaf, clipped_fraction(x, scale),
+                   reduce_fn=jnp.maximum,
+                   init_fn=lambda: jnp.zeros((), jnp.float32))
+
+
 def _site_scale(module: nn.Module, leaf: str):
     """This conv site's calibrated activation scale (a host float, baked
     into the program as a constant), or None when the model is unquantized.
@@ -212,13 +227,17 @@ class ConvBnRelu(nn.Module):
             a, b = x
             _sow_absmax(self, "Conv_0_in_absmax_a", a)
             _sow_absmax(self, "Conv_0_in_absmax_b", b)
+            a_scale = _site_scale(self, "Conv_0_in_absmax_a")
+            b_scale = _site_scale(self, "Conv_0_in_absmax_b")
+            _sow_clip(self, "Conv_0_in_absmax_a", a, a_scale)
+            _sow_clip(self, "Conv_0_in_absmax_b", b, b_scale)
             x = _SplitInputConv(self.out_ch, self.kernel, self.padding,
                                 dtype=self.dtype, name="Conv_0")(
-                a, b, a_scale=_site_scale(self, "Conv_0_in_absmax_a"),
-                b_scale=_site_scale(self, "Conv_0_in_absmax_b"))
+                a, b, a_scale=a_scale, b_scale=b_scale)
         else:
             _sow_absmax(self, "Conv_0_in_absmax", x)
             scale = _site_scale(self, "Conv_0_in_absmax")
+            _sow_clip(self, "Conv_0_in_absmax", x, scale)
             if scale is not None:
                 x = _QuantConv(self.out_ch, self.kernel, self.padding,
                                dtype=self.dtype, name="Conv_0")(
@@ -549,14 +568,18 @@ class UNet(nn.Module):
                 # (nearest upsample preserves values, so the site's absmax
                 # is the same whether sown on x or on the upsampled tensor)
                 _sow_absmax(self, f"Conv_{k}_in_absmax", x)
-                up = self.up_convs[k](
-                    x, a_scale=_site_scale(self, f"Conv_{k}_in_absmax")) \
+                up_scale = _site_scale(self, f"Conv_{k}_in_absmax") \
+                    if quantized else None
+                _sow_clip(self, f"Conv_{k}_in_absmax", x, up_scale)
+                up = self.up_convs[k](x, a_scale=up_scale) \
                     if quantized else self.up_convs[k](x)
             else:
                 up = _upsample_nearest_2x(x)
                 _sow_absmax(self, f"Conv_{k}_in_absmax", up)
-                up = self.up_convs[k](
-                    up, a_scale=_site_scale(self, f"Conv_{k}_in_absmax")) \
+                up_scale = _site_scale(self, f"Conv_{k}_in_absmax") \
+                    if quantized else None
+                _sow_clip(self, f"Conv_{k}_in_absmax", up, up_scale)
+                up = self.up_convs[k](up, a_scale=up_scale) \
                     if quantized else self.up_convs[k](up)
             up = _pad_to(up, (skip.shape[1], skip.shape[2]))
             if self.split_decoder_concat:

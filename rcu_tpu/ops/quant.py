@@ -43,6 +43,12 @@ import jax.numpy as jnp
 # calibration pass (mutable=["quant_stats"]); never mutated at inference
 QUANT_COLLECTION = "quant_stats"
 
+# flax collection a QUANTIZED model sows per-site int8 clipped fractions
+# into when applied with mutable=["quant_clip"] (models/unet._sow_clip) —
+# the calibration/eval distribution-shift diagnostic. On a normal apply the
+# sow is a no-op and the stat DCEs out of the compiled program.
+CLIP_COLLECTION = "quant_clip"
+
 # headroom multiplier on calibrated absmax: MC dropout rescales surviving
 # channels by 1/(1-p) (~1.053 at the flagship p=0.05) and later batches can
 # run slightly hotter than the calibration batches; 10% costs ~0.14 bit of
@@ -153,17 +159,18 @@ def clipped_fraction(x: jnp.ndarray, scale: float) -> jnp.ndarray:
                      > _INT8_MAX * scale).astype(jnp.float32))
 
 
-def clip_report(model, variables, scales, batches, mc_dropout: bool = True,
+def clip_report(model, variables, batches, mc_dropout: bool = True,
                 rng=None) -> dict:
-    """Per-site clipped-fraction report over ``batches``.
+    """Per-site int8 clipped-fraction report over ``batches``.
 
-    Runs the PLAIN model (same instrumentation pass as
-    :func:`calibrate_scales`), then compares each site's sown absmax per
-    batch against its calibrated scale. Returns ``{site_key: max clipped
-    upper bound indicator}`` — precisely: per site, the max over batches of
-    ``absmax_batch > 127 * scale`` mapped to the excess ratio
-    ``absmax_batch / (127 * scale)``; values <= 1.0 mean no clipping.
-    Host-side diagnostic, not part of the inference program.
+    ``model`` must be the QUANTIZED model (``quant_scales`` set). Each batch
+    is applied with the :data:`CLIP_COLLECTION` mutable so every quantized
+    conv site sows the exact fraction of its input values that saturate the
+    int8 range at the site's calibrated scale. Returns ``{site_key: max
+    clipped fraction over batches}`` — 0.0 means no clipping; a site whose
+    eval distribution runs hotter than calibration + margin shows a nonzero
+    rate here instead of silently degrading accuracy. Host-side diagnostic,
+    not part of the inference program.
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -172,14 +179,15 @@ def clip_report(model, variables, scales, batches, mc_dropout: bool = True,
         rngs = {"dropout": jax.random.fold_in(rng, i)} if mc_dropout else None
         _, aux = model.apply(variables, images, train=False,
                              mc_dropout=mc_dropout, rngs=rngs,
-                             mutable=[QUANT_COLLECTION])
+                             mutable=[CLIP_COLLECTION])
         flat = _flatten_stats(
-            jax.tree_util.tree_map(float, aux[QUANT_COLLECTION]))
-        for key, absmax in flat.items():
-            if key not in scales:
-                continue
-            ratio = absmax / (_INT8_MAX * scales[key])
-            report[key] = max(report.get(key, 0.0), ratio)
+            jax.tree_util.tree_map(float, aux.get(CLIP_COLLECTION, {})))
+        for key, frac in flat.items():
+            report[key] = max(report.get(key, 0.0), frac)
+    if not report:
+        raise ValueError(
+            "clip_report sowed no quant_clip stats — pass the QUANTIZED "
+            "model (quant_scales set); unquantized sites sow nothing")
     return report
 
 

@@ -272,6 +272,211 @@ class TestMainTableParity:
         assert sorted(set(dice_ranks)) == list(range(1, len(set(dice_ranks)) + 1))
 
 
+class TestPrecisionRecallParity:
+    @pytest.mark.parametrize("task", ["brats", "isic"])
+    def test_curve_data_matches(self, task, tmp_path, monkeypatch):
+        """Run the reference's plot_supplmat_error_prec_recall aggregation
+        (gather_base threshold parsing + its own rechun.eval.helper
+        pandas_error_precision/recall + the per-threshold groupby means,
+        reference :36-81) over OUR uncertainty CSVs and compare the rendered
+        curve xy-data line by line against bin/
+        plot_supplmat_error_prec_recall.py."""
+        subjects = BRATS_SUBJECTS if task == "brats" else ISIC_SUBJECTS
+        tree = str(tmp_path / task)
+        build_eval_tree(tree, masked=(task == "brats"), subjects=subjects)
+        monkeypatch.setattr(dirs, "BRATS_EVAL_DIR" if task == "brats"
+                            else "ISIC_EVAL_DIR", tree)
+
+        import matplotlib.pyplot as plt
+        ref_mod = load_reference_module("plot_supplmat_error_prec_recall")
+        getter = (ref_mod.get_brats_data if task == "brats"
+                  else ref_mod.get_isic_data)
+        data, ids_names = getter()
+        assert data, "reference discovery found no uncertainty CSVs"
+        ref_df = ref_mod.gather_base(data)
+        plt.close("all")
+        ref_mod.plot_precision_recall(ref_df, ids_names,
+                                      str(tmp_path / "ref.svg"))
+        ref_lines = {ln.get_label(): np.asarray(ln.get_xydata())
+                     for fig_num in plt.get_fignums()
+                     for ax in plt.figure(fig_num).axes
+                     for ln in ax.lines}
+        plt.close("all")
+
+        our_mod = load_bin("plot_supplmat_error_prec_recall")
+        our_df, our_ids_names = our_mod.load_df(task)
+        monkeypatch.setattr(our_mod.plt, "close", lambda *a, **k: None)
+        our_mod.plot_precision_recall(our_df, our_ids_names,
+                                      str(tmp_path / "ours.svg"))
+        our_lines = {ln.get_label(): np.asarray(ln.get_xydata())
+                     for fig_num in plt.get_fignums()
+                     for ax in plt.figure(fig_num).axes
+                     for ln in ax.lines}
+        plt.close("all")
+
+        assert set(ids_names.values()) <= set(ref_lines)
+        assert set(ref_lines) == set(our_lines)
+        for name in ids_names.values():
+            assert ref_lines[name].shape == our_lines[name].shape \
+                and ref_lines[name].shape[0] == 11, name  # 11 thresholds
+            np.testing.assert_allclose(ref_lines[name], our_lines[name],
+                                       rtol=1e-12, atol=0, err_msg=name)
+        # the synthetic fpu/fnu grow with the strategy index, so the curves
+        # genuinely differ between strategies — not a vacuous equality
+        stack = np.stack([ref_lines[n] for n in ids_names.values()])
+        assert float(np.ptp(stack[:, :, 1])) > 0.01
+
+
+class TestDatasetVsMeanSubjectParity:
+    @pytest.mark.parametrize("task", ["brats", "isic"])
+    def test_pooled_and_mean_ece_match(self, task, tmp_path, monkeypatch):
+        """Run the reference's table_supplmat_ece_dataset_vs_meansubject
+        aggregation (masked-bin pooled dataset-ECE vs mean-subject ECE,
+        incl. its internal CSV-vs-bins allclose assert, reference :59-86)
+        over OUR calibration CSVs and compare against
+        bin/table_supplmat_ece_dataset_vs_meansubject.py."""
+        subjects = BRATS_SUBJECTS if task == "brats" else ISIC_SUBJECTS
+        tree = str(tmp_path / task)
+        build_eval_tree(tree, masked=(task == "brats"), subjects=subjects)
+        monkeypatch.setattr(dirs, "BRATS_EVAL_DIR" if task == "brats"
+                            else "ISIC_EVAL_DIR", tree)
+
+        ref_mod = load_reference_module(
+            "table_supplmat_ece_dataset_vs_meansubject")
+        ref_df = ref_mod.gather_information(task)
+
+        our_mod = load_bin("table_supplmat_ece_dataset_vs_meansubject")
+        our_df = our_mod.gather(task)
+
+        assert list(ref_df.index) == list(our_df.index)
+        for col in ("ece", "ds_ece"):
+            np.testing.assert_allclose(
+                ref_df[col].to_numpy(dtype=float),
+                our_df[col].to_numpy(dtype=float), rtol=1e-12, atol=0,
+                err_msg=f"{task} {col}")
+        # pooled vs mean-subject genuinely differ on the synthetic bins —
+        # the comparison distinguishes the two aggregations
+        assert float(np.max(np.abs(ref_df["ece"].to_numpy(dtype=float)
+                                   - ref_df["ds_ece"].to_numpy(dtype=float)))) \
+            > 1e-4
+
+        # the reference's rendered LaTeX (percent + rounding) matches ours
+        ref_print = ref_mod.prepare_for_print(ref_df.copy(),
+                                              {"ece": 3, "ds_ece": 3})
+        our_print = (our_df * 100).round(3)
+        np.testing.assert_allclose(ref_print["ece"].to_numpy(dtype=float),
+                                   our_print["ece"].to_numpy(dtype=float),
+                                   rtol=0, atol=0)
+
+
+class TestSaveImagesParity:
+    @pytest.fixture
+    def ref_mod(self, monkeypatch):
+        """Reference save_images with its rechun.eval imports stubbed out
+        (it binds rechun.eval.evaldata/analysis at import time but the
+        logic under test — get_slice_and_str + OutWriterPng — never touches
+        them); monkeypatch.setitem restores sys.modules afterwards so other
+        parity tests still import the real reference rechun.eval modules."""
+        eval_pkg = types.ModuleType("rechun.eval")
+        eval_pkg.__path__ = [os.path.join(REFERENCE, "rechun", "eval")]
+        monkeypatch.setitem(sys.modules, "rechun.eval", eval_pkg)
+        monkeypatch.setitem(sys.modules, "rechun.eval.evaldata",
+                            types.ModuleType("rechun.eval.evaldata"))
+        monkeypatch.setitem(sys.modules, "rechun.eval.analysis",
+                            types.ModuleType("rechun.eval.analysis"))
+        return load_reference_module("save_images")
+
+    @staticmethod
+    def _subject_data(task: str, seed: int = 0):
+        """Synthetic prepared-subject dict: an off-center non-zero image
+        blob (margins fit), GT/prediction masks, [0,1] uncertainty."""
+        rng = np.random.RandomState(seed)
+        if task == "brats":
+            z, h, w = 5, 72, 64
+            img = np.zeros((z, h, w), np.float32)
+            # non-square blob so squared='max' genuinely pads an axis
+            img[:, 18:42, 20:48] = rng.rand(z, 24, 28) + 0.5
+            gt = np.zeros((z, h, w), np.uint8)
+            gt[2:5, 24:40, 24:40] = 1
+            gt[3, 22:42, 22:42] = 1  # slice 3 has the largest GT area
+            unc = rng.rand(z, h, w).astype(np.float32)
+            pred = (rng.rand(z, h, w) > 0.6).astype(np.uint8)
+            return {"flair": img, "target": gt, "prediction": pred,
+                    "uncertainty": unc}
+        h, w = 48, 64
+        img = np.zeros((h, w, 3), np.float32)
+        img[10:38, 12:50] = rng.rand(28, 38, 3) + 0.25
+        gt = np.zeros((h, w), np.uint8)
+        gt[14:30, 20:44] = 1
+        unc = rng.rand(h, w).astype(np.float32)
+        pred = (rng.rand(h, w) > 0.6).astype(np.uint8)
+        return {"image": img, "target": gt, "prediction": pred,
+                "uncertainty": unc}
+
+    def test_slice_selection_matches(self, ref_mod):
+        our_mod = load_bin("save_images")
+        for task in ("brats", "isic"):
+            d = self._subject_data(task)
+            ref_sel = ref_mod.get_slice_and_str(d, task)
+            our_sel = our_mod.select_slice(d, task)
+            if task == "isic":
+                assert ref_sel == slice(None) and our_sel == slice(None)
+            else:
+                assert int(ref_sel) == int(our_sel) == 3
+
+    @pytest.mark.parametrize("task,key,squared,dims", [
+        ("brats", "flair", "max", None), ("isic", "image", "min", 2)])
+    def test_bbox_matches(self, ref_mod, tmp_path, task, key, squared, dims):
+        """The crop bounds — asymmetric 10-margin, axis order, pad-to-max /
+        shrink-to-min squaring — equal the reference's _get_bbox exactly,
+        across blob geometries."""
+        our_mod = load_bin("save_images")
+        writer = ref_mod.OutWriterPng(str(tmp_path), task, key)
+        for seed in range(4):
+            d = self._subject_data(task, seed=seed)
+            sel = ref_mod.get_slice_and_str(d, task)
+            img = d[key][sel]
+            ref_bbox = writer._get_bbox(
+                img, squared=squared, **({} if dims is None
+                                         else {"dims": dims}))
+            our_bbox = our_mod.get_bbox(img, squared=squared, dims=dims)
+            assert [tuple(b) for b in ref_bbox] \
+                == [tuple(b) for b in our_bbox], (task, seed)
+            # squared really engages: the raw extents differ per axis
+            h_ext = ref_bbox[0][1] - ref_bbox[0][0]
+            w_ext = ref_bbox[1][1] - ref_bbox[1][0]
+            assert h_ext == w_ext, "squared bbox must be square"
+
+    @pytest.mark.parametrize("task,key", [("brats", "flair"),
+                                          ("isic", "image")])
+    def test_png_file_sets_match(self, ref_mod, tmp_path, task, key):
+        """Drive the reference's OutWriterPng and our write_subject_images
+        over the SAME prepared subject: the produced PNG filename sets
+        (incl. the _sl suffix quirk: image/GT only) must be identical."""
+        import matplotlib.pyplot as plt
+        d = self._subject_data(task)
+        ref_dir = tmp_path / "ref"
+        ref_dir.mkdir()
+        writer = ref_mod.OutWriterPng(str(ref_dir), task, key)
+        writer.on_new_subject("subj", d)
+        writer.on_test_id("baseline", d)
+        plt.close("all")
+
+        our_mod = load_bin("save_images")
+        our_dir = tmp_path / "ours" / "subj"
+        our_dir.mkdir(parents=True)
+        our_mod.write_subject_images(str(our_dir), "baseline", key, d, task)
+
+        ref_files = sorted(os.listdir(ref_dir / "subj"))
+        our_files = sorted(os.listdir(our_dir))
+        assert ref_files == our_files, (task, ref_files, our_files)
+        expected_sl = "" if task == "isic" else "_sl3"
+        assert f"{key}{expected_sl}.png" in ref_files
+        assert f"{key}_gt_overlay{expected_sl}.png" in ref_files
+        assert f"baseline_{key}_pred_overlay.png" in ref_files
+        assert "baseline_uncert.png" in ref_files
+
+
 class TestReliabilityAggregationParity:
     def test_plot_calibration_main_and_ratios_match(self, tmp_path,
                                                     monkeypatch, capsys):

@@ -161,6 +161,59 @@ class TestQuantUnits:
             UNet(**KW, quant_skip_levels=-1).init(
                 {"params": jax.random.PRNGKey(0)}, x, train=False)
 
+    def test_clipped_fraction_unit(self):
+        x = jnp.asarray([0.0, 1.0, -2.0, 0.5])
+        # scale 1/127 -> saturation threshold |x| > 1.0 (strict): only -2.0
+        frac = quant_ops.clipped_fraction(x, 1.0 / 127.0)
+        assert float(frac) == 0.25
+        assert float(quant_ops.clipped_fraction(x, 1.0)) == 0.0
+
+    def test_clip_report_flags_hotter_eval_batch(self):
+        """The distribution-shift diagnostic: a quantized model applied to
+        the calibration batch clips NOTHING (the margin covers it); applied
+        to a deliberately hotter batch, the input-site clipped fraction is
+        nonzero and observable instead of silently degrading accuracy."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        model = UNet(**KW)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        scales = quant_ops.calibrate_scales(model, v, [x], mc_dropout=False)
+        quant = UNet(**KW, quant_scales=scales)
+        calm = quant_ops.clip_report(quant, v, [x], mc_dropout=False)
+        # every calibrated site reports a stat, and none clip at margin 1.1
+        assert set(calm) == set(scales)
+        assert max(calm.values()) == 0.0
+        hot = quant_ops.clip_report(quant, v, [2.5 * x], mc_dropout=False)
+        assert max(hot.values()) > 0.01, hot
+        # the report names the clipping sites so the shift is localizable
+        assert any("Conv_0_in_absmax" in k for k, f in hot.items() if f > 0)
+
+    def test_clip_report_requires_quantized_model(self):
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        model = UNet(**KW)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        with pytest.raises(ValueError, match="quant_clip"):
+            quant_ops.clip_report(model, v, [x], mc_dropout=False)
+
+    def test_calibration_shift_keeps_probs_bounded(self):
+        """Calibrate on batch A, evaluate on a hotter batch B: symmetric
+        clipping saturates rather than wraps, so the quantized softmax
+        stays within a bounded (looser) envelope of the plain forward even
+        under a 1.5x activation shift — and the clip_report makes the shift
+        observable."""
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 4))
+        model = UNet(**KW)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        scales = quant_ops.calibrate_scales(model, v, [x], mc_dropout=False)
+        quant = UNet(**KW, quant_scales=scales)
+        hot = 1.5 * x
+        pa = jax.nn.softmax(model.apply(v, hot, train=False).logits, -1)
+        pb = jax.nn.softmax(quant.apply(v, hot, train=False).logits, -1)
+        # looser than the in-distribution 5e-3 bound, but bounded: the
+        # 1.5x shift is ~1.36x past the 1.1 margin
+        assert float(jnp.max(jnp.abs(pa - pb))) < 5e-2
+        report = quant_ops.clip_report(quant, v, [hot], mc_dropout=False)
+        assert max(report.values()) > 0.0
+
     def test_quant_ops_roundtrip(self):
         # weights: per-output-channel symmetric; dequant(quant(w)) ~ w
         k = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 8, 16))
@@ -307,6 +360,54 @@ class TestQuantE2EEnvelope:
         for name in sorted(os.listdir(q_dir)):
             csv_close(os.path.join(q_dir, name),
                       os.path.join(ep_dir, name))
+
+    def test_clip_debug_warns_on_shifted_test_subject(self, tmp_path,
+                                                      monkeypatch, caplog):
+        """RCU_QUANT_CLIP_DEBUG=1 through the SHIPPED driver: calibration
+        runs on the FIRST test subject; a deliberately 4x-hotter LAST test
+        subject (a real calibration/eval distribution shift) must produce a
+        clip-report WARNING naming the saturating sites — the shift is
+        observable, not silent (round-5 hardening of the single-batch
+        calibration scheme)."""
+        import h5py  # noqa: F401  (store written via the framework writer)
+        from rcu_tpu import strategies
+        from rcu_tpu.data import h5
+        from rcu_tpu.data.nifti import ImageProperties
+        from rcu_tpu.data.split import save_split
+        from rcu_tpu.eval.direct import evaluate_direct
+        from tests.test_strategies import base_test_cfg, base_train_cfg
+
+        rng = np.random.RandomState(3)
+        store = str(tmp_path / "ds.h5")
+        with h5.DatasetWriter(store) as w:
+            for i, hot in enumerate([1.0, 1.0, 1.0, 4.0]):
+                gt = np.zeros((8, 32, 32), np.uint8)
+                gt[:, 8:24, 8:24] = 1
+                images = rng.rand(8, 32, 32, 4).astype(np.float32) * 0.1
+                images[..., 0] += gt
+                images *= hot  # s03 runs 4x hotter than the others
+                w.add_subject(f"s{i:02d}",
+                              {"images": images, "labels": gt},
+                              props=ImageProperties(size=(32, 32, 8)))
+        split_file = str(tmp_path / "split.json")
+        save_split(split_file, ["s00"], ["s01"], ["s02", "s03"])
+        loop = strategies.train_default(base_train_cfg(
+            tmp_path, store, split_file, name="clipdbg", epochs=2,
+            model={"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                            "nb_classes": 2, "start_filters": 8}}))
+        cfg = base_test_cfg(tmp_path, store, split_file,
+                            loop.model_files.model_dir,
+                            others={"mc": 3}, name="clipdbg_t")
+        cfg.test_data.batch_size = 8
+        monkeypatch.setenv("RCU_QUANT_CLIP_DEBUG", "1")
+        with caplog.at_level("INFO"):
+            evaluate_direct(cfg, str(tmp_path / "q"), run_id="mc",
+                            masked=False, quantize=True)
+        clip_logs = [r for r in caplog.records
+                     if "int8 clip report" in r.getMessage()]
+        assert clip_logs, "debug mode must emit the clip report"
+        assert clip_logs[0].levelname == "WARNING", clip_logs[0].getMessage()
+        assert "s03" in clip_logs[0].getMessage()
 
     def test_rejected_strategies(self, tmp_path):
         from rcu_tpu.eval.direct import evaluate_direct
