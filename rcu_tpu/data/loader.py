@@ -45,9 +45,17 @@ class SliceBatchLoader:
         # CHUNKS of `shuffle_chunk` consecutive indices instead of a uniform
         # permutation. Each chunk stays in ascending order, so the direct
         # collate's run-coalescer reads one HDF5 range per chunk — shuffled
-        # epochs keep near-unshuffled read speed (scripts/bench_loader.py)
-        # at chunk-granular randomness (the tf.data-style locality/
-        # randomness trade; 0/1 = exact uniform shuffle, the default).
+        # epochs keep near-unshuffled read speed (scripts/bench_loader.py:
+        # 158-168 Mvox/s vs 104 exact) at chunk-granular randomness.
+        # The randomness cost is MEASURED (scripts/shuffle_ab.py, 20-epoch
+        # convergence A/B on the synthetic task, same seeds): final
+        # validation dice 0.999 exact vs 0.997 chunk=8 vs 0.995 chunk=32
+        # (delta <= 0.004), trajectories tracking within noise, while mean
+        # within-batch subject diversity drops 0.93 -> 0.46 / 0.31 and the
+        # normalized item displacement stays ~1.0 (uniform-shuffle-like
+        # global mixing; only short-range order survives inside a chunk).
+        # 0/1 = exact uniform shuffle, the default; see README "8-chip
+        # training feed" for the production recipe.
         self.shuffle_chunk = int(shuffle_chunk)
         self.seed = seed
         self.drop_remainder = drop_remainder
