@@ -76,6 +76,29 @@ def _rate(loader):
     return n / best
 
 
+def demand_coverage() -> dict:
+    """Compact host-feed summary for bench.py's perf-matrix JSON: Mvox/s of
+    the three production feed modes vs the 139 Mvox/s 8-chip bf16 demand."""
+    out = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        store = build_store(os.path.join(tmp, "bench.h5"))
+        dataset = h5_lib.SubjectDataset(store)
+        items = [(s, z) for s in range(SUBJECTS) for z in range(SLICES)]
+        vox_per_batch = BATCH * H * W
+        for label, kwargs in (
+                ("loader_unshuffled", {}),
+                ("loader_shuffled", {"shuffle": True}),
+                ("loader_shuffle_chunk8", {"shuffle": True,
+                                           "shuffle_chunk": 8})):
+            bps = _rate(SliceBatchLoader(dataset, items, batch_size=BATCH,
+                                         **kwargs))
+            mvox = bps * vox_per_batch / 1e6
+            out[f"{label}_mvox_per_sec"] = round(mvox, 1)
+            out[f"{label}_pct_of_8chip_demand"] = round(
+                100 * mvox / DEMAND_8CHIP_MVOX_S, 1)
+    return out
+
+
 def main():
     with tempfile.TemporaryDirectory() as tmp:
         store = build_store(os.path.join(tmp, "bench.h5"))
