@@ -101,7 +101,8 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True,
                               .rand(BATCH, H, W, C).astype(np.float32))
             scales = quant_ops.calibrate_scales(
                 model, variables, [cal],
-                margin=quant_margin or quant_ops.DEFAULT_MARGIN)
+                margin=quant_margin if quant_margin is not None
+                else quant_ops.DEFAULT_MARGIN)
             # production default skip: the finest level stays bf16 (int8
             # regresses there — ops/quant.DEFAULT_SKIP_LEVELS rationale)
             model = model.copy(
@@ -224,6 +225,30 @@ def _volume_inputs():
     return batched, target, mask, thresholds
 
 
+def _pipelined_rates(dispatch, n_chunks: int, vox_per_call: int):
+    """Best/mean voxel rates for a per-volume ``dispatch`` (returns a jax
+    scalar) whose device time is well under the ~1s tunnel rule: jax
+    dispatch is async, so queue G calls back-to-back and sync ONCE on the
+    last result (single-device execution is in-order) so each timed window
+    holds >=~1s of device work and per-call tunnel RTT pipelines away —
+    the same lesson as the r4 ISIC driver (one sync'd 0.2s chunk per
+    dispatch read 83% RTT). The production drivers (eval/direct._drive,
+    serve.py device pools) run exactly this async-window pattern."""
+    float(dispatch())  # compile + warm (value fetch = the reliable sync)
+    t0 = time.perf_counter()
+    float(dispatch())  # one warm synced call sizes the chunk
+    t_one = time.perf_counter() - t0
+    g = max(1, min(16, round(1.2 / max(t_one, 1e-3))))
+    rates = []
+    for _ in range(n_chunks):
+        t0 = time.perf_counter()
+        for _ in range(g - 1):
+            dispatch()
+        float(dispatch())
+        rates.append(g * vox_per_call / (time.perf_counter() - t0))
+    return max(rates), sum(rates) / len(rates)
+
+
 def bench_aleatoric(n_timed_volumes: int = None, dtype: str = None,
                     fast_decoder: bool = False):
     """The aleatoric (sigma-protocol) family — the slowest strategy family:
@@ -254,20 +279,13 @@ def bench_aleatoric(n_timed_volumes: int = None, dtype: str = None,
                                                     is_log_sigma=False)
     batched, target, mask, thresholds = _volume_inputs()
 
-    def one_volume():
+    def dispatch():
         mn, mx = pass_a(params, batch_stats, batched)
         out = pass_b(params, batch_stats, batched, target, mask, thresholds,
                      mn, mx)
-        return float(jnp.sum(out["correction"]["corrected_dice"])
-                     + out["ece"])
+        return jnp.sum(out["correction"]["corrected_dice"]) + out["ece"]
 
-    one_volume()  # compile + warm (value fetch = the only reliable sync)
-    rates = []
-    for _ in range(n_timed_volumes):
-        t0 = time.perf_counter()
-        one_volume()
-        rates.append(VOL_SLICES * H * W / (time.perf_counter() - t0))
-    return max(rates), sum(rates) / len(rates)
+    return _pipelined_rates(dispatch, n_timed_volumes, VOL_SLICES * H * W)
 
 
 def bench_aux_feat(n_timed_volumes: int = None, dtype: str = None,
@@ -300,19 +318,12 @@ def bench_aux_feat(n_timed_volumes: int = None, dtype: str = None,
                                                   VOL_SLICES)
     batched, target, mask, thresholds = _volume_inputs()
 
-    def one_volume():
+    def dispatch():
         out = fused(segm_params, segm_stats, post_params, post_stats,
                     batched, target, mask, thresholds)
-        return float(jnp.sum(out["correction"]["corrected_dice"])
-                     + out["ece"])
+        return jnp.sum(out["correction"]["corrected_dice"]) + out["ece"]
 
-    one_volume()  # compile + warm
-    rates = []
-    for _ in range(n_timed_volumes):
-        t0 = time.perf_counter()
-        one_volume()
-        rates.append(VOL_SLICES * H * W / (time.perf_counter() - t0))
-    return max(rates), sum(rates) / len(rates)
+    return _pipelined_rates(dispatch, n_timed_volumes, VOL_SLICES * H * W)
 
 
 def _load_script(name):

@@ -68,6 +68,10 @@ def get_bbox(img: np.ndarray, squared: str = "max", dims: int = None):
         for i, (lo, hi) in enumerate(bounds):
             diff = target - (hi - lo)
             bounds[i] = (lo - diff // 2, hi + (diff - diff // 2))
+            # deliberate reference parity (save_images.py:56): the reference
+            # asserts rather than clamps when the padded box leaves the
+            # image, and indexes idx[0] unguarded on all-zero inputs —
+            # pinned by tests/test_analysis_parity.py
             assert bounds[i][0] >= 0 and bounds[i][1] < img.shape[i]
     elif squared == "min":
         target = min(hi - lo for lo, hi in bounds)

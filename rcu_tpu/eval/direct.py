@@ -185,7 +185,14 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
                      "(%d items)", len(scales), subjects[0], len(batch))
     skip_levels = quant_ops.clamp_skip_levels(model, skip_levels)
     qmodel = model.copy(quant_scales=scales, quant_skip_levels=skip_levels)
-    if os.environ.get("RCU_QUANT_CLIP_DEBUG"):
+    if skip_levels > model.depth:
+        # skip covers every level: no site is quantized, so there is nothing
+        # to clip-report (clip_report would raise on the empty collection)
+        if os.environ.get("RCU_QUANT_CLIP_DEBUG"):
+            logging.info("int8 clip report skipped: quantize_skip=%d covers "
+                         "all %d levels, no quantized sites", skip_levels,
+                         model.depth + 1)
+    elif os.environ.get("RCU_QUANT_CLIP_DEBUG"):
         # distribution-shift diagnostic (opt-in: one extra instrumented
         # compile): run the QUANTIZED model on a batch from the LAST test
         # subject — a subject the calibration never saw — with the

@@ -157,12 +157,14 @@ def clipped_fraction(x: jnp.ndarray, scale: float) -> jnp.ndarray:
     """Fraction of values in ``x`` that saturate the int8 range at ``scale``.
 
     Debug diagnostic for calibration/eval distribution shift: values with
-    ``|x| > 127 * scale`` clip during :func:`quantize_activation`. A hot
-    eval batch (hotter than the calibration batches + margin) shows up here
-    as a nonzero rate instead of silently degrading accuracy.
+    ``|x| > 127.5 * scale`` round past the int8 range and saturate in
+    :func:`quantize_activation` (values in ``(127, 127.5] * scale`` round
+    TO 127 losslessly and are not counted). A hot eval batch (hotter than
+    the calibration batches + margin) shows up here as a nonzero rate
+    instead of silently degrading accuracy.
     """
     return jnp.mean((jnp.abs(x.astype(jnp.float32))
-                     > _INT8_MAX * scale).astype(jnp.float32))
+                     > (_INT8_MAX + 0.5) * scale).astype(jnp.float32))
 
 
 def clip_report(model, variables, batches, mc_dropout: bool = True,
