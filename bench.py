@@ -568,14 +568,16 @@ def main():
     }))
 
 
-def _backend_probe(timeout_s: float = 120.0):
+def _backend_probe(timeout_s: float = 300.0):
     """Probe backend init in a CHILD process with a hard timeout.
 
     The tunnel has two measured failure modes: backend init raising
     UNAVAILABLE, and backend init HANGING indefinitely (observed r4) — an
     in-process ``jax.devices()`` would block the whole bench on the latter.
     The child inherits the sitecustomize'd TPU backend, so a clean exit
-    means the tunnel is genuinely usable."""
+    means the tunnel is genuinely usable. The timeout must cover a SLOW but
+    alive tunnel: under r5 congestion a healthy init+first-dispatch measured
+    233s, so 120s misclassified it as down."""
     import subprocess
     try:
         r = subprocess.run(
@@ -608,5 +610,8 @@ def _wait_for_backend(budget_s: float) -> None:
 
 
 if __name__ == "__main__":
-    _wait_for_backend(float(os.environ.get("BENCH_BACKEND_WAIT_S", "1200")))
+    # 1h default: the driver runs this unattended at round end and the
+    # tunnel's measured outages run long — a delayed measurement beats a
+    # lost one (waiting costs nothing if the backend is already up)
+    _wait_for_backend(float(os.environ.get("BENCH_BACKEND_WAIT_S", "3600")))
     main()
