@@ -251,13 +251,16 @@ def _pipelined_rates(dispatch, n_chunks: int, vox_per_call: int):
 
 def bench_aleatoric(n_timed_volumes: int = None, dtype: str = None,
                     fast_decoder: bool = False):
-    """The aleatoric (sigma-protocol) family — the slowest strategy family:
-    deterministic forward + predicted-class sigma, the SHIPPED two-pass
-    direct protocol (pass A per-subject sigma min/max for the run-global
-    rescale, pass B fused eval), both passes timed per volume. Production
-    dtype is f32 (bf16 sigma heads are opt-in — tests/test_bf16_parity.py);
-    the fast decoder is gated for this protocol at 1e-4 f32 by
-    tests/test_fast_decoder.py::TestFastDecoderSigmaProtocol.
+    """The aleatoric (sigma-protocol) family: deterministic forward +
+    predicted-class sigma, the SHIPPED two-pass direct protocol (pass A
+    per-subject sigma min/max for the run-global rescale, pass B fused
+    eval), both passes timed per volume. Per volume it is FASTER than the
+    MC headline (1 forward vs 20: measured 17.3 vs 12.6 Mvox/s, r5) but
+    none of the MC levers help it: production dtype is f32 (bf16 sigma
+    heads are opt-in — tests/test_bf16_parity.py) and the fast decoder is
+    a measured -3% here (single forward: the split-kernel dispatches cost
+    more than the boundary work they save over T=20) though parity-gated
+    at 1e-4 f32 by tests/test_fast_decoder.py::TestFastDecoderSigmaProtocol.
     Reference protocol: bin-dl/brats_test_aleatoric.py:66-69."""
     if n_timed_volumes is None:
         n_timed_volumes = int(os.environ.get("BENCH_VOLUMES", "3"))
@@ -292,8 +295,12 @@ def bench_aux_feat(n_timed_volumes: int = None, dtype: str = None,
                    fast_decoder: bool = False):
     """The auxiliary-feat (confidence-protocol) family: frozen segmenter
     (provide_features) + PostNet confidence, one fused dispatch per volume.
-    bf16+fastdec is production for this family (softmax confidences clear
-    the 1e-3 gate — tests/test_fast_decoder.py
+    Plain f32 is production for this family — it is the FASTEST measured
+    config (64.0 Mvox/s vs 39.9 bf16+fastdec / 36.5 bf16 / 60.4
+    f32+fastdec, r5): a single forward cannot amortize the f32->bf16
+    param-cast traffic or the split-kernel dispatches the way the T=20 MC
+    trunk does. bf16+fastdec stays a gated opt-in (softmax confidences
+    clear the 1e-3 gate — tests/test_fast_decoder.py
     ::TestFastDecoderConfidenceProtocols). Reference protocol:
     bin-dl/brats_test_auxiliary_feat.py:119-120."""
     if n_timed_volumes is None:
