@@ -8,7 +8,7 @@ is the chip's one remaining ~2x roofline lever once bf16+fast-decoder sits
 at the practical MXU peak). End-to-end it lifts the MC-20 direct-eval
 headline from 10.5 to 12.7 Mvox/s (+21% in the driver-captured
 ``BENCH_r04.json``, ECE delta 4e-6) at the production default
-``DEFAULT_SKIP_LEVELS = 1``; see ``BENCH_r05.json`` for the current
+``DEFAULT_SKIP_LEVELS = 1``; see ``BENCH_r05_builder.json`` for the current
 per-protocol matrix.
 
 Scheme (the standard production PTQ recipe):

@@ -149,3 +149,46 @@ class TestRunLogIsolation:
                 if h not in saved:
                     root.removeHandler(h)
                     h.close()
+
+
+class TestPipelinedRates:
+    """bench._pipelined_rates — the async-window timing used by the
+    per-protocol matrix legs (queue G dispatches, sync once): the rate math
+    and call accounting must hold or every matrix number is wrong."""
+
+    def _bench(self):
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+        return bench
+
+    def test_call_count_and_rate_units(self):
+        import jax.numpy as jnp
+        bench = self._bench()
+        calls = []
+
+        def dispatch():
+            calls.append(1)
+            return jnp.float32(0.0)
+
+        best, mean = bench._pipelined_rates(dispatch, n_chunks=4,
+                                            vox_per_call=1_000)
+        # 1 compile+warm + 1 sizing call + g per timed chunk
+        g = (len(calls) - 2) / 4
+        assert g == int(g) and g >= 1
+        assert best >= mean > 0
+
+    def test_slow_dispatch_gets_small_window(self):
+        import jax.numpy as jnp
+        bench = self._bench()
+        calls = []
+
+        def dispatch():
+            calls.append(1)
+            time.sleep(0.7)  # over the 1.2s target at g=2 -> g stays small
+            return jnp.float32(0.0)
+
+        bench._pipelined_rates(dispatch, n_chunks=1, vox_per_call=10)
+        g = len(calls) - 2
+        assert 1 <= g <= 2
