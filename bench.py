@@ -37,7 +37,8 @@ plus methodology fields:
   - per-protocol perf matrix (round 5): "aleatoric_*" (sigma protocol, f32
     production dtype, plain + fast decoder), "aux_feat_*" (confidence
     protocol, f32 + bf16+fastdec), "isic_*" (native-2D chip rates,
-    bf16+fastdec + int8), "train_*" (f32 + bf16 train-step rates),
+    bf16+fastdec + int8), "train_*" (f32 + bf16 train-step rates at the
+    gated production-best config — fast decoder ON, "train_decoder" says so),
     "loader_*" (host-feed Mvox/s vs the 139 Mvox/s 8-chip demand) — every
     number README quotes points at a field in this JSON.
 """
@@ -87,27 +88,24 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True,
     model = get_model("unet", kwargs)
     # init on the host CPU backend (remote-TPU init compiles are slow and
     # contribute nothing to the measurement), then ship params over
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        variables = jax.jit(
-            lambda k: model.init({"params": k}, jnp.zeros((1, H, W, C)),
-                                 train=False))(jax.random.PRNGKey(0))
-        if quantize:
-            # int8 PTQ trunk (ops/quant.py; gated at the same 1e-3 bar by
-            # tests/test_quant.py): calibrate on a batch of the bench's own
-            # input distribution, on the CPU backend (one tiny forward)
-            from rcu_tpu.ops import quant as quant_ops
+    variables = _cpu_init_variables(model)
+    if quantize:
+        # int8 PTQ trunk (ops/quant.py; gated at the same 1e-3 bar by
+        # tests/test_quant.py): calibrate on a batch of the bench's own
+        # input distribution, on the CPU backend (one tiny forward)
+        from rcu_tpu.ops import quant as quant_ops
+        with jax.default_device(jax.devices("cpu")[0]):
             cal = jnp.asarray(np.random.RandomState(0)
                               .rand(BATCH, H, W, C).astype(np.float32))
             scales = quant_ops.calibrate_scales(
                 model, variables, [cal],
                 margin=quant_margin if quant_margin is not None
                 else quant_ops.DEFAULT_MARGIN)
-            # production default skip: the finest level stays bf16 (int8
-            # regresses there — ops/quant.DEFAULT_SKIP_LEVELS rationale)
-            model = model.copy(
-                quant_scales=scales,
-                quant_skip_levels=quant_ops.DEFAULT_SKIP_LEVELS)
+        # production default skip: the finest level stays bf16 (int8
+        # regresses there — ops/quant.DEFAULT_SKIP_LEVELS rationale)
+        model = model.copy(
+            quant_scales=scales,
+            quant_skip_levels=quant_ops.DEFAULT_SKIP_LEVELS)
     if mesh is not None:
         from rcu_tpu.parallel.inference import replicate_tree
         params = replicate_tree(variables["params"], mesh)
@@ -198,15 +196,21 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
     return max(rates), sum(rates) / len(rates), flops, float(ece)
 
 
-def _init_on_cpu(model, extra_shape=None):
-    """Init params on the host CPU backend and ship them to the device."""
+def _cpu_init_variables(model, extra_shape=None):
+    """Init the variable tree on the host CPU backend (remote-TPU init
+    compiles are slow and contribute nothing to any measurement)."""
     import jax.numpy as jnp
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        variables = jax.jit(
+        return jax.jit(
             lambda k: model.init({"params": k},
                                  jnp.zeros(extra_shape or (1, H, W, C)),
                                  train=False))(jax.random.PRNGKey(0))
+
+
+def _init_on_cpu(model, extra_shape=None):
+    """Init params on the host CPU backend and ship them to the device."""
+    variables = _cpu_init_variables(model, extra_shape)
     device = jax.devices()[0]
     return (jax.device_put(variables["params"], device),
             jax.device_put(variables.get("batch_stats", {}), device))
@@ -235,10 +239,22 @@ def _pipelined_rates(dispatch, n_chunks: int, vox_per_call: int):
     dispatch read 83% RTT). The production drivers (eval/direct._drive,
     serve.py device pools) run exactly this async-window pattern."""
     float(dispatch())  # compile + warm (value fetch = the reliable sync)
-    t0 = time.perf_counter()
-    float(dispatch())  # one warm synced call sizes the chunk
-    t_one = time.perf_counter() - t0
-    g = max(1, min(16, round(1.2 / max(t_one, 1e-3))))
+
+    def _window(g):
+        t0 = time.perf_counter()
+        for _ in range(g - 1):
+            dispatch()
+        float(dispatch())
+        return time.perf_counter() - t0
+
+    # Size the window from the MARGINAL per-call time inside an async
+    # window, not from one synced call: a synced call's wall time includes a
+    # full tunnel RTT, so under congestion it oversizes t_one and undersizes
+    # the window — in the limit g=1, which degenerates to exactly the
+    # per-dispatch-sync contamination this helper exists to remove.
+    t1, t4 = _window(1), _window(4)
+    t_item = max((t4 - t1) / 3.0, 1e-3)  # RTT cancels in the difference
+    g = max(1, min(64, round(1.2 / t_item)))
     rates = []
     for _ in range(n_chunks):
         t0 = time.perf_counter()
@@ -360,12 +376,16 @@ def bench_matrix_extras():
     try:
         train = _load_script("bench_train")
         for dt in (None, "bfloat16"):
+            # fast decoder ON: the gated production-best train config (a
+            # measured +2-3% over the plain decoder) — annotated explicitly
+            # so the train_* rows are never read as plain-decoder numbers
             best, _, _, _, _ = train.bench(dtype=dt, fast_decoder=True)
             key = "train_f32_steps_per_sec" if dt is None \
                 else "train_bf16_steps_per_sec"
             out[key] = round(best, 3)
             out[key.replace("steps_per_sec", "voxels_per_sec")] = round(
                 best * train.B * train.H * train.W, 1)
+        out["train_decoder"] = "fast"
     except Exception as e:
         out["train_error"] = f"{type(e).__name__}: {e}"
     try:

@@ -194,21 +194,35 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
                          model.depth + 1)
     elif os.environ.get("RCU_QUANT_CLIP_DEBUG"):
         # distribution-shift diagnostic (opt-in: one extra instrumented
-        # compile): run the QUANTIZED model on a batch from the LAST test
-        # subject — a subject the calibration never saw — with the
-        # quant_clip collection mutable, and log every site's int8 clipped
-        # fraction. A silent calibration/eval shift shows up here as a
-        # nonzero rate (ops/quant.clip_report).
+        # compile): run the QUANTIZED model on a batch of subjects the
+        # calibration never saw, with the quant_clip collection mutable, and
+        # log every site's int8 clipped fraction. A silent calibration/eval
+        # shift shows up here as a nonzero rate (ops/quant.clip_report).
         if is_2d:
+            # calibration used subjects[:batch_size]; probe the disjoint
+            # remainder (tail-first). On a dataset too small to leave any
+            # held-out subject the probe degenerates to re-reading the
+            # calibration batch — say so instead of claiming a shift test.
+            held_out = subjects[max(1, batch_size):]
+            shift_subjects = held_out[-max(1, batch_size):] \
+                or subjects[:max(1, batch_size)]
             shift = np.stack([
                 _transformed(dataset.read_volume(s, "images"))
-                for s in subjects[-max(1, batch_size):]])
+                for s in shift_subjects])
         else:
+            shift_subjects = [subjects[-1]]
             volume = np.asarray(
                 dataset.read_volume(subjects[-1], "images"), np.float32)
             n = min(len(volume), max(1, batch_size))
             lo = max(0, (len(volume) - n) // 2)
             shift = np.stack([_transformed(z) for z in volume[lo:lo + n]])
+        calibration_seen = subjects[0] in shift_subjects if not is_2d \
+            else shift_subjects[0] in subjects[:max(1, batch_size)]
+        if calibration_seen:
+            logging.warning(
+                "int8 clip report: dataset too small to hold out a "
+                "never-calibrated subject — the probe batch overlaps the "
+                "calibration batch and measures no distribution shift")
         shift = jnp.asarray(shift.astype(input_dtype, copy=False))
         member = jax.tree_util.tree_map(lambda x: x[0], state) \
             if ensemble else state
@@ -219,8 +233,10 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
         worst = sorted(report.items(), key=lambda kv: -kv[1])[:5]
         log = logging.warning if worst and worst[0][1] > 0.001 else \
             logging.info
-        log("int8 clip report (subject '%s'%s): worst sites %s",
-            subjects[-1], " member 0" if ensemble else "",
+        span = shift_subjects[0] if len(shift_subjects) == 1 else \
+            f"{shift_subjects[0]}..{shift_subjects[-1]}"
+        log("int8 clip report (%d subject(s) '%s'%s): worst sites %s",
+            len(shift_subjects), span, " member 0" if ensemble else "",
             ", ".join(f"{k}={v:.2e}" for k, v in worst))
     return qmodel
 

@@ -17,21 +17,17 @@ compile per margin over the tunnel (~20-300s each, then cached).
 Usage: python scripts/quant_margin_sweep.py  (runs on the real TPU)
 Results are recorded in ops/quant.py's DEFAULT_MARGIN docstring.
 """
-import importlib.util
 import json
 import os
 import sys
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-if __package__ in (None, "") and REPO_ROOT not in sys.path:
+if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
 
 def main():
-    spec = importlib.util.spec_from_file_location(
-        "bench", os.path.join(REPO_ROOT, "bench.py"))
-    bench = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(bench)
+    import bench  # repo-root module; REPO_ROOT is on sys.path above
 
     os.environ.setdefault("BENCH_VOLUMES", "2")
     _, _, _, f32_ece = bench.bench_tpu(need_flops=False, artifacts=False)

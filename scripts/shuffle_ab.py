@@ -138,7 +138,17 @@ def main(epochs: int, n_subjects: int, chunks, batch_size: int = 32):
                    subjects[n_train + max(1, n_subjects // 8):])
         out = {"epochs": epochs, "subjects": n_subjects,
                "batch_size": batch_size, "modes": {}}
+        # dedupe while keeping order: chunk<=1 IS the exact-shuffle mode the
+        # loop unconditionally prepends, so `--chunks 1 32` must not train
+        # (and silently overwrite) the same "exact" leg twice
+        seen = set()
+        modes = []
         for chunk in [0] + list(chunks):
+            key = "exact" if chunk <= 1 else chunk
+            if key not in seen:
+                seen.add(key)
+                modes.append(chunk)
+        for chunk in modes:
             label = "exact" if chunk <= 1 else f"chunk{chunk}"
             traj = train_trajectory(tmp, store, split_file, chunk, epochs,
                                     batch_size)

@@ -174,8 +174,8 @@ class TestPipelinedRates:
 
         best, mean = bench._pipelined_rates(dispatch, n_chunks=4,
                                             vox_per_call=1_000)
-        # 1 compile+warm + 1 sizing call + g per timed chunk
-        g = (len(calls) - 2) / 4
+        # 1 compile+warm + 1+4 sizing-window calls + g per timed chunk
+        g = (len(calls) - 6) / 4
         assert g == int(g) and g >= 1
         assert best >= mean > 0
 
@@ -186,9 +186,39 @@ class TestPipelinedRates:
 
         def dispatch():
             calls.append(1)
-            time.sleep(0.7)  # over the 1.2s target at g=2 -> g stays small
+            time.sleep(0.4)  # marginal time over the 1.2s target at g=4
             return jnp.float32(0.0)
 
         bench._pipelined_rates(dispatch, n_chunks=1, vox_per_call=10)
-        g = len(calls) - 2
-        assert 1 <= g <= 2
+        g = len(calls) - 6
+        assert 1 <= g <= 4
+
+    def test_window_sizing_ignores_sync_rtt(self):
+        """The window must be sized from the MARGINAL per-call device time,
+        not a synced call's wall time: with a 0.3s fetch RTT over a 0.05s
+        device program, sizing from one synced call would pick g=3 (0.15s of
+        device work per window — the r4 per-dispatch-sync contamination);
+        the marginal estimate must fill the window with ~1s of device work."""
+        bench = self._bench()
+        t_item, rtt = 0.05, 0.30
+        calls = []
+        state = {"free_at": 0.0}
+
+        class _Async:
+            def __init__(self, ready_at):
+                self.ready_at = ready_at
+
+            def __float__(self):
+                time.sleep(max(0.0, self.ready_at - time.perf_counter())
+                           + rtt)
+                return 0.0
+
+        def dispatch():
+            calls.append(1)  # async: returns immediately, device works on
+            state["free_at"] = max(state["free_at"],
+                                   time.perf_counter()) + t_item
+            return _Async(state["free_at"])
+
+        bench._pipelined_rates(dispatch, n_chunks=1, vox_per_call=10)
+        g = len(calls) - 6
+        assert g >= 12, f"window holds only {g * t_item:.2f}s of device work"
