@@ -38,7 +38,8 @@ plus methodology fields:
     production dtype, plain + fast decoder), "aux_feat_*" (confidence
     protocol, f32 + bf16+fastdec), "isic_*" (native-2D chip rates,
     bf16+fastdec + int8), "train_*" (f32 + bf16 train-step rates at the
-    gated production-best config — fast decoder ON, "train_decoder" says so),
+    gated production-best config — fast decoder ON, "train_decoder" says
+    so — plus "train_*_plain_*" reference-shaped plain-decoder legs),
     "loader_*" (host-feed Mvox/s vs the 139 Mvox/s 8-chip demand) — every
     number README quotes points at a field in this JSON.
 """
@@ -376,15 +377,17 @@ def bench_matrix_extras():
     try:
         train = _load_script("bench_train")
         for dt in (None, "bfloat16"):
-            # fast decoder ON: the gated production-best train config (a
-            # measured +2-3% over the plain decoder) — annotated explicitly
-            # so the train_* rows are never read as plain-decoder numbers
-            best, _, _, _, _ = train.bench(dtype=dt, fast_decoder=True)
-            key = "train_f32_steps_per_sec" if dt is None \
-                else "train_bf16_steps_per_sec"
-            out[key] = round(best, 3)
-            out[key.replace("steps_per_sec", "voxels_per_sec")] = round(
-                best * train.B * train.H * train.W, 1)
+            # headline train rows run the fast decoder — the gated
+            # production-best train config (a measured +2-3% over the plain
+            # decoder), annotated via "train_decoder" — with the plain legs
+            # alongside so the reference-shaped canon is artifact-anchored
+            for fastdec, tag in ((True, ""), (False, "_plain")):
+                best, _, _, _, _ = train.bench(dtype=dt, fast_decoder=fastdec)
+                key = ("train_f32" if dt is None else "train_bf16") \
+                    + tag + "_steps_per_sec"
+                out[key] = round(best, 3)
+                out[key.replace("steps_per_sec", "voxels_per_sec")] = round(
+                    best * train.B * train.H * train.W, 1)
         out["train_decoder"] = "fast"
     except Exception as e:
         out["train_error"] = f"{type(e).__name__}: {e}"

@@ -193,6 +193,40 @@ class TestPipelinedRates:
         g = len(calls) - 6
         assert 1 <= g <= 4
 
+    def test_matrix_train_legs_cover_both_decoders(self, monkeypatch):
+        """bench_matrix_extras must emit BOTH the production (fast-decoder)
+        train rows and the _plain reference-shaped rows, with the
+        train_decoder annotation — the r5 review found fastdec rates shipped
+        under plain-looking keys."""
+        bench = self._bench()
+        seen = []
+
+        class _FakeTrain:
+            B, H, W = 32, 240, 240
+
+            @staticmethod
+            def bench(dtype=None, fast_decoder=False):
+                seen.append((dtype, fast_decoder))
+                return (10.0 if fast_decoder else 9.5), 0, 0, 0, 0
+
+        def fake_load(name):
+            if name == "bench_train":
+                return _FakeTrain
+            raise RuntimeError(f"leg {name} stubbed out")
+
+        monkeypatch.setattr(bench, "_load_script", fake_load)
+        out = bench.bench_matrix_extras()
+        assert out["train_decoder"] == "fast"
+        for key, rate in [("train_f32_steps_per_sec", 10.0),
+                          ("train_f32_plain_steps_per_sec", 9.5),
+                          ("train_bf16_steps_per_sec", 10.0),
+                          ("train_bf16_plain_steps_per_sec", 9.5)]:
+            assert out[key] == rate, (key, out)
+            vox_key = key.replace("steps_per_sec", "voxels_per_sec")
+            assert out[vox_key] == round(rate * 32 * 240 * 240, 1)
+        assert set(seen) == {(None, True), (None, False),
+                             ("bfloat16", True), ("bfloat16", False)}
+
     def test_window_sizing_ignores_sync_rtt(self):
         """The window must be sized from the MARGINAL per-call device time,
         not a synced call's wall time: with a 0.3s fetch RTT over a 0.05s
