@@ -9,12 +9,16 @@ plus methodology fields:
     per-voxel artifact outputs XLA drops the artifact-only weight-scaling
     forward, 20 forwards instead of 21) at the bfloat16 compute dtype
     (params stay f32), parity-gated at the BASELINE 1e-3 ECE/Dice bar by
-    tests/test_bf16_parity.py. Best-of-volumes is the capability number: the
-    tunnel to the remote chip suffers transient congestion with 100x swings,
-    so the best volume is the least-contaminated measurement. If the bf16
-    leg fails to run, the headline falls back to staged f32 and says so in
+    tests/test_bf16_parity.py. Timing is the production async-window
+    pattern (_pipelined_rates: queue G volumes, sync once per >=~1s
+    window — a per-volume fetch would put one tunnel RTT inside every
+    timed volume, the same contamination the r4 ISIC driver fix removed).
+    Best-of-windows is the capability number: the tunnel to the remote
+    chip suffers transient congestion with 100x swings, so the best
+    window is the least-contaminated measurement. If the bf16 leg fails
+    to run, the headline falls back to staged f32 and says so in
     "headline_config";
-  - "mean": MEAN per-volume voxels/sec of the same headline configuration
+  - "mean": MEAN window voxels/sec of the same headline configuration
     (the honest expectation under this link — report both, judge r1);
   - "mfu": headline model-flop utilisation = analytic forward FLOPs x
     volumes/sec / v5e bf16 peak (197 TFLOP/s), using XLA's own cost analysis
@@ -174,27 +178,31 @@ def bench_tpu(n_timed_volumes: int = None, dtype: str = None, mesh=None,
     target_d = jax.device_put(target)
     mask_d = jax.device_put(mask)
 
-    def one_volume(key):
+    # async-window timing (the production eval/direct._drive pattern): a
+    # synced fetch per volume would put one tunnel RTT inside every timed
+    # volume — the same contamination the r4 ISIC driver fix removed —
+    # so queue volumes back-to-back and sync once per >=~1s window
+    # (_pipelined_rates), each volume under a fresh folded MC key
+    base_key = jax.random.PRNGKey(42)
+    counter = {"i": 0}
+
+    def dispatch():
+        key = jax.random.fold_in(base_key, counter["i"])
+        counter["i"] += 1
         out = fused(params, batch_stats, batched_d, target_d, mask_d,
                     thresholds, key)
-        return out["ece"], out["correction"]["corrected_dice"]
+        return jnp.sum(out["correction"]["corrected_dice"]) + out["ece"]
 
-    # warmup/compile; value fetch is the only reliable sync on the remote
-    # (axon) backend — block_until_ready returns before remote execution ends
-    ece, cd = one_volume(jax.random.PRNGKey(99))
-    float(jnp.sum(cd))
-
-    rates = []
-    for v in range(n_timed_volumes):
-        t0 = time.perf_counter()
-        ece, cd = one_volume(jax.random.PRNGKey(v))
-        float(jnp.sum(cd) + ece)  # forces completion
-        elapsed = time.perf_counter() - t0
-        rates.append(VOL_SLICES * H * W / elapsed)
+    best, mean = _pipelined_rates(dispatch, n_timed_volumes,
+                                  VOL_SLICES * H * W)
+    # parity readout (outside the timed windows): the headline ECE
+    out = fused(params, batch_stats, batched_d, target_d, mask_d,
+                thresholds, jax.random.PRNGKey(99))
+    ece = float(out["ece"])
 
     flops = _flops_per_volume(model, params, batch_stats) \
         if (need_flops and mesh is None) else None
-    return max(rates), sum(rates) / len(rates), flops, float(ece)
+    return best, mean, flops, ece
 
 
 def _cpu_init_variables(model, extra_shape=None):
