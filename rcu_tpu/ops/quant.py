@@ -6,10 +6,11 @@ TF/s at the flagship's 120^2 x 64ch level and 264 vs 154 at 60^2 x 128ch,
 chained-conv microbench incl. the dequant+requant epilogue — the int8 path
 is the chip's one remaining ~2x roofline lever once bf16+fast-decoder sits
 at the practical MXU peak). End-to-end it lifts the MC-20 direct-eval
-headline from 10.5 to 12.7 Mvox/s (+21% in the driver-captured
-``BENCH_r04.json``, ECE delta 4e-6) at the production default
-``DEFAULT_SKIP_LEVELS = 1``; see ``BENCH_r05_builder.json`` for the current
-per-protocol matrix.
+headline from 10.5 to 12.93 Mvox/s (+23% in ``BENCH_r05_builder2.json``
+under the r5 async-window headline timing; the r4 per-volume-sync capture
+``BENCH_r04.json`` read 12.7/+21%; ECE delta 4e-6) at the production
+default ``DEFAULT_SKIP_LEVELS = 1``; see ``BENCH_r05_builder.json`` for
+the full per-protocol matrix.
 
 Scheme (the standard production PTQ recipe):
 

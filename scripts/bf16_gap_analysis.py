@@ -30,8 +30,9 @@ Measured results (r3, one v5e chip):
 - ``--int8_peak`` (r4, 1024-rep chains, epilogue included): int8 98 vs bf16
   42 TF/s at 120^2 x 64ch, 264 vs 154 at 60^2 x 128ch — the MXU's int8 mode
   is a real ~2x; it backs the int8 PTQ path (ops/quant.py), which lifts the
-  end-to-end headline 10.5 -> 12.7 Mvox/s (+21% in the driver-captured
-  BENCH_r04.json; an uncaptured congestion-window best once read 13.4).
+  end-to-end headline 10.5 -> 12.93 Mvox/s (+23%, BENCH_r05_builder2.json
+  under the r5 async-window timing; the r4 per-volume-sync capture read
+  12.7/+21%, BENCH_r04.json; an uncaptured congestion best read 13.4).
 - ``--levels`` (batch 32 per dispatch): 240^2 x 32ch 10 TF/s, 120^2 x 64ch
   29, 60^2 x 128ch 50, 30^2 x 256ch 32 — the small-channel TOP level is the
   inefficient one at the staged batch size. The pipeline still sustains ~77

@@ -28,7 +28,8 @@ Legs:
   --int8    run the ops/forward legs with the int8 PTQ trunk (ops/quant.py:
             every ConvBnRelu/up-conv site quantize->int8 conv->dequant,
             same rewrite the production `-quantize` path uses). Answers
-            WHERE the end-to-end int8 win (+21%, BENCH_r04.json) lands
+            WHERE the end-to-end int8 win (+23%, BENCH_r05_builder2.json;
+            r4 read +21%, BENCH_r04.json) lands
             vs the ~2x conv-microbench rate: per-LEVEL int8 speedup (the
             top 240^2 x 32ch level's output-lane binder does not care
             about operand width) and the quant/dequant boundary share
