@@ -91,7 +91,7 @@ def bench(dtype=None, remat=None, fast_decoder=False):
 
     # best-of-chunks: the remote tunnel suffers transient congestion with
     # large swings, so the best 5-step chunk is the least-contaminated rate
-    # (same methodology as bench.py's best-of-volumes); the mean over all
+    # (same methodology as bench.py's best-of-windows); the mean over all
     # chunks is the honest expectation under this link
     chunk = 5
     rates = []
