@@ -92,8 +92,15 @@ def _build(dtype: str = None, mesh=None, artifacts: bool = True,
         kwargs.update(FAST_DECODER_KWARGS)
     model = get_model("unet", kwargs)
     # init on the host CPU backend (remote-TPU init compiles are slow and
-    # contribute nothing to the measurement), then ship params over
+    # contribute nothing to the measurement), then ship params over; under a
+    # compute-dtype override pre-cast the params once like the production
+    # loader does (models/unet.precast_params — no-op for f32), BEFORE the
+    # int8 calibration, matching eval/direct._load_model_state order
     variables = _cpu_init_variables(model)
+    from rcu_tpu.models import precast_params
+    cast_params, cast_stats = precast_params(
+        model, variables["params"], variables.get("batch_stats", {}))
+    variables = {"params": cast_params, "batch_stats": cast_stats}
     if quantize:
         # int8 PTQ trunk (ops/quant.py; gated at the same 1e-3 bar by
         # tests/test_quant.py): calibrate on a batch of the bench's own
@@ -218,11 +225,16 @@ def _cpu_init_variables(model, extra_shape=None):
 
 
 def _init_on_cpu(model, extra_shape=None):
-    """Init params on the host CPU backend and ship them to the device."""
+    """Init params on the host CPU backend and ship them to the device,
+    pre-cast to the model's compute dtype like the production loader
+    (models/unet.precast_params — no-op for f32 models)."""
+    from rcu_tpu.models import precast_params
     variables = _cpu_init_variables(model, extra_shape)
+    params, batch_stats = precast_params(
+        model, variables["params"], variables.get("batch_stats", {}))
     device = jax.devices()[0]
-    return (jax.device_put(variables["params"], device),
-            jax.device_put(variables.get("batch_stats", {}), device))
+    return (jax.device_put(params, device),
+            jax.device_put(batch_stats, device))
 
 
 def _volume_inputs():

@@ -46,7 +46,7 @@ from rcu_tpu.engine.state import init_variables
 from rcu_tpu.eval import hooks as ev_hooks
 from rcu_tpu.eval import pipeline as pl
 from rcu_tpu.eval.actions import CORRECTION_KEYS, csv_value
-from rcu_tpu.models import FAST_DECODER_KWARGS, get_model
+from rcu_tpu.models import FAST_DECODER_KWARGS, get_model, precast_params
 
 DEFAULT_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
@@ -73,8 +73,10 @@ def _load_model_state(model_dir: str, test_at, input_shape,
     if provide_features:
         params_dict["provide_features"] = True
     if dtype:
-        # compute-dtype override (e.g. bfloat16 production inference);
-        # checkpoint params/BN stats stay f32 — see tests/test_bf16_parity.py
+        # compute-dtype override (e.g. bfloat16 production inference); the
+        # CHECKPOINT stays f32 — the loaded state is pre-cast once below
+        # (models/unet.precast_params) so dispatches read compute-dtype
+        # weights instead of re-casting f32 ones every call
         params_dict["dtype"] = dtype
     if fast_decoder and model_node.type == "unet":
         # concat-free + fused-upsample decoder (models/unet.py): identical
@@ -97,7 +99,14 @@ def _load_model_state(model_dir: str, test_at, input_shape,
     restored = serialization.from_state_dict(
         {"params": params_tpl, "batch_stats": stats_tpl},
         {"params": raw["params"], "batch_stats": raw["batch_stats"]})
-    return model, restored["params"], restored["batch_stats"]
+    # one-time host-side cast to the compute dtype (no-op for f32 models;
+    # keeps the f32 sigma/confidence heads and BatchNorm f32): hoists the
+    # per-dispatch f32->compute-dtype weight cast out of the program,
+    # bitwise-identical to the on-the-fly path (models/unet.precast_params,
+    # gated by tests/test_mixed_precision.py::TestPrecastParams)
+    params, batch_stats = precast_params(model, restored["params"],
+                                         restored["batch_stats"])
+    return model, params, batch_stats
 
 
 def _primary_test_at(config) -> str:

@@ -653,3 +653,70 @@ class PostNet(nn.Module):
         logits = nn.Conv(self.nb_classes, (1, 1), kernel_init=conv_init)(
             x.astype(jnp.float32))
         return UNetOutput(logits=logits)
+
+
+def f32_head_keys(model) -> frozenset:
+    """Top-level param/batch_stats keys that must STAY f32 under a
+    compute-dtype override: the modules above that deliberately compute in
+    f32 (the UNet sigma head and the PostNet confidence head — their narrow
+    output ranges feed global/per-subject min-max rescales that bf16
+    relative error measurably breaks, see the in-class comments)."""
+    if isinstance(model, UNet) and model.sigma_out:
+        return frozenset({"ConvBnRelu_1", f"Conv_{model.depth + 1}"})
+    if isinstance(model, PostNet):
+        return frozenset({"Conv_0"})
+    return frozenset()
+
+
+def precast_params(model, params, batch_stats):
+    """Cast float PARAM leaves of inference state to the compute dtype ONCE.
+
+    Under a compute-dtype override, flax's ``promote_dtype`` casts the f32
+    params to the compute dtype inside EVERY dispatch — redundant HBM
+    traffic (read 4 B + write 2 B + re-read 2 B per param vs 2 B for a
+    pre-cast read) that the one-time host-side cast hoists out of the
+    program. (A cruder full-tree cast including BatchNorm measured 36.8 →
+    68.2 Mvox/s on the aux-feat leg, but most of that win is BatchNorm's
+    f32 promotion of the ACTIVATIONS — see ``ConvBnRelu``'s inference BN —
+    and bf16 BN stats measurably break the 1e-3 confidence gates, so it
+    does not ship.) Two exclusions keep the numerics EXACTLY those of the
+    established on-the-fly bf16 path (whose parity gates are the opt-in's
+    contract):
+
+    - the f32-head subtrees (:func:`f32_head_keys`) stay f32 — the
+      mixed-dtype sigma/confidence fixes keep their f32 weights;
+    - everything BatchNorm stays f32 (``batch_stats`` wholesale AND the
+      ``BatchNorm_*`` scale/bias params): flax's BatchNorm normalizes in
+      f32 and casts only its OUTPUT to the compute dtype, so pre-cast bf16
+      stats/scales feed a genuinely different rsqrt/multiply (measured
+      0.7–1.2e-2 ECE shift through the narrow-range confidence rescale —
+      breaks the 1e-3 gate). BN carries 4 vectors of C elements vs
+      9·Cin·Cout per conv kernel — no traffic worth saving there.
+
+    Conv kernels/biases ARE cast on-the-fly by flax's ``promote_dtype``
+    with the same round-to-nearest-even, so programs see bit-identical
+    weights and every existing bf16 parity gate keeps its meaning. f32
+    models (``model.dtype is None``) pass through unchanged.
+    """
+    dtype = getattr(model, "dtype", None)
+    if dtype is None:
+        return params, batch_stats
+
+    def _cast(x):
+        return x.astype(dtype) if np.issubdtype(np.asarray(x).dtype,
+                                                np.floating) else x
+
+    keep = f32_head_keys(model)
+
+    def _walk(tree, top=False):
+        out = {}
+        for key, sub in dict(tree).items():
+            if (top and key in keep) or key.startswith("BatchNorm"):
+                out[key] = sub
+            elif isinstance(sub, dict) or hasattr(sub, "items"):
+                out[key] = _walk(sub)
+            else:
+                out[key] = _cast(sub)
+        return out
+
+    return _walk(params, top=True), batch_stats

@@ -78,8 +78,12 @@ def _model(dtype, fast_decoder=False):
         variables = jax.jit(
             lambda k: model.init({"params": k}, jnp.zeros((1, H, W, C)),
                                  train=False))(jax.random.PRNGKey(0))
-    return (model, jax.device_put(variables["params"]),
-            jax.device_put(variables.get("batch_stats", {})))
+    # pre-cast params to the compute dtype like the production loader
+    # (models/unet.precast_params — no-op for f32 models)
+    from rcu_tpu.models import precast_params
+    params, batch_stats = precast_params(
+        model, variables["params"], variables.get("batch_stats", {}))
+    return (model, jax.device_put(params), jax.device_put(batch_stats))
 
 
 def _flops_per_image(model, params, batch_stats):
