@@ -40,7 +40,9 @@ plus methodology fields:
     here; see BASELINE.md for the CPU->GPU inference chain;
   - per-protocol perf matrix (round 5): "aleatoric_*" (sigma protocol, f32
     production dtype, plain + fast decoder), "aux_feat_*" (confidence
-    protocol, f32 + bf16+fastdec), "isic_*" (native-2D chip rates,
+    protocol, f32 + bf16+fastdec + bf16+fastdec+fold_bn — the load-time BN
+    fold, the measured single-forward winner), "isic_*" (native-2D chip
+    rates,
     bf16+fastdec + int8), "train_*" (f32 + bf16 train-step rates at the
     gated production-best config — fast decoder ON, "train_decoder" says
     so — plus "train_*_plain_*" reference-shaped plain-decoder legs),
@@ -329,7 +331,7 @@ def bench_aleatoric(n_timed_volumes: int = None, dtype: str = None,
 
 
 def bench_aux_feat(n_timed_volumes: int = None, dtype: str = None,
-                   fast_decoder: bool = False):
+                   fast_decoder: bool = False, fold_bn: bool = False):
     """The auxiliary-feat (confidence-protocol) family: frozen segmenter
     (provide_features) + PostNet confidence, one fused dispatch per volume.
     Plain f32 is production for this family — it is the FASTEST measured
@@ -355,8 +357,28 @@ def bench_aux_feat(n_timed_volumes: int = None, dtype: str = None,
     segm = get_model("unet", kwargs)
     post = get_model("postnet", dict(nb_classes=2, in_channels=32,
                                      **({"dtype": dtype} if dtype else {})))
-    segm_params, segm_stats = _init_on_cpu(segm)
-    post_params, post_stats = _init_on_cpu(post, extra_shape=(1, H, W, 32))
+    if fold_bn:
+        # load-time BN fold (models/unet.fold_bn_params): valid for this
+        # deterministic protocol; removes flax BN's f32 promotion of the
+        # activations — the measured bf16 single-forward binder
+        from rcu_tpu.models import fold_bn_params
+        sv = _cpu_init_variables(segm)
+        pv = _cpu_init_variables(post, extra_shape=(1, H, W, 32))
+        sp, ss = fold_bn_params(sv["params"], sv.get("batch_stats", {}))
+        pp, ps = fold_bn_params(pv["params"], pv.get("batch_stats", {}))
+        segm, post = segm.copy(fold_bn=True), post.copy(fold_bn=True)
+        from rcu_tpu.models import precast_params
+        sp, ss = precast_params(segm, sp, ss)
+        pp, ps = precast_params(post, pp, ps)
+        device = jax.devices()[0]
+        segm_params = jax.device_put(sp, device)
+        segm_stats = jax.device_put(ss, device)
+        post_params = jax.device_put(pp, device)
+        post_stats = jax.device_put(ps, device)
+    else:
+        segm_params, segm_stats = _init_on_cpu(segm)
+        post_params, post_stats = _init_on_cpu(post,
+                                               extra_shape=(1, H, W, 32))
 
     fused = pipeline.make_volume_aux_feat_eval_fn(segm, post, BATCH,
                                                   VOL_SLICES)
@@ -576,6 +598,10 @@ def main():
         matrix["aux_feat_f32_voxels_per_sec"] = round(x_best, 1)
         xf_best, _ = bench_aux_feat(dtype="bfloat16", fast_decoder=True)
         matrix["aux_feat_bf16_fastdec_voxels_per_sec"] = round(xf_best, 1)
+        xd_best, _ = bench_aux_feat(dtype="bfloat16", fast_decoder=True,
+                                    fold_bn=True)
+        matrix["aux_feat_bf16_fastdec_fold_voxels_per_sec"] = \
+            round(xd_best, 1)
     except Exception as e:
         matrix["aux_feat_error"] = f"{type(e).__name__}: {e}"
     matrix.update(bench_matrix_extras())

@@ -33,7 +33,7 @@ if __package__ in (None, ""):  # bare-checkout script mode: python bin/<name>.py
 def main(config_file, run_id=None, out_dir=None, devices=None,
          throughput=False, unmasked=False, strategy=None, mc=None,
          dtype=None, eval_tree=False, dispatch_chunks=4, fast_decoder=False,
-         quantize=False, quantize_skip=None):
+         fold_bn=False, quantize=False, quantize_skip=None):
     try:  # package mode: rcu_tpu.cli.* (console entry points)
         from . import _cli
     except ImportError:  # bare-checkout script mode
@@ -50,7 +50,8 @@ def main(config_file, run_id=None, out_dir=None, devices=None,
                            strategy=strategy, mc=mc, dtype=dtype,
                            layout="eval_tree" if eval_tree else "flat",
                            dispatch_chunks=dispatch_chunks,
-                           fast_decoder=fast_decoder, quantize=quantize,
+                           fast_decoder=fast_decoder, fold_bn=fold_bn,
+                           quantize=quantize,
                            quantize_skip_levels=quantize_skip)
     for subject, ece in eces.items():
         print(f"{subject}: ece={ece:.5f}")
@@ -94,6 +95,14 @@ def cli():
                         help="concat-free + fused-upsample U-Net decoder "
                              "(same checkpoints; accumulation-order "
                              "numerics — the bf16 opt-in bar)")
+    parser.add_argument("-fold_bn", action="store_true",
+                        help="fold BatchNorms into their convs at load "
+                             "(deterministic single-forward protocols "
+                             "only — not mc): removes the BN ops whose "
+                             "f32 stats otherwise promote the whole "
+                             "activation to f32 under -dtype bfloat16 "
+                             "(same checkpoints; weight-rounding "
+                             "numerics — gated by tests/test_fold_bn.py)")
     parser.add_argument("-quantize", action="store_true",
                         help="int8 PTQ trunk (mc/deterministic only): "
                              "calibrates activation scales on the first "
@@ -117,7 +126,7 @@ def cli():
     main(args.config_file, args.run_id, args.out_dir, args.devices,
          args.throughput, args.unmasked, args.strategy, args.mc, args.dtype,
          args.eval_tree, args.dispatch_chunks, args.fast_decoder,
-         args.quantize, args.quantize_skip)
+         args.fold_bn, args.quantize, args.quantize_skip)
 
 
 if __name__ == "__main__":

@@ -43,7 +43,7 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
          host="0.0.0.0", port=8475, prewarm=None, members=None,
          is_log_sigma=None, dtype=None, segm_model_dir=None,
          aux_segm=False, throughput=False, fast_decoder=False,
-         quantize=False):
+         fold_bn=False, quantize=False):
     try:  # package mode: rcu_tpu.cli.* (console entry points)
         from . import _cli
     except ImportError:  # bare-checkout script mode
@@ -67,6 +67,7 @@ def main(model_dir, test_at="best", mc=20, batch_size=32, devices=None,
                                      aux_segm=aux_segm,
                                      subject_parallel=throughput,
                                      fast_decoder=fast_decoder,
+                                     fold_bn=fold_bn,
                                      quantize=quantize)
     if prewarm:
         import numpy as np
@@ -128,6 +129,10 @@ def cli():
                         help="concat-free + fused-upsample U-Net decoder "
                              "(same checkpoints; gated at the production "
                              "1e-3 bar by tests/test_fast_decoder.py)")
+    parser.add_argument("-fold_bn", action="store_true",
+                        help="fold BatchNorms into convs at load "
+                             "(deterministic strategies only, not mc>0; "
+                             "gated by tests/test_fold_bn.py)")
     parser.add_argument("-quantize", action="store_true",
                         help="int8 PTQ trunk (mc/deterministic/ensemble "
                              "only): calibrates on the first request's "
@@ -143,7 +148,8 @@ def cli():
     main(args.model_dir, args.test_at, args.mc, args.batch_size,
          args.devices, args.host, args.port, args.prewarm, args.member,
          args.is_log_sigma, args.dtype, args.segm_model_dir, args.aux_segm,
-         args.throughput, args.fast_decoder, args.quantize)
+         args.throughput, args.fast_decoder, args.fold_bn,
+         args.quantize)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,8 @@ from rcu_tpu.engine.state import init_variables
 from rcu_tpu.eval import hooks as ev_hooks
 from rcu_tpu.eval import pipeline as pl
 from rcu_tpu.eval.actions import CORRECTION_KEYS, csv_value
-from rcu_tpu.models import FAST_DECODER_KWARGS, get_model, precast_params
+from rcu_tpu.models import (FAST_DECODER_KWARGS, fold_bn_params,
+                            get_model, precast_params)
 
 DEFAULT_THRESHOLDS = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95)
 
@@ -66,7 +67,7 @@ _CONFIDENCE_ENTRY = {"mc": "probabilities", "deterministic": "probabilities",
 
 def _load_model_state(model_dir: str, test_at, input_shape,
                       provide_features: bool = False, dtype: str = None,
-                      fast_decoder: bool = False):
+                      fast_decoder: bool = False, fold_bn: bool = False):
     mf = ckpt_lib.ModelFiles.from_model_dir(model_dir)
     model_node, _ = ckpt_lib.load_model_parameters(mf)
     params_dict = dict(model_node.params)
@@ -99,13 +100,22 @@ def _load_model_state(model_dir: str, test_at, input_shape,
     restored = serialization.from_state_dict(
         {"params": params_tpl, "batch_stats": stats_tpl},
         {"params": raw["params"], "batch_stats": raw["batch_stats"]})
+    params, batch_stats = restored["params"], restored["batch_stats"]
+    if fold_bn:
+        # deterministic-inference BN fold (models/unet.fold_bn_params):
+        # every BatchNorm folded into its conv in f32 on the host, then the
+        # model is rebuilt with fold_bn=True so the program runs no BN op
+        # (flax BN's f32 running stats otherwise promote the whole
+        # activation to f32 — the measured bf16 single-forward binder).
+        # Invalid for MC-dropout protocols — the model guards mc_dropout.
+        params, batch_stats = fold_bn_params(params, batch_stats)
+        model = model.copy(fold_bn=True)
     # one-time host-side cast to the compute dtype (no-op for f32 models;
     # keeps the f32 sigma/confidence heads and BatchNorm f32): hoists the
     # per-dispatch f32->compute-dtype weight cast out of the program,
     # bitwise-identical to the on-the-fly path (models/unet.precast_params,
     # gated by tests/test_mixed_precision.py::TestPrecastParams)
-    params, batch_stats = precast_params(model, restored["params"],
-                                         restored["batch_stats"])
+    params, batch_stats = precast_params(model, params, batch_stats)
     return model, params, batch_stats
 
 
@@ -189,7 +199,12 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
     else:
         scales = quant_ops.calibrate_scales(
             model, {"params": state[0], "batch_stats": state[1]},
-            [batch], rng=jax.random.PRNGKey(seed))
+            [batch], rng=jax.random.PRNGKey(seed),
+            # fold_bn models reject mc_dropout traces (and their protocols
+            # never sample dropout) — calibrate deterministically; the
+            # default keeps the 1/(1-p) dropout-rescale headroom for the
+            # mc protocol's scales
+            mc_dropout=not getattr(model, "fold_bn", False))
         logging.info("int8 calibration: %d conv sites from subject '%s' "
                      "(%d items)", len(scales), subjects[0], len(batch))
     skip_levels = quant_ops.clamp_skip_levels(model, skip_levels)
@@ -237,7 +252,10 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
             if ensemble else state
         report = quant_ops.clip_report(
             qmodel, {"params": member[0], "batch_stats": member[1]},
-            [shift], mc_dropout=not ensemble,
+            # fold_bn models reject mc_dropout traces; the ensemble
+            # protocol is deterministic by construction
+            [shift], mc_dropout=not ensemble
+            and not getattr(qmodel, "fold_bn", False),
             rng=jax.random.PRNGKey(seed + 1))
         worst = sorted(report.items(), key=lambda kv: -kv[1])[:5]
         log = logging.warning if worst and worst[0][1] > 0.001 else \
@@ -251,7 +269,7 @@ def _calibrated_quant_model(model, state, dataset, transform, is_2d,
 
 
 def _load_ensemble_states(config, input_shape, dtype=None,
-                          fast_decoder=False):
+                          fast_decoder=False, fold_bn=False):
     """Primary model (config.model_dir @ config.test_at) + others.model_dir
     members @ others.test_at, stacked on a leading member axis (the protocol
     of strategies.test_ensemble / reference brats_test_ensemble.py:40-50)."""
@@ -273,7 +291,7 @@ def _load_ensemble_states(config, input_shape, dtype=None,
                      os.path.basename(model_dir))
         model, params, batch_stats = _load_model_state(
             model_dir, at, input_shape, dtype=dtype,
-            fast_decoder=fast_decoder)
+            fast_decoder=fast_decoder, fold_bn=fold_bn)
         members.append((params, batch_stats))
     return (model, stack_states([m[0] for m in members]),
             stack_states([m[1] for m in members]))
@@ -447,6 +465,7 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                     strategy: str = None, dtype: str = None,
                     layout: str = "flat", dispatch_chunks: int = 4,
                     fast_decoder: bool = False,
+                    fold_bn: bool = False,
                     quantize: bool = False,
                     quantize_skip_levels: int = None) -> dict:
     """Run fused inference + eval for every test-split subject, one dispatch
@@ -522,6 +541,16 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     strategy = _detect_strategy(config, dataset, strategy)
     if strategy == "mc" and mc == 0:
         strategy = "deterministic"
+    if fold_bn and strategy == "mc":
+        # the BN fold does not commute with the ACTIVE channel dropout
+        # between conv and BN (models/unet.fold_bn_params) — the MC
+        # protocol keeps flax BN (it is MXU-bound there anyway, not
+        # BN-epilogue-bound like the single-forward families)
+        raise ValueError(
+            "fold_bn covers the deterministic single-forward protocols "
+            "(deterministic/ensemble/aleatoric/auxiliary_*); the mc "
+            "protocol samples dropout, which the load-time BN fold cannot "
+            "commute with")
     if quantize and strategy not in ("mc", "deterministic", "ensemble"):
         # scope: the int8 path covers the mc/deterministic/ensemble family
         # (ensemble via per-member union calibration). aleatoric is excluded
@@ -557,7 +586,8 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
     member_sharded = ()  # indices of `state` that shard over the model axis
     if strategy == "ensemble":
         model, stacked_params, stacked_stats = _load_ensemble_states(
-            config, input_shape, dtype=dtype, fast_decoder=fast_decoder)
+            config, input_shape, dtype=dtype, fast_decoder=fast_decoder,
+            fold_bn=fold_bn)
         state = (stacked_params, stacked_stats)
         member_sharded = (0, 1)
     elif strategy == "auxiliary_feat":
@@ -575,15 +605,16 @@ def evaluate_direct(config: cfg_lib.TestConfiguration, out_dir: str,
                 "names only the frozen segmenter")
         segm_model, segm_params, segm_stats = _load_model_state(
             config.others["model_dir"], config.others["test_at"], input_shape,
-            provide_features=True, dtype=dtype, fast_decoder=fast_decoder)
+            provide_features=True, dtype=dtype, fast_decoder=fast_decoder,
+            fold_bn=fold_bn)
         model, post_params, post_stats = _load_model_state(
             config.model_dir, test_at, input_shape, dtype=dtype,
-            fast_decoder=fast_decoder)
+            fast_decoder=fast_decoder, fold_bn=fold_bn)
         state = (segm_params, segm_stats, post_params, post_stats)
     else:
         model, params, batch_stats = _load_model_state(
             config.model_dir, test_at, input_shape, dtype=dtype,
-            fast_decoder=fast_decoder)
+            fast_decoder=fast_decoder, fold_bn=fold_bn)
         state = (params, batch_stats)
 
     # host-side input cast: under a compute-dtype override the model's first

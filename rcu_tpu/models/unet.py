@@ -106,6 +106,11 @@ class _SplitInputConv(nn.Module):
     kernel: int = 3
     padding: int = 1
     dtype: typing.Any = None
+    # BN-folded site (ConvBnRelu.fold_bn): the bias carries the BN centering
+    # term (-mean*mul) whose compute-dtype rounding is an ABSOLUTE error on
+    # the centered output — add it in f32 and round once, like flax BN's
+    # final cast. The bias stays f32 in HBM (precast_params skips it).
+    f32_bias: bool = False
 
     @nn.compact
     def __call__(self, a, b, a_scale: float = None, b_scale: float = None):
@@ -129,11 +134,20 @@ class _SplitInputConv(nn.Module):
                 quant_ops.quantize_activation(a, a_scale), ka, self.padding)
             yb = quant_ops.int8_conv(
                 quant_ops.quantize_activation(b, b_scale), kb, self.padding)
+            if self.f32_bias:
+                return _compensated_bias_add(
+                    ya.astype(compute) * (sa * a_scale).astype(compute)
+                    + yb.astype(compute) * (sb * b_scale).astype(compute),
+                    bias)
             return (ya.astype(compute) * (sa * a_scale).astype(compute)
                     + yb.astype(compute) * (sb * b_scale).astype(compute)
                     + bias.astype(compute))
-        a, b, kernel, bias = nn.dtypes.promote_dtype(
-            a, b, kernel, bias, dtype=self.dtype)
+        if self.f32_bias:
+            a, b, kernel = nn.dtypes.promote_dtype(a, b, kernel,
+                                                   dtype=self.dtype)
+        else:
+            a, b, kernel, bias = nn.dtypes.promote_dtype(
+                a, b, kernel, bias, dtype=self.dtype)
         dn = jax.lax.conv_dimension_numbers(
             a.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
         pad = [(self.padding, self.padding)] * 2
@@ -141,6 +155,8 @@ class _SplitInputConv(nn.Module):
             a, kernel[:, :, :a.shape[-1]], (1, 1), pad, dimension_numbers=dn)
         yb = jax.lax.conv_general_dilated(
             b, kernel[:, :, a.shape[-1]:], (1, 1), pad, dimension_numbers=dn)
+        if self.f32_bias:
+            return _compensated_bias_add(ya + yb, bias)
         return ya + yb + bias
 
 
@@ -160,6 +176,9 @@ class _QuantConv(nn.Module):
     padding: int = 1
     dtype: typing.Any = None
     fold_upsample: bool = False
+    # BN-folded site: f32 dequant + f32 bias add, one rounding to the
+    # compute dtype (see _SplitInputConv.f32_bias)
+    f32_bias: bool = False
 
     @nn.compact
     def __call__(self, x, a_scale: float = 1.0):
@@ -179,6 +198,10 @@ class _QuantConv(nn.Module):
         x_q = quant_ops.quantize_activation(x, a_scale)
         y = quant_ops.int8_conv(x_q, k_q, pad, lhs_dilation)
         compute = self.dtype or jnp.float32
+        if self.f32_bias:
+            return _compensated_bias_add(
+                y.astype(compute) * (w_scale * a_scale).astype(compute),
+                bias)
         return y.astype(compute) * (w_scale * a_scale).astype(compute) \
             + bias.astype(compute)
 
@@ -198,6 +221,54 @@ class _UpsampleConv(nn.Module):
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,))
         return _fused_upsample_conv(x, kernel, bias, self.dtype)
+
+
+def _compensated_bias_add(y, bias):
+    """``y + bias`` with the f32 bias's precision but a compute-dtype
+    elementwise chain: ``(y + hi) + lo`` where ``hi = bf16(bias)`` and
+    ``lo = bf16(bias - hi)`` (two-term/Kahan split). The BN-folded bias
+    carries the centering term ``-mean*mul``, so rounding it to bf16 in ONE
+    term is an ABSOLUTE error on the centered activations (measured 3-10x
+    the confidence-protocol gate); the lo term restores it to within ~1 ulp
+    of the centered value. An f32 epilogue does the same but measured ~6%
+    slower on the aux-feat leg (the f32 cast re-enters the f32-elementwise
+    regime the fold exists to avoid); the two adds stay fused bf16. f32
+    models take the plain add (lo would be zero)."""
+    if y.dtype == jnp.float32:
+        return y + bias
+    hi = bias.astype(y.dtype)
+    lo = (bias - hi.astype(jnp.float32)).astype(y.dtype)
+    return (y + hi) + lo
+
+
+class _FoldedConv(nn.Module):
+    """The plain conv of a BN-folded ConvBnRelu site: compute-dtype conv,
+    then the f32 bias — which carries the BN centering term ``-mean*mul``
+    (models/unet.fold_bn_params) — added in f32 with ONE rounding back to
+    the compute dtype, exactly flax BatchNorm's final-cast error structure.
+    Rounding that bias to bf16 instead puts an ABSOLUTE error on the
+    centered activations (measured 3-10x the 1e-3 confidence-protocol gate).
+    Param tree (``kernel``/``bias``) is identical to the ``nn.Conv`` it
+    replaces."""
+    features: int
+    kernel: int = 3
+    padding: int = 1
+    dtype: typing.Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", conv_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,))
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), [(self.padding, self.padding)] * 2,
+            dimension_numbers=dn)
+        return _compensated_bias_add(y, bias)
 
 
 class ConvBnRelu(nn.Module):
@@ -220,6 +291,20 @@ class ConvBnRelu(nn.Module):
     # the plain conv. The dropout/BN/relu epilogue below is SHARED by both
     # paths (identical module paths -> identical flax RNG folding).
     quant_scales: typing.Any = None
+    # deterministic-inference BN fold (models/unet.fold_bn_params): the BN
+    # was already folded into this conv's kernel/bias at LOAD time, so the
+    # BN op — whose f32 running stats promote the whole activation to f32
+    # inside flax's _normalize, the measured single-forward bf16 binder —
+    # is skipped. Only valid when dropout is inactive (conv->dropout->BN
+    # order: a dropped channel must still receive the BN shift); the model
+    # owners guard train/mc_dropout.
+    fold_bn: bool = False
+
+    @property
+    def _folded(self) -> bool:
+        """This site's BN was folded into its conv at load time — use the
+        f32-bias conv variants (the bias carries the BN centering term)."""
+        return self.fold_bn and self.bn
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
@@ -232,7 +317,8 @@ class ConvBnRelu(nn.Module):
             _sow_clip(self, "Conv_0_in_absmax_a", a, a_scale)
             _sow_clip(self, "Conv_0_in_absmax_b", b, b_scale)
             x = _SplitInputConv(self.out_ch, self.kernel, self.padding,
-                                dtype=self.dtype, name="Conv_0")(
+                                dtype=self.dtype, name="Conv_0",
+                                f32_bias=self._folded)(
                 a, b, a_scale=a_scale, b_scale=b_scale)
         else:
             _sow_absmax(self, "Conv_0_in_absmax", x)
@@ -240,8 +326,12 @@ class ConvBnRelu(nn.Module):
             _sow_clip(self, "Conv_0_in_absmax", x, scale)
             if scale is not None:
                 x = _QuantConv(self.out_ch, self.kernel, self.padding,
-                               dtype=self.dtype, name="Conv_0")(
+                               dtype=self.dtype, name="Conv_0",
+                               f32_bias=self._folded)(
                     x, a_scale=scale)
+            elif self._folded:
+                x = _FoldedConv(self.out_ch, self.kernel, self.padding,
+                                dtype=self.dtype, name="Conv_0")(x)
             else:
                 x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
                             padding=self.padding, kernel_init=conv_init,
@@ -253,7 +343,7 @@ class ConvBnRelu(nn.Module):
         if self.dropout is not None:
             x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
                            deterministic=not (train or mc_dropout))(x)
-        if self.bn:
+        if self.bn and not self.fold_bn:
             x = nn.BatchNorm(use_running_average=not train,
                              momentum=0.9, epsilon=1e-5, dtype=self.dtype)(x)
         if self.activation:
@@ -292,12 +382,14 @@ class ConvBlock(nn.Module):
     repetitions: int = 2
     dtype: typing.Any = None
     quant_scales: typing.Any = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
         for i in range(self.repetitions):
             do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
             x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype,
+                           fold_bn=self.fold_bn,
                            quant_scales=self.quant_scales)(
                 x, train=train, mc_dropout=mc_dropout)
         return x
@@ -311,6 +403,7 @@ class ConvResidualBlock(nn.Module):
     bn: bool = True
     repetitions: int = 2
     dtype: typing.Any = None
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x, *, train: bool, mc_dropout: bool = False):
@@ -322,12 +415,14 @@ class ConvResidualBlock(nn.Module):
                                dtype=self.dtype)(x)
         for i in range(self.repetitions - 1):
             do = _conv_dropout(self.dropout, self.dropout_mode, i, self.repetitions)
-            x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype)(
+            x = ConvBnRelu(self.out_ch, do, self.bn, dtype=self.dtype,
+                           fold_bn=self.fold_bn)(
                 x, train=train, mc_dropout=mc_dropout)
         do = _conv_dropout(self.dropout, self.dropout_mode, self.repetitions - 1,
                            self.repetitions)
         x = ConvBnRelu(self.out_ch, do, self.bn, activation=False,
-                       dtype=self.dtype)(x, train=train, mc_dropout=mc_dropout)
+                       dtype=self.dtype, fold_bn=self.fold_bn)(
+            x, train=train, mc_dropout=mc_dropout)
         return x + residual
 
 
@@ -442,6 +537,18 @@ class UNet(nn.Module):
     # full-int8 forward. ops/quant.DEFAULT_SKIP_LEVELS carries the
     # measured-best production default.
     quant_skip_levels: int = 0
+    # deterministic-inference BN fold: the checkpoint's BatchNorms were
+    # folded into their preceding convs at load time
+    # (models/unet.fold_bn_params), so every ConvBnRelu skips its BN op.
+    # flax's BatchNorm promotes the whole activation to the f32 of its
+    # running stats inside _normalize — the measured bf16 single-forward
+    # binder — while the fold moves the per-channel affine into the conv's
+    # MXU pass (f32 accumulate) at weight-rounding numerics. INVALID under
+    # active dropout (conv->dropout->BN: a dropped channel must still get
+    # the BN shift), so __call__ rejects train/mc_dropout; the MC protocols
+    # keep flax BN. Opt-in, same E2E gate bar as bf16/fast_decoder
+    # (tests/test_fold_bn.py).
+    fold_bn: bool = False
 
     def _level_scales(self, level: int):
         """quant_scales for a module operating at resolution level ``level``
@@ -471,14 +578,15 @@ class UNet(nn.Module):
         for i in range(self.depth):
             mode = _block_dropout_mode(self.dropout_center, i, self.depth, True)
             down.append(block_cls(ch, self.dropout, mode, self.bn,
-                                  dtype=self.dtype, name=f"{prefix}_{i}",
-                                  **qkw(i)))
+                                  dtype=self.dtype, fold_bn=self.fold_bn,
+                                  name=f"{prefix}_{i}", **qkw(i)))
             ch *= 2
         self.down_blocks = tuple(down)
         mode = _block_dropout_mode(self.dropout_center, self.depth,
                                    self.depth, True)
         self.bottom_block = block_cls(ch, self.dropout, mode, self.bn,
                                       dtype=self.dtype,
+                                      fold_bn=self.fold_bn,
                                       name=f"{prefix}_{self.depth}",
                                       **qkw(self.depth))
         up_convs, up_blocks = [], []
@@ -505,11 +613,13 @@ class UNet(nn.Module):
                                        False)
             up_blocks.append(block_cls(
                 ch, self.dropout, mode, self.bn, dtype=self.dtype,
+                fold_bn=self.fold_bn,
                 name=f"{prefix}_{self.depth + 1 + k}", **qkw(level)))
         self.up_convs = tuple(up_convs)
         self.up_blocks = tuple(up_blocks)
         self.head_cbr = ConvBnRelu(self.start_filters, self.dropout, self.bn,
                                    dtype=self.dtype, name="ConvBnRelu_0",
+                                   fold_bn=self.fold_bn,
                                    quant_scales=self._level_scales(0))
         # the 1x1 class conv computes in the compute dtype and casts only its
         # nb_classes-channel OUTPUT to f32: casting its start_filters-channel
@@ -533,6 +643,7 @@ class UNet(nn.Module):
             # rate — the standard per-module mixed-precision split.
             self.sigma_cbr = ConvBnRelu(self.start_filters, self.dropout,
                                         self.bn, dtype=None,
+                                        fold_bn=self.fold_bn,
                                         name="ConvBnRelu_1")
             self.sigma_conv = nn.Conv(self.nb_classes, (1, 1),
                                       kernel_init=conv_init,
@@ -600,7 +711,17 @@ class UNet(nn.Module):
                 self.sigma_cbr(x.astype(jnp.float32), **kw))
         return UNetOutput(logits=logits, sigma=sigma, features=features)
 
+    def _check_fold_bn(self, train: bool, mc_dropout: bool) -> None:
+        if self.fold_bn and (train or mc_dropout):
+            raise ValueError(
+                "fold_bn is a deterministic-inference rewrite: the BN fold "
+                "does not commute with an ACTIVE dropout between conv and "
+                "BN (a dropped channel must still receive the BN shift) "
+                "and folded models have no BN to train — run MC-dropout/"
+                "training protocols on the unfolded model")
+
     def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
+        self._check_fold_bn(train, mc_dropout)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         x, skips = self._down(x, [], 0, train, mc_dropout)
@@ -622,6 +743,7 @@ class UNet(nn.Module):
 
     def decode_rest(self, x, skips, *, train: bool = False,
                     mc_dropout: bool = False):
+        self._check_fold_bn(train, mc_dropout)
         """Continue from :meth:`encode_shared`: the remaining (stochastic)
         down blocks, bottom, decoder, and heads. Module paths — and thus the
         flax dropout-rng folding — are identical to a full ``__call__``, so
@@ -637,15 +759,21 @@ class PostNet(nn.Module):
     nb_convs: int = 3
     dropout: float | None = None
     dtype: typing.Any = None
+    fold_bn: bool = False  # see UNet.fold_bn (deterministic inference only)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False, mc_dropout: bool = False):
+        if self.fold_bn and (train or mc_dropout):
+            raise ValueError(
+                "fold_bn is a deterministic-inference rewrite — run "
+                "MC-dropout/training protocols on the unfolded model")
         ch = x.shape[-1]
         if self.dtype is not None:
             x = x.astype(self.dtype)
         for _ in range(self.nb_convs):
             x = ConvBnRelu(ch, self.dropout, kernel=1, padding=0,
-                           dtype=self.dtype)(x, train=train, mc_dropout=mc_dropout)
+                           dtype=self.dtype, fold_bn=self.fold_bn)(
+                x, train=train, mc_dropout=mc_dropout)
         # unlike UNet.cls_conv, the head stays in f32 deliberately: PostNet is
         # a tiny T=1 net (no 7-GB cast to save), and its softmax confidence
         # feeds the per-subject min-max rescale — the exact narrow-range
@@ -707,11 +835,16 @@ def precast_params(model, params, batch_stats):
                                                 np.floating) else x
 
     keep = f32_head_keys(model)
+    # BN-folded models (fold_bn_params): conv biases carry the BN centering
+    # term -mean*mul and are added in a f32 epilogue (_FoldedConv /
+    # f32_bias) — keep them f32 (C-sized vectors, no traffic worth saving)
+    keep_bias = getattr(model, "fold_bn", False)
 
     def _walk(tree, top=False):
         out = {}
         for key, sub in dict(tree).items():
-            if (top and key in keep) or key.startswith("BatchNorm"):
+            if (top and key in keep) or key.startswith("BatchNorm") \
+                    or (keep_bias and key == "bias"):
                 out[key] = sub
             elif isinstance(sub, dict) or hasattr(sub, "items"):
                 out[key] = _walk(sub)
@@ -720,3 +853,76 @@ def precast_params(model, params, batch_stats):
         return out
 
     return _walk(params, top=True), batch_stats
+
+
+def fold_bn_params(params, batch_stats, epsilon: float = 1e-5):
+    """Fold every ConvBnRelu's BatchNorm into its conv at LOAD time, for a
+    ``fold_bn=True`` inference model.
+
+    ``relu(BN(drop(conv(x, k) + b)))`` with running stats equals
+    ``relu(drop(conv(x, k * mul) + (b - mean) * mul + bias_bn))`` where
+    ``mul = scale / sqrt(var + eps)`` — per-output-channel algebra done
+    once on the host in f32, so the program runs one MXU conv (f32
+    accumulate) with NO BatchNorm op. That removes flax BatchNorm's f32
+    promotion of the whole activation (``_normalize``'s ``x - mean`` with
+    f32 running stats), the measured bf16 single-forward binder. Only the
+    commute with INACTIVE dropout is valid (the model guards
+    train/mc_dropout); relu commutes because the folded conv emits the
+    exact BN output value.
+
+    Numerics: the fold itself is f32-exact algebra; under a bf16 compute
+    dtype the one new rounding is of ``k * mul`` instead of ``k`` — the
+    same weight-rounding error class the existing bf16 E2E gates pass
+    (tests/test_fold_bn.py pins it end to end).
+
+    A ConvBnRelu param dict is recognized as a dict holding both ``Conv_0``
+    and ``BatchNorm_0`` (the up-convs and residual 1x1s have no sibling BN
+    and pass through). Returns ``(params, batch_stats)`` with every folded
+    ``BatchNorm_0`` dropped — the ``fold_bn=True`` template creates no BN
+    params/stats, so the trees line up. ``bn=False`` models are a no-op."""
+    def _prune(tree):
+        out = {}
+        for key, sub in dict(tree).items():
+            if isinstance(sub, dict) or hasattr(sub, "items"):
+                sub = _prune(sub)
+                if sub:
+                    out[key] = sub
+            else:
+                out[key] = sub
+        return out
+
+    def _walk(p, s):
+        out_p, out_s = {}, {}
+        for key, sub in dict(p).items():
+            stats = dict(s).get(key, {}) if s else {}
+            if not (isinstance(sub, dict) or hasattr(sub, "items")):
+                out_p[key] = sub
+                continue
+            sub = dict(sub)
+            if "BatchNorm_0" in sub and "Conv_0" in sub:
+                bnp, bns = sub["BatchNorm_0"], dict(stats)["BatchNorm_0"]
+                mul = (np.asarray(bnp["scale"], np.float32)
+                       / np.sqrt(np.asarray(bns["var"], np.float32)
+                                 + np.float32(epsilon)))
+                conv = dict(sub["Conv_0"])
+                conv["kernel"] = jnp.asarray(
+                    np.asarray(conv["kernel"], np.float32) * mul)
+                conv["bias"] = jnp.asarray(
+                    (np.asarray(conv["bias"], np.float32)
+                     - np.asarray(bns["mean"], np.float32)) * mul
+                    + np.asarray(bnp["bias"], np.float32))
+                out_p[key] = {k: (conv if k == "Conv_0" else v)
+                              for k, v in sub.items() if k != "BatchNorm_0"}
+                rest = {k: v for k, v in dict(stats).items()
+                        if k != "BatchNorm_0"}
+                if rest:
+                    out_s[key] = rest
+            else:
+                sub_p, sub_s = _walk(sub, stats)
+                out_p[key] = sub_p
+                if sub_s:
+                    out_s[key] = sub_s
+        return out_p, out_s
+
+    new_params, new_stats = _walk(params, batch_stats)
+    return new_params, _prune(new_stats)

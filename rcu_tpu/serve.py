@@ -104,6 +104,7 @@ class VolumeInferenceService:
                  segm_model_dir: str = None, aux_segm: bool = False,
                  subject_parallel: bool = False,
                  fast_decoder: bool = False,
+                 fold_bn: bool = False,
                  quantize: bool = False):
         from rcu_tpu.engine import checkpoint as ckpt_lib
         from rcu_tpu.eval.direct import _load_model_state
@@ -126,7 +127,7 @@ class VolumeInferenceService:
         probe = (1, 16, 16, self.in_channels)
         self.model, params, batch_stats = _load_model_state(
             model_dir, test_at, probe, dtype=dtype,
-            fast_decoder=fast_decoder)
+            fast_decoder=fast_decoder, fold_bn=fold_bn)
         self.members = list(members or [])
         self.segm_model = None
         member_sharded = False
@@ -140,7 +141,8 @@ class VolumeInferenceService:
             for member_dir in self.members:
                 _, p, bs = _load_model_state(member_dir, test_at, probe,
                                              dtype=dtype,
-                                             fast_decoder=fast_decoder)
+                                             fast_decoder=fast_decoder,
+                                             fold_bn=fold_bn)
                 stacks.append((p, bs))
             state = (stack_states([s[0] for s in stacks]),
                      stack_states([s[1] for s in stacks]))
@@ -151,7 +153,7 @@ class VolumeInferenceService:
             self.strategy = "auxiliary_feat"
             self.segm_model, segm_params, segm_stats = _load_model_state(
                 segm_model_dir, test_at, probe, provide_features=True,
-                dtype=dtype, fast_decoder=fast_decoder)
+                dtype=dtype, fast_decoder=fast_decoder, fold_bn=fold_bn)
             self.in_channels = int(getattr(self.segm_model, "in_channels",
                                            self.in_channels))
             state = (segm_params, segm_stats, params, batch_stats)
@@ -174,6 +176,14 @@ class VolumeInferenceService:
             state = (params, batch_stats)
         self.is_log_sigma = bool(is_log_sigma) if is_log_sigma is not None \
             else None
+        if fold_bn and self.strategy == "mc" and self.mc > 0:
+            # same scope as evaluate_direct(fold_bn=True): the load-time BN
+            # fold does not commute with active MC dropout
+            raise ValueError(
+                "fold_bn covers the deterministic single-forward serving "
+                "strategies (mc=0/ensemble/aleatoric/auxiliary_*); the "
+                "mc protocol samples dropout, which the BN fold cannot "
+                "commute with")
         self._quantize = bool(quantize)
         self._quant_ready = not self._quantize
         self._calib_state = None
