@@ -125,6 +125,23 @@ class TestService:
         np.testing.assert_allclose(a["probabilities"], b["probabilities"],
                                    rtol=1e-5, atol=1e-6)
 
+    def test_fold_bn_service_matches_and_rejects_mc(self, service):
+        """fold_bn serves the same checkpoint with the BatchNorms folded
+        into the convs at load (deterministic only): f32 probabilities
+        match the plain service to fold-algebra precision, and an MC
+        (mc>0) service is rejected loudly."""
+        plain = VolumeInferenceService(service.model_dir, mc=0, batch_size=2)
+        fold = VolumeInferenceService(service.model_dir, mc=0, batch_size=2,
+                                      fold_bn=True)
+        volume = np.random.RandomState(13).rand(2, *HW, 4).astype(np.float32)
+        a = plain.predict(volume)
+        b = fold.predict(volume)
+        np.testing.assert_allclose(a["probabilities"], b["probabilities"],
+                                   rtol=1e-4, atol=1e-5)
+        with pytest.raises(ValueError, match="fold_bn covers"):
+            VolumeInferenceService(service.model_dir, mc=3, batch_size=2,
+                                   fold_bn=True)
+
     def test_quantized_service_matches(self, service):
         """quantize=True calibrates on the FIRST request's center slices,
         swaps the int8 trunk in before any program is built, and serves
