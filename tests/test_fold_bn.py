@@ -275,6 +275,29 @@ class TestFoldBnE2EGates:
             assert abs(base[subject][1] - fold[subject][1]) <= GATE, \
                 f"{subject}: fold Dice delta exceeds the {GATE} gate"
 
+    def test_ensemble_production_gate(self, env, tmp_path):
+        """Member-mean softmax (the robust protocol family): every stacked
+        member folds at load (_load_ensemble_states) and the vmapped folded
+        members must clear the same absolute 1e-3 bar as bf16."""
+        tmp0, store, split_file = env
+        unet = {"unet": {"depth": 2, "dropout": 0.2, "in_channels": 4,
+                         "nb_classes": 2, "start_filters": 8}}
+        primary = strategies.train_default(base_train_cfg(
+            tmp0, store, split_file, name="fold_e1", epochs=3, model=unet))
+        member = strategies.train_default(base_train_cfg(
+            tmp0, store, split_file, name="fold_e2", epochs=3, model=unet))
+        cfg = base_test_cfg(tmp0, store, split_file,
+                            primary.model_files.model_dir,
+                            others={"model_dir":
+                                    [member.model_files.model_dir],
+                                    "test_at": "best"}, name="fold_e_t")
+        cfg.test_data.batch_size = 8
+        base_dir, fold_dir = str(tmp_path / "base"), str(tmp_path / "fold")
+        evaluate_direct(cfg, base_dir, run_id="ens", masked=False)
+        evaluate_direct(cfg, fold_dir, run_id="ens", masked=False,
+                        dtype="bfloat16", fast_decoder=True, fold_bn=True)
+        assert_gate(base_dir, fold_dir, "eval_calibration_ens.csv")
+
     def test_aleatoric_envelope(self, env, tmp_path):
         tmp0, store, split_file = env
         loop = strategies.train_aleatoric(base_train_cfg(
